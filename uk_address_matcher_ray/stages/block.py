@@ -1,0 +1,172 @@
+"""Blocking: candidate-key emission, hot-key salting, pair scoring.
+
+Re-expresses the reference's 18 blocking rules (splink_model.json:16-89,
+SURVEY.md §2.5) as ONE hash shuffle: each side flat-maps to
+(block_key=(rule_id, key values), side, payload) rows, a single
+``groupby(block_key)`` co-locates candidates, and pairs are scored inside
+``map_groups`` before they leave the block (no unscored pair materialises).
+
+``match_key`` semantics (first rule that produced the pair; Splink's
+cascading NOT-exclusion) are reproduced downstream by deduplicating on
+(unique_id_l, unique_id_r) keeping min(rule_id) inside the per-messy-record
+group (stages/score.py) — equivalent because a pair's score is identical
+whichever rule emitted it.
+
+Skew: keys whose canonical-side row count exceeds ``salt_threshold`` are
+split into ceil(n/salt_threshold) sub-blocks; canonical rows are assigned a
+sub-block by uid hash, messy rows are replicated to every sub-block, so each
+(l, r) pair still meets exactly once (north-rule salting requirement).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+from uk_address_matcher_ray.functions.text import inward_code, outward_code
+from uk_address_matcher_ray.state.model import MatchModel
+
+SEP = "\x1f"
+BLOCK_KEY_COL = "__block_key"
+SIDE_COL = "__side"
+RULE_COL = "__rule"
+
+
+def _key_components(row: dict) -> Dict[str, Optional[str]]:
+    u = row.get("unusual_tokens_arr") or []
+    vu = row.get("very_unusual_tokens_arr") or []
+    eu = row.get("extremely_unusual_tokens_arr") or []
+    pc = row.get("postcode")
+    return {
+        "n1": row.get("numeric_token_1"),
+        "n2": row.get("numeric_token_2"),
+        "u1": u[0] if len(u) > 0 else None,
+        "u2": u[1] if len(u) > 1 else None,
+        "vu1": vu[0] if len(vu) > 0 else None,
+        "vu2": vu[1] if len(vu) > 1 else None,
+        "eu1": eu[0] if len(eu) > 0 else None,
+        "pc": pc,
+        "out": outward_code(pc),
+        "in": inward_code(pc),
+    }
+
+
+def _resolve(comp: Dict[str, Optional[str]], key_name: str, row: dict) -> Optional[str]:
+    if key_name.startswith("col:"):
+        v = row.get(key_name[4:])
+        return None if v is None else str(v)
+    return comp[key_name]
+
+
+def row_block_keys(row: dict, model: MatchModel, side: int) -> List[Tuple[int, str]]:
+    """All (rule_id, key-string) emissions for one cleaned row.
+
+    side: 0 = l/canonical (keys from rule.l_keys), 1 = r/messy (r_keys).
+    """
+    comp = _key_components(row)
+    out: List[Tuple[int, str]] = []
+    for rule_id, rule in enumerate(model.blocking_rules):
+        names = rule.l_keys if side == 0 else rule.r_keys
+        vals = []
+        ok = True
+        for kn in names:
+            v = _resolve(comp, kn, row)
+            if v is None:
+                ok = False
+                break
+            vals.append(v)
+        if ok:
+            out.append((rule_id, f"{rule_id}{SEP}" + SEP.join(vals)))
+    return out
+
+
+def _stable_hash(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+class BlockKeyEmitter:
+    """map_batches callable: cleaned rows -> exploded (block_key, side, payload).
+
+    ``hot_keys`` maps block-key -> salt factor k; canonical rows get a salted
+    sub-key, messy rows are replicated into all k sub-keys.
+    """
+
+    def __init__(self, model: MatchModel, side: int, hot_keys_ref=None):
+        import ray
+
+        self.model = model
+        self.side = side
+        hot = hot_keys_ref
+        if hot is not None and not isinstance(hot, dict):
+            hot = ray.get(hot)
+        self.hot_keys: Dict[str, int] = hot or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        take_idx: List[int] = []
+        keys: List[str] = []
+        rules: List[int] = []
+        for i, row in enumerate(rows):
+            for rule_id, key in row_block_keys(row, self.model, self.side):
+                salt = self.hot_keys.get(key)
+                if not salt or salt <= 1:
+                    take_idx.append(i)
+                    keys.append(key)
+                    rules.append(rule_id)
+                elif self.side == 0:
+                    sub = _stable_hash(str(row["unique_id"])) % salt
+                    take_idx.append(i)
+                    keys.append(f"{key}{SEP}#{sub}")
+                    rules.append(rule_id)
+                else:
+                    for sub in range(salt):
+                        take_idx.append(i)
+                        keys.append(f"{key}{SEP}#{sub}")
+                        rules.append(rule_id)
+        taken = batch.take(pa.array(take_idx, type=pa.int64()))
+        return taken.append_column(
+            BLOCK_KEY_COL, pa.array(keys, type=pa.string())
+        ).append_column(
+            RULE_COL, pa.array(rules, type=pa.int32())
+        ).append_column(
+            SIDE_COL, pa.array([self.side] * len(keys), type=pa.int8())
+        )
+
+
+def compute_hot_keys(
+    cleaned_l, model: MatchModel, salt_threshold: int
+) -> Dict[str, int]:
+    """Frequency pre-pass over the canonical side: block keys with more than
+    ``salt_threshold`` rows get salt factor ceil(n / salt_threshold).
+
+    The aggregated (key, count) table is collected only above the threshold,
+    so the driver holds just the hot tail.
+    """
+
+    def emit(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for row in batch.to_pylist():
+            for _rid, key in row_block_keys(row, model, side=0):
+                c[key] += 1
+        return pa.table(
+            {
+                "key": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    import math as _math
+
+    agg = (
+        cleaned_l.map_batches(emit, batch_format="pyarrow", batch_size=8192)
+        .groupby("key")
+        .sum("n")
+    )
+    hot = agg.filter(lambda r: r["sum(n)"] > salt_threshold).take_all()
+    return {
+        r["key"]: _math.ceil(r["sum(n)"] / salt_threshold) for r in hot
+    }

@@ -1,0 +1,306 @@
+"""Second pass: candidate-group rescoring by distinguishing tokens/bigrams.
+
+Re-expresses the reference's
+``improve_predictions_using_distinguishing_tokens``
+(post_linkage/identify_distinguishing_tokens.py:4-443) as a pure-Python group
+kernel applied inside ``groupby("unique_id_r").map_groups`` — the canonical
+group+reduce of SURVEY.md §2.7 (groups are ≤ top_n rows).
+
+Semantics notes (all verified against the reference SQL):
+* top-n filter orders by (match_weight DESC, unique_id_l DESC) (lines 48-56);
+* up to TWO trailing tokens in the messy record's common-end-token list are
+  stripped from both addresses (two chained list_filters on the reversed
+  token list, lines 59-88);
+* block token/bigram histograms flatten ALL top-n candidates' token lists in
+  top-n order; bigrams are zipped over the *flattened* list, so they span
+  candidate boundaries exactly as the reference's list_zip does (lines 105-175);
+* maps keyed by token/bigram; bigram maps are filtered to drop bigrams fully
+  explained by their unigrams (lines 328-361);
+* mw_adjustment = REWARD·Σ 1/cnt² − PUNISH·|elsewhere| − 0.1·|missing|
+  + BIGRAM_REWARD·Σ 1/cnt² − BIGRAM_PUNISH·|bigrams elsewhere| (lines 376-441).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pyarrow as pa
+
+from uk_address_matcher_ray.stages.score import dedup_pairs_in_group
+
+_WS = re.compile(r"\s+", re.ASCII)
+
+DEFAULTS = dict(
+    match_weight_threshold=-20.0,
+    top_n_matches=5,
+    use_bigrams=True,
+    REWARD_MULTIPLIER=3.0,
+    PUNISHMENT_MULTIPLIER=1.5,
+    BIGRAM_REWARD_MULTIPLIER=3.0,
+    BIGRAM_PUNISHMENT_MULTIPLIER=1.5,
+    MISSING_TOKEN_PENALTY=0.1,
+)
+
+
+def _tokens(s: Optional[str]) -> List[str]:
+    if s is None:
+        return []
+    return _WS.split(s.strip(" ").upper())
+
+
+def _strip_common_end(s: Optional[str], cet: set) -> Optional[str]:
+    """Lines 59-88: remove up to two trailing tokens that are in cet."""
+    if s is None:
+        return None
+    toks = _WS.split(s.strip(" ").upper())
+    rev = toks[::-1]
+    for _ in range(2):
+        if rev and rev[0] in cet:
+            rev = rev[1:]
+    return " ".join(rev[::-1])
+
+
+def _concat_tokens(addr: Optional[str], pc: Optional[str]) -> List[str]:
+    """concat_ws(' ', addr, pc).trim().upper().regexp_split('\\s+')."""
+    parts = [p for p in (addr, pc) if p is not None]
+    return _tokens(" ".join(parts))
+
+
+def _bigrams(tokens: List[str]) -> List[Tuple[str, str]]:
+    return list(zip(tokens[:-1], tokens[1:]))
+
+
+def _map_cols(d: dict, key_is_bigram: bool) -> list:
+    """Map -> list<struct<key,value>> for Arrow output (keys sorted)."""
+    items = sorted(d.items())
+    if key_is_bigram:
+        return [{"key": list(k), "value": v} for k, v in items]
+    return [{"key": k, "value": v} for k, v in items]
+
+
+def rescore_group(
+    rows: List[dict],
+    *,
+    match_weight_threshold: float = -20.0,
+    top_n_matches: int = 5,
+    use_bigrams: bool = True,
+    REWARD_MULTIPLIER: float = 3.0,
+    PUNISHMENT_MULTIPLIER: float = 1.5,
+    BIGRAM_REWARD_MULTIPLIER: float = 3.0,
+    BIGRAM_PUNISHMENT_MULTIPLIER: float = 1.5,
+    MISSING_TOKEN_PENALTY: float = 0.1,
+) -> List[dict]:
+    """Rescore the (already match_key-deduped) pairs of ONE messy record."""
+    good = [r for r in rows if r["match_weight"] > match_weight_threshold]
+    # ORDER BY match_weight DESC, unique_id_l DESC -> stable sorts in reverse
+    good.sort(key=lambda r: r["unique_id_l"], reverse=True)
+    good.sort(key=lambda r: r["match_weight"], reverse=True)
+    top = good[:top_n_matches]
+    if not top:
+        return []
+
+    cet_hist = top[0].get("common_end_tokens_hist_r") or []
+    cet = {e["tok"] for e in cet_hist}
+
+    # The reference strips trailing common-end tokens ONLY from the messy (r)
+    # side actually consumed downstream: its step-3 CTE also strips _l, but
+    # only tokenise_r reads the stripped columns — steps 5/6 re-read the
+    # UNSTRIPPED originals from top_n_matches (identify_distinguishing_tokens.py
+    # 86-120, 172-196, 269). Reproduced: tokens_l and output columns unstripped.
+    stripped_r = _strip_common_end(top[0]["original_address_concat_r"], cet)
+
+    tokens_r = _concat_tokens(stripped_r, top[0].get("postcode_r"))
+    tokens_r_set = set(tokens_r)
+    tokens_l_list = [
+        _concat_tokens(r["original_address_concat_l"], r.get("postcode_l"))
+        for r in top
+    ]
+
+    flat: List[str] = [t for tl in tokens_l_list for t in tl]
+    hist_all_tokens: Dict[str, int] = {}
+    for t in flat:
+        hist_all_tokens[t] = hist_all_tokens.get(t, 0) + 1
+    hist_overlap_r_block = {
+        t: c for t, c in hist_all_tokens.items() if t in tokens_r_set
+    }
+
+    if use_bigrams:
+        flat_bigrams = _bigrams(flat)  # spans candidate boundaries (reference)
+        hist_all_bigrams: Dict[Tuple[str, str], int] = {}
+        for bg in flat_bigrams:
+            hist_all_bigrams[bg] = hist_all_bigrams.get(bg, 0) + 1
+        bigrams_r = _bigrams(tokens_r)
+        bigrams_r_set = set(bigrams_r)
+        hist_overlap_bigrams_r_block = {
+            bg: c for bg, c in hist_all_bigrams.items() if bg in bigrams_r_set
+        }
+
+    out: List[dict] = []
+    for r, tokens_l in zip(top, tokens_l_list):
+        tokens_l_set = set(tokens_l)
+        overlapping = {
+            t: c for t, c in hist_overlap_r_block.items() if t in tokens_l_set
+        }
+        tokens_r_not_in_l = {t for t in tokens_r if t not in tokens_l_set}
+        missing_tokens = [t for t in tokens_l if t not in tokens_r_set]
+        elsewhere = {
+            t: c for t, c in hist_all_tokens.items() if t in tokens_r_not_in_l
+        }
+
+        adj = REWARD_MULTIPLIER * sum(1.0 / (c * c) for c in overlapping.values())
+        adj -= PUNISHMENT_MULTIPLIER * len(elsewhere)
+        adj -= MISSING_TOKEN_PENALTY * len(missing_tokens)
+
+        rec = {
+            "unique_id_r": r["unique_id_r"],
+            "unique_id_l": r["unique_id_l"],
+            "mw_adjustment": None,  # filled below
+            "match_weight_original": r["match_weight"],
+            "match_weight": None,
+            "overlapping_tokens_this_l_and_r": _map_cols(overlapping, False),
+            "tokens_elsewhere_in_block_but_not_this": _map_cols(elsewhere, False),
+            "missing_tokens": missing_tokens,
+            "original_address_concat_l": r["original_address_concat_l"],
+            "postcode_l": r.get("postcode_l"),
+            "original_address_concat_r": top[0]["original_address_concat_r"],
+            "postcode_r": r.get("postcode_r"),
+        }
+
+        if use_bigrams:
+            bigrams_l = _bigrams(tokens_l)
+            bigrams_l_set = set(bigrams_l)
+            overlapping_bg = {
+                bg: c
+                for bg, c in hist_overlap_bigrams_r_block.items()
+                if bg in bigrams_l_set
+            }
+            bigrams_r_not_in_l = {bg for bg in bigrams_r if bg not in bigrams_l_set}
+            elsewhere_bg = {
+                bg: c for bg, c in hist_all_bigrams.items() if bg in bigrams_r_not_in_l
+            }
+
+            def _covered(bg, v, unimap):
+                return (
+                    bg[0] in unimap
+                    and unimap[bg[0]] <= v
+                    and bg[1] in unimap
+                    and unimap[bg[1]] <= v
+                )
+
+            overlapping_bg_f = {
+                bg: v
+                for bg, v in overlapping_bg.items()
+                if not _covered(bg, v, overlapping)
+            }
+            elsewhere_bg_f = {
+                bg: v
+                for bg, v in elsewhere_bg.items()
+                if not _covered(bg, v, elsewhere)
+            }
+            adj += BIGRAM_REWARD_MULTIPLIER * sum(
+                1.0 / (c * c) for c in overlapping_bg_f.values()
+            )
+            adj -= BIGRAM_PUNISHMENT_MULTIPLIER * len(elsewhere_bg_f)
+            rec["overlapping_bigrams_this_l_and_r"] = _map_cols(overlapping_bg, True)
+            rec["bigrams_elsewhere_in_block_but_not_this"] = _map_cols(
+                elsewhere_bg, True
+            )
+            rec["overlapping_bigrams_this_l_and_r_filtered"] = _map_cols(
+                overlapping_bg_f, True
+            )
+            rec["bigrams_elsewhere_in_block_but_not_this_filtered"] = _map_cols(
+                elsewhere_bg_f, True
+            )
+
+        rec["mw_adjustment"] = adj
+        rec["match_weight"] = r["match_weight"] + adj
+        out.append(rec)
+    return out
+
+
+_STR_MAP = pa.list_(
+    pa.struct([pa.field("key", pa.string()), pa.field("value", pa.int64())])
+)
+_BG_MAP = pa.list_(
+    pa.struct(
+        [pa.field("key", pa.list_(pa.string())), pa.field("value", pa.int64())]
+    )
+)
+
+
+def improved_schema(use_bigrams: bool = True, retain_columns: Sequence[str] = ()) -> pa.Schema:
+    fields = [
+        pa.field("unique_id_r", pa.string()),
+        pa.field("unique_id_l", pa.string()),
+        pa.field("mw_adjustment", pa.float64()),
+        pa.field("match_weight_original", pa.float64()),
+        pa.field("match_weight", pa.float64()),
+        pa.field("overlapping_tokens_this_l_and_r", _STR_MAP),
+        pa.field("tokens_elsewhere_in_block_but_not_this", _STR_MAP),
+        pa.field("missing_tokens", pa.list_(pa.string())),
+        pa.field("original_address_concat_l", pa.string()),
+        pa.field("postcode_l", pa.string()),
+        pa.field("original_address_concat_r", pa.string()),
+        pa.field("postcode_r", pa.string()),
+    ]
+    if use_bigrams:
+        fields += [
+            pa.field("overlapping_bigrams_this_l_and_r", _BG_MAP),
+            pa.field("bigrams_elsewhere_in_block_but_not_this", _BG_MAP),
+            pa.field("overlapping_bigrams_this_l_and_r_filtered", _BG_MAP),
+            pa.field("bigrams_elsewhere_in_block_but_not_this_filtered", _BG_MAP),
+        ]
+    for col in retain_columns:
+        fields.append(pa.field(f"{col}_l", pa.string()))
+        fields.append(pa.field(f"{col}_r", pa.string()))
+    return pa.schema(fields)
+
+
+class ImproveStage:
+    """map_groups callable: one messy record's pairs -> rescored pairs.
+
+    ``dedup_first=True`` additionally applies match_key dedup so the fused
+    pipeline needs only this single unique_id_r shuffle after blocking.
+    """
+
+    def __init__(
+        self,
+        dedup_first: bool = False,
+        retain_columns: Sequence[str] = (),
+        **params,
+    ):
+        self.params = {**DEFAULTS, **params}
+        self.dedup_first = dedup_first
+        self.retain_columns = list(retain_columns)
+        self.schema = improved_schema(
+            self.params["use_bigrams"], self.retain_columns
+        )
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        if self.dedup_first:
+            rows = dedup_pairs_in_group(rows)
+        out = rescore_group(rows, **self.params)
+        if not out:
+            return self.schema.empty_table()
+        if self.retain_columns:
+            by_l = {r["unique_id_l"]: r for r in rows}
+            for rec in out:
+                src = by_l.get(rec["unique_id_l"], {})
+                for col in self.retain_columns:
+                    for suffix in ("_l", "_r"):
+                        v = src.get(f"{col}{suffix}")
+                        rec[f"{col}{suffix}"] = None if v is None else str(v)
+        return pa.Table.from_pylist(out, schema=self.schema)
+
+
+def improve_predictions(
+    pairs_ds,
+    *,
+    retain_columns: Sequence[str] = (),
+    **params,
+):
+    """Reference ``improve_predictions_using_distinguishing_tokens`` operator."""
+    stage = ImproveStage(dedup_first=False, retain_columns=retain_columns, **params)
+    return pairs_ds.groupby("unique_id_r").map_groups(stage, batch_format="pyarrow")

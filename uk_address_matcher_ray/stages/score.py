@@ -1,0 +1,221 @@
+"""Pair generation + Fellegi-Sunter scoring inside blocks (SURVEY.md §2.6).
+
+``predict`` is the engine's equivalent of the reference's
+``linker.inference.predict`` (splink_model.py:25-107): one block-key shuffle
+scores candidate pairs where they are co-located, then one per-messy-record
+shuffle deduplicates multi-rule pairs into Splink's ``match_key`` semantics.
+Convention (asserted by the reference's tests/test_source_dataset.py:81-87):
+``_l`` = canonical, ``_r`` = messy.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import pyarrow as pa
+
+from uk_address_matcher_ray import schema as sch
+from uk_address_matcher_ray.functions.compare import prepare_row, score_pair
+from uk_address_matcher_ray.stages.block import (
+    BLOCK_KEY_COL,
+    BlockKeyEmitter,
+    RULE_COL,
+    SIDE_COL,
+    compute_hot_keys,
+)
+from uk_address_matcher_ray.state.model import MatchModel
+
+DEFAULT_PREDICT_THRESHOLD = -50.0
+
+
+def pair_schema(
+    model: MatchModel,
+    retain_columns: Sequence[str] = (),
+    retain_types: Optional[Dict[str, pa.DataType]] = None,
+) -> pa.Schema:
+    fields = [
+        pa.field("match_weight", pa.float64()),
+        pa.field("match_probability", pa.float64()),
+        pa.field("match_key", pa.int32()),
+        pa.field("unique_id_l", pa.string()),
+        pa.field("unique_id_r", pa.string()),
+        pa.field("original_address_concat_l", pa.string()),
+        pa.field("original_address_concat_r", pa.string()),
+        pa.field("postcode_l", pa.string()),
+        pa.field("postcode_r", pa.string()),
+        pa.field("common_end_tokens_hist_r", sch.HIST_TYPE),
+    ]
+    for comp in model.comparisons:
+        fields.append(pa.field(f"gamma_{comp.name}", pa.int32()))
+    for col in retain_columns:
+        t = (retain_types or {}).get(col, pa.string())
+        fields.append(pa.field(f"{col}_l", t))
+        fields.append(pa.field(f"{col}_r", t))
+    return pa.schema(fields)
+
+
+class BlockScorer:
+    """map_groups callable over one block-key group: scores l×r cross pairs."""
+
+    def __init__(
+        self,
+        model: MatchModel,
+        numeric_tf_ref,
+        threshold: float = DEFAULT_PREDICT_THRESHOLD,
+        retain_columns: Sequence[str] = (),
+        retain_types: Optional[Dict[str, pa.DataType]] = None,
+        max_pairs_per_block: int = 1_000_000,
+    ):
+        import ray
+
+        tf = numeric_tf_ref
+        if tf is not None and not isinstance(tf, dict):
+            tf = ray.get(tf)
+        self.model = model
+        self.numeric_tf = tf or {}
+        self.threshold = threshold
+        self.retain_columns = list(retain_columns)
+        self.schema = pair_schema(model, retain_columns, retain_types)
+
+        self.max_pairs_per_block = max_pairs_per_block
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        sides = group.column(SIDE_COL).to_pylist()
+        if 0 not in sides or 1 not in sides:
+            return self.schema.empty_table()
+        rows = group.to_pylist()
+        l_rows = [r for r in rows if r[SIDE_COL] == 0]
+        r_rows = [r for r in rows if r[SIDE_COL] == 1]
+        if len(l_rows) * len(r_rows) > self.max_pairs_per_block:
+            raise RuntimeError(
+                f"block {rows[0][BLOCK_KEY_COL]!r} would generate "
+                f"{len(l_rows) * len(r_rows)} pairs; raise salt_threshold"
+            )
+        l_prep = [(r, prepare_row(r)) for r in l_rows]
+        r_prep = [(r, prepare_row(r)) for r in r_rows]
+
+        out: Dict[str, list] = {f.name: [] for f in self.schema}
+        gamma_names = [f"gamma_{c.name}" for c in self.model.comparisons]
+        for l_raw, l_s in l_prep:
+            for r_raw, r_s in r_prep:
+                mw, prob, gammas = score_pair(l_s, r_s, self.model, self.numeric_tf)
+                if mw < self.threshold:
+                    continue
+                out["match_weight"].append(mw)
+                out["match_probability"].append(prob)
+                out["match_key"].append(l_raw[RULE_COL])
+                out["unique_id_l"].append(l_raw["unique_id"])
+                out["unique_id_r"].append(r_raw["unique_id"])
+                out["original_address_concat_l"].append(
+                    l_raw.get("original_address_concat")
+                )
+                out["original_address_concat_r"].append(
+                    r_raw.get("original_address_concat")
+                )
+                out["postcode_l"].append(l_raw.get("postcode"))
+                out["postcode_r"].append(r_raw.get("postcode"))
+                out["common_end_tokens_hist_r"].append(
+                    r_raw.get("common_end_tokens_hist")
+                )
+                for gn, g in zip(gamma_names, gammas):
+                    out[gn].append(g)
+                for col in self.retain_columns:
+                    out[f"{col}_l"].append(l_raw.get(col))
+                    out[f"{col}_r"].append(r_raw.get(col))
+        return pa.table(
+            {f.name: pa.array(out[f.name], type=f.type) for f in self.schema}
+        )
+
+
+def dedup_pairs_in_group(rows: List[dict]) -> List[dict]:
+    """Splink match_key semantics: keep one row per (l, r) with min rule id
+    (scores are identical across rules for the same pair)."""
+    best: Dict[str, dict] = {}
+    for row in rows:
+        k = row["unique_id_l"]
+        prev = best.get(k)
+        if prev is None or row["match_key"] < prev["match_key"]:
+            best[k] = row
+    return sorted(best.values(), key=lambda r: (-r["match_weight"], r["unique_id_l"]))
+
+
+def scored_pairs_raw(
+    cleaned_l,
+    cleaned_r,
+    model: MatchModel,
+    numeric_tf: Optional[Dict[str, Dict[str, float]]] = None,
+    *,
+    threshold: float = DEFAULT_PREDICT_THRESHOLD,
+    retain_columns: Sequence[str] = (),
+    salt_threshold: int = 0,
+):
+    """Blocking + in-block scoring. Output may contain one row per
+    (pair, matching rule); use ``predict`` for match_key-deduped pairs."""
+    import ray
+
+    retain_types = {}
+    if retain_columns:
+        schema_l = cleaned_l.schema()
+        for col in retain_columns:
+            if col in schema_l.names:
+                retain_types[col] = schema_l.types[schema_l.names.index(col)]
+
+    hot_keys = {}
+    if salt_threshold and salt_threshold > 0:
+        hot_keys = compute_hot_keys(cleaned_l, model, salt_threshold)
+    hot_ref = ray.put(hot_keys)
+
+    emitted_l = cleaned_l.map_batches(
+        BlockKeyEmitter,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"model": model, "side": 0, "hot_keys_ref": hot_ref},
+    )
+    emitted_r = cleaned_r.map_batches(
+        BlockKeyEmitter,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"model": model, "side": 1, "hot_keys_ref": hot_ref},
+    )
+    both = emitted_l.union(emitted_r)
+
+    tf_ref = ray.put(numeric_tf or {})
+    scorer = BlockScorer(
+        model,
+        None,
+        threshold=threshold,
+        retain_columns=retain_columns,
+        retain_types=retain_types,
+    )
+    # map_groups runs the callable per block; pass a constructed instance so
+    # the model/threshold ship once via closure capture.
+    scorer.numeric_tf = numeric_tf or {}
+    return both.groupby(BLOCK_KEY_COL).map_groups(scorer, batch_format="pyarrow")
+
+
+def _dedup_group(group: pa.Table) -> pa.Table:
+    rows = dedup_pairs_in_group(group.to_pylist())
+    if not rows:
+        return group.slice(0, 0)
+    return pa.Table.from_pylist(rows, schema=group.schema)
+
+
+def predict(
+    cleaned_l,
+    cleaned_r,
+    model: MatchModel,
+    numeric_tf: Optional[Dict[str, Dict[str, float]]] = None,
+    *,
+    threshold: float = DEFAULT_PREDICT_THRESHOLD,
+    retain_columns: Sequence[str] = (),
+    salt_threshold: int = 0,
+):
+    """Reference ``linker.inference.predict`` equivalent: deduped scored pairs."""
+    raw = scored_pairs_raw(
+        cleaned_l,
+        cleaned_r,
+        model,
+        numeric_tf,
+        threshold=threshold,
+        retain_columns=retain_columns,
+        salt_threshold=salt_threshold,
+    )
+    return raw.groupby("unique_id_r").map_groups(_dedup_group, batch_format="pyarrow")
