@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship web-page ER pipeline on sf0.001.
+``queries()`` exposes each implemented operator/pipeline from SURVEY.md §2
+(plus the large-scale-corpus extras) as a callable over ``sf_dir``;
+``oracle_sql()`` gives the DuckDB-equivalent SQL the driver cross-checks at
+sf=0.01. The ER inputs are synthesized deterministically from the
+``customer`` table (uk_address_matcher_ray/sources/synth.py — identical
+Python and SQL generators, asserted by tests/test_synth.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,510 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+DOC_TRUNC = 400  # bound shingle cost; mirrored via substr(text, 1, 400)
+MINHASH = dict(num_perm=16, bands=4, shingle_k=5, jaccard_threshold=0.8)
+ANN_K = 10
+NEAR_DUP_COS = 0.95
+CLUSTER_THRESHOLD = 5.0
+
+
+# ---------------------------------------------------------------------------
+# shared input builders
+# ---------------------------------------------------------------------------
+
+def _custkeys(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return sorted(t.column("c_custkey").to_pylist())
+
+
+def _synth_tables(sf_dir: str):
+    from uk_address_matcher_ray.sources import synth
+
+    keys = _custkeys(sf_dir)
+    return synth.canonical_table(keys), synth.messy_table(keys)
+
+
+def _corpus_assets(union_tbl):
+    """On-the-fly TF + numeric TF + end tokens over the union corpus."""
+    from uk_address_matcher_ray.stages import tf as tf_mod
+
+    addrs = union_tbl.column("address_concat").to_pylist()
+    tok_counts, num_counts, end_counts, _nt123 = tf_mod.corpus_token_stats(addrs)
+    return (
+        tf_mod.rel_freq_table(tok_counts),
+        tf_mod.rel_freq_table(num_counts),
+        tf_mod.end_token_set(end_counts),
+    )
+
+
+def _cleaned_sides(sf_dir: str):
+    """-> (cleaned_canonical_ds, cleaned_messy_ds, numeric_tf, messy_tbl)."""
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.clean import clean_dataset
+
+    canon, messy = _synth_tables(sf_dir)
+    union = pa.concat_tables([canon, messy])
+    tf, num_tf, end_tokens = _corpus_assets(union)
+    numeric_tf = {f"numeric_token_{i}": num_tf for i in (1, 2, 3)}
+    cl = clean_dataset(ray.data.from_arrow(canon), tf, end_tokens)
+    cm = clean_dataset(ray.data.from_arrow(messy), tf, end_tokens)
+    return cl, cm, numeric_tf, messy
+
+
+def _docs(sf_dir: str):
+    import ray
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _docs_with_variants(sf_dir: str):
+    """documents truncated to DOC_TRUNC chars, unioned with prefix variants
+    (doc_id+1000000, first 300 chars) so near-dup pairs provably exist."""
+    import pyarrow as pa
+
+    def variants(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = [t[:DOC_TRUNC] if t else t for t in batch.column("text").to_pylist()]
+        v_ids = [i + 1_000_000 for i in ids]
+        v_texts = [t[:300] if t else t for t in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids + v_ids, pa.int64()),
+                "text": pa.array(texts + v_texts, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(variants, batch_format="pyarrow")
+
+
+_DOCS_VARIANTS_SQL = f"""
+SELECT doc_id, substr(text, 1, {DOC_TRUNC}) AS text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, substr(substr(text, 1, {DOC_TRUNC}), 1, 300) AS text
+FROM documents
+"""
+
+
+def _union_input_sql():
+    from uk_address_matcher_ray.sources import synth
+
+    src = "SELECT c_custkey FROM customer"
+    return (
+        f"SELECT * FROM ({synth.canonical_sql(src)}) "
+        f"UNION ALL SELECT * FROM ({synth.messy_sql(src)})"
+    )
+
+
+def _pairs_oracle_sql():
+    from uk_address_matcher_ray import oracle, oracle_scoring
+
+    cleaned = oracle.cleaned_features_sql(_union_input_sql())
+    ntf = oracle.numeric_tf_table_sql(_union_input_sql())
+    return oracle_scoring.predict_pairs_sql(cleaned, ntf)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synth web pages ->
+    extract -> clean -> block/score -> rescore; returns the improved pairs."""
+    import ray
+
+    from uk_address_matcher_ray.pipelines.match import flagship_pipeline
+    from uk_address_matcher_ray.sources.webpages import synth_web_pages
+
+    canon, messy = _synth_tables("/root/testdata/sf0.001")
+
+    def host_of(i, uid):
+        return f"host{int(uid[1:]) % 97}.example"
+
+    pages_c = synth_web_pages(
+        [(r["unique_id"], r["address_concat"], r["postcode"]) for r in canon.to_pylist()],
+        host_of=host_of,
+    )
+    pages_m = synth_web_pages(
+        [(r["unique_id"], r["address_concat"], r["postcode"]) for r in messy.to_pylist()],
+        host_of=host_of,
+    )
+    pairs, _labels = flagship_pipeline(
+        ray.data.from_arrow(pages_m),
+        ray.data.from_arrow(pages_c),
+        cluster_threshold=CLUSTER_THRESHOLD,
+    )
+    return pairs.select_columns(
+        [
+            "unique_id_r",
+            "unique_id_l",
+            "mw_adjustment",
+            "match_weight_original",
+            "match_weight",
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_clean_features(sf_dir: str):
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.clean import clean_dataset
+
+    canon, messy = _synth_tables(sf_dir)
+    union = pa.concat_tables([canon, messy])
+    tf, _num_tf, end_tokens = _corpus_assets(union)
+    return clean_dataset(ray.data.from_arrow(union), tf, end_tokens)
+
+
+def _q_token_tf(sf_dir: str):
+    """T1 token-frequency table, counted distributed (partial counts per
+    batch + one vocabulary-sized groupby; kinds 0+3 = address + nt1-3)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages import tf as tf_mod
+
+    canon, messy = _synth_tables(sf_dir)
+    union = pa.concat_tables([canon, messy])
+    agg = tf_mod.corpus_stats_dataset(ray.data.from_arrow(union)).take_all()
+    counts = Counter()
+    for r in agg:
+        if r["kind"] in (0, 3):
+            counts[r["token"]] += r["sum(count)"]
+    freqs = tf_mod.rel_freq_table(counts)
+    items = sorted(freqs.items())
+    return pa.table(
+        {
+            "token": pa.array([k for k, _ in items], pa.string()),
+            "rel_freq": pa.array([v for _, v in items], pa.float64()),
+        }
+    )
+
+
+def _q_numeric_tf(sf_dir: str):
+    import pyarrow as pa
+
+    canon, messy = _synth_tables(sf_dir)
+    union = pa.concat_tables([canon, messy])
+    _tf, num_tf, _end = _corpus_assets(union)
+    items = sorted(num_tf.items())
+    return pa.table(
+        {
+            "numeric_token": pa.array([k for k, _ in items], pa.string()),
+            "tf_numeric_token": pa.array([v for _, v in items], pa.float64()),
+        }
+    )
+
+
+def _predict_ds(sf_dir: str):
+    from uk_address_matcher_ray.stages.score import predict
+
+    cl, cm, numeric_tf, _messy = _cleaned_sides(sf_dir)
+    from uk_address_matcher_ray.state.model import MatchModel
+
+    return predict(cl, cm, MatchModel(), numeric_tf, salt_threshold=20000)
+
+
+def _q_predict_pairs(sf_dir: str):
+    ds = _predict_ds(sf_dir)
+    return ds.select_columns(
+        ["unique_id_l", "unique_id_r", "match_key", "match_weight"]
+    )
+
+
+def _q_match_clusters(sf_dir: str):
+    from uk_address_matcher_ray.stages import cluster as cmod
+
+    pairs = _predict_ds(sf_dir)
+    edges = cmod.edges_from_pairs(pairs, threshold=CLUSTER_THRESHOLD)
+    return cmod.propagate_labels(edges)
+
+
+def _q_improve_pairs(sf_dir: str):
+    from uk_address_matcher_ray.pipelines.match import match_pipeline
+    from uk_address_matcher_ray.state.model import MatchModel
+
+    cl, cm, numeric_tf, _messy = _cleaned_sides(sf_dir)
+    improved = match_pipeline(cl, cm, MatchModel(), numeric_tf, salt_threshold=20000)
+    return improved.select_columns(
+        [
+            "unique_id_r",
+            "unique_id_l",
+            "mw_adjustment",
+            "match_weight_original",
+            "match_weight",
+        ]
+    )
+
+
+def _q_best_matches(sf_dir: str):
+    import ray
+
+    from uk_address_matcher_ray.stages.select import (
+        best_matches_with_distinguishability,
+    )
+
+    pairs = _predict_ds(sf_dir)
+    _cl, _cm, _ntf, messy = _cleaned_sides(sf_dir)
+    return best_matches_with_distinguishability(pairs, ray.data.from_arrow(messy))
+
+
+def _q_best_matches_summary(sf_dir: str):
+    from uk_address_matcher_ray.stages.select import best_matches_summary
+
+    return best_matches_summary(_q_best_matches(sf_dir))
+
+
+def _q_extract_pages(sf_dir: str):
+    import ray
+
+    from uk_address_matcher_ray.sources.webpages import synth_web_pages
+    from uk_address_matcher_ray.stages.extract import extract_addresses
+
+    _canon, messy = _synth_tables(sf_dir)
+
+    def host_of(i, uid):
+        return f"host{int(uid[1:]) % 97}.example"
+
+    pages = synth_web_pages(
+        [(r["unique_id"], r["address_concat"], r["postcode"]) for r in messy.to_pylist()],
+        host_of=host_of,
+    )
+    return extract_addresses(ray.data.from_arrow(pages))
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    from uk_address_matcher_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_variants(sf_dir))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from uk_address_matcher_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_with_variants(sf_dir), **MINHASH)
+
+
+def _q_simhash_sigs(sf_dir: str):
+    from uk_address_matcher_ray.stages.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(sf_dir))
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from uk_address_matcher_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_with_variants(sf_dir), max_hamming=3)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.dedup import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dup_pairs(ds, threshold=NEAR_DUP_COS)
+
+    def round_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("cosine"),
+            "cosine",
+            pc.round(batch.column("cosine"), ndigits=6),
+        )
+
+    return out.map_batches(round_batch, batch_format="pyarrow")
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.similarity import brute_force_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qids = sorted({r["vec_id"] for r in ds.select_columns(["vec_id"]).take_all()})[:5]
+    out = brute_force_topk(ds, qids, k=ANN_K)
+
+    def round_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("cosine"),
+            "cosine",
+            pc.round(batch.column("cosine"), ndigits=6),
+        )
+
+    return out.map_batches(round_batch, batch_format="pyarrow")
+
+
+def _q_ivf_topk(sf_dir: str):
+    import ray
+
+    from uk_address_matcher_ray.stages.similarity import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qids = sorted({r["vec_id"] for r in ds.select_columns(["vec_id"]).take_all()})[:5]
+    return ivf_topk(ds, qids, k=ANN_K)
+
+
+def _q_text_stats(sf_dir: str):
+    from uk_address_matcher_ray.stages.textstats import text_stats_dataset
+
+    return text_stats_dataset(_docs(sf_dir))
+
+
+def _q_doc_lang_counts(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return (
+        ds.groupby("lang")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["lang", "n"]), batch_format="pyarrow"
+        )
+    )
+
+
+def _q_events_hourly(sf_dir: str):
+    import pyarrow as pa
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        import datetime
+
+        epoch = datetime.datetime(1970, 1, 1)
+        hours = [
+            int((t - epoch).total_seconds()) // 3600
+            for t in batch.column("ts").to_pylist()
+        ]
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "hour_window": pa.array(hours, pa.int64()),
+                "value": batch.column("value"),
+            }
+        )
+
+    def agg_group(group: pa.Table) -> pa.Table:
+        # exact integer cents so the DuckDB oracle sum matches bit-for-bit
+        cents = [round(v * 100) for v in group.column("value").to_pylist()]
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
+                "hour_window": pa.array(
+                    [group.column("hour_window")[0].as_py()], pa.int64()
+                ),
+                "n_events": pa.array([len(cents)], pa.int64()),
+                "sum_value_cents": pa.array([sum(cents)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["user_id", "hour_window"])
+        .map_groups(agg_group, batch_format="pyarrow")
+    )
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing demo: html payloads as opaque binary media."""
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.sources.webpages import synth_web_pages
+    from uk_address_matcher_ray.stages.multimodal import extract_media_features
+
+    _canon, messy = _synth_tables(sf_dir)
+    pages = synth_web_pages(
+        [(r["unique_id"], r["address_concat"], r["postcode"]) for r in messy.to_pylist()]
+    )
+    media = pa.table(
+        {
+            "media_id": pages.column("url"),
+            "kind": pa.array(["image"] * pages.num_rows, pa.string()),
+            "payload": pages.column("html"),
+        }
+    )
+    return extract_media_features(ray.data.from_arrow(media))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "clean_features": _q_clean_features,
+        "token_tf": _q_token_tf,
+        "numeric_tf": _q_numeric_tf,
+        "predict_pairs": _q_predict_pairs,
+        "match_clusters": _q_match_clusters,
+        "improve_pairs": _q_improve_pairs,
+        "best_matches": _q_best_matches,
+        "best_matches_summary": _q_best_matches_summary,
+        "extract_pages": _q_extract_pages,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_sigs": _q_simhash_sigs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
+        "text_stats": _q_text_stats,
+        "doc_lang_counts": _q_doc_lang_counts,
+        "events_hourly": _q_events_hourly,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from uk_address_matcher_ray import oracle, oracle_scoring, oracle_extras
+
+    union_input = _union_input_sql()
+    pairs_sql = _pairs_oracle_sql()
+    out = {
+        "clean_features": oracle.cleaned_features_sql(union_input),
+        "token_tf": oracle.token_tf_table_sql(union_input),
+        "numeric_tf": oracle.numeric_tf_table_sql(union_input),
+        "predict_pairs": pairs_sql,
+        "match_clusters": oracle_scoring.clusters_sql(
+            pairs_sql, threshold=CLUSTER_THRESHOLD
+        ),
+        "best_matches": oracle_extras.best_matches_sql(pairs_sql),
+        "best_matches_summary": oracle_extras.best_matches_summary_sql(pairs_sql),
+        "extract_pages": oracle_extras.extract_pages_sql(),
+        "exact_dedup_docs": oracle_extras.exact_dedup_sql(_DOCS_VARIANTS_SQL),
+        "minhash_pairs": oracle_extras.minhash_pairs_sql(
+            _DOCS_VARIANTS_SQL, **MINHASH
+        ),
+        "embedding_near_dup": oracle_extras.embedding_near_dup_sql(NEAR_DUP_COS),
+        "ann_topk": oracle_extras.ann_topk_sql(k=ANN_K),
+        "text_stats": oracle_extras.text_stats_sql(),
+        "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "events_hourly": oracle_extras.events_hourly_sql(),
+        # simhash_sigs / simhash_pairs / improve_pairs / ivf_topk /
+        # media_features: no SQL equivalent (bit-level simhash, staged
+        # group-rescoring, approximate index, binary feature extraction) ->
+        # driver records the weaker rows-only check.
+    }
+    return out

@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+{"metric": ..., "value": seconds, "unit": "sec", "queries": {...},
+ "sf": ..., "num_cpus": N, "counters": {...}}.
+
+--scaling: runs the headline ER pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox evidence plan for
+the two-cluster-size criterion, BASELINE.md) and reports both throughputs
+plus scaling efficiency = thr32 / (4 * thr8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _flagship(sf_dir: str):
+    """Headline: synth web pages from customer -> extract -> clean -> block/
+    score -> rescore. Returns (messy_count, pair_count)."""
+    import ray
+
+    import __ray_entry__ as entry
+    from uk_address_matcher_ray.pipelines.match import flagship_pipeline
+    from uk_address_matcher_ray.sources.webpages import synth_web_pages
+
+    canon, messy = entry._synth_tables(sf_dir)
+
+    def host_of(i, uid):
+        return f"host{int(uid[1:]) % 97}.example"
+
+    pages_c = synth_web_pages(
+        [(r["unique_id"], r["address_concat"], r["postcode"]) for r in canon.to_pylist()],
+        host_of=host_of,
+    )
+    pages_m = synth_web_pages(
+        [(r["unique_id"], r["address_concat"], r["postcode"]) for r in messy.to_pylist()],
+        host_of=host_of,
+    )
+    pairs, labels = flagship_pipeline(
+        ray.data.from_arrow(pages_m),
+        ray.data.from_arrow(pages_c),
+        cluster_threshold=5.0,
+    )
+    n_pairs = pairs.count()
+    n_nodes = labels.count()
+    return messy.num_rows, n_pairs, n_nodes
+
+
+def _bench_queries(sf_dir: str) -> dict:
+    """Secondary per-pipeline timings over the sf tables."""
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    timings = {}
+    for name in [
+        "exact_dedup_docs",
+        "minhash_pairs",
+        "text_stats",
+        "embedding_near_dup",
+        "ann_topk",
+        "events_hourly",
+        "predict_pairs",
+    ]:
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        try:
+            import ray
+
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+        except Exception:
+            pass
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+def run_once(num_cpus: int, include_queries: bool = True) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="error",
+        )
+    t0 = time.monotonic()
+    n_messy, n_pairs, n_nodes = _flagship(SF_DIR)
+    flagship_sec = time.monotonic() - t0
+
+    queries = {"flagship_er": round(flagship_sec, 3)}
+    if include_queries:
+        queries.update(_bench_queries(SF_DIR))
+
+    result = {
+        "metric": "flagship_er_end_to_end",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "counters": {
+            "messy_records": n_messy,
+            "improved_pairs": n_pairs,
+            "cluster_nodes": n_nodes,
+            "messy_per_sec": round(n_messy / flagship_sec, 1),
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 (N vs 4N)."""
+    out = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, __file__, "--child"],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        out[n] = json.loads(line)
+    thr8 = out[8]["counters"]["messy_per_sec"]
+    thr32 = out[32]["counters"]["messy_per_sec"]
+    eff = thr32 / (4.0 * thr8)
+    result = {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            "flagship_er_8cpu": out[8]["value"],
+            "flagship_er_32cpu": out[32]["value"],
+        },
+        "sf": SF_DIR,
+        "num_cpus": 32,
+        "counters": {
+            "messy_per_sec_8cpu": thr8,
+            "messy_per_sec_32cpu": thr32,
+            "pairs_8cpu": out[8]["counters"]["improved_pairs"],
+            "pairs_32cpu": out[32]["counters"]["improved_pairs"],
+            "pairs_identical": out[8]["counters"]["improved_pairs"]
+            == out[32]["counters"]["improved_pairs"],
+        },
+    }
+    return result
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        print(json.dumps(run_once(NUM_CPUS, include_queries=False)))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once(NUM_CPUS)))

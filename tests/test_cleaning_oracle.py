@@ -29,7 +29,7 @@ def _input_table(rows):
 
 def _engine_clean(tbl: pa.Table) -> pa.Table:
     addrs = tbl.column("address_concat").to_pylist()
-    tok_counts, _num, end_counts = tf_mod.corpus_token_stats(addrs)
+    tok_counts, _num, end_counts, _nt = tf_mod.corpus_token_stats(addrs)
     tf = tf_mod.rel_freq_table(tok_counts)
     end_tokens = tf_mod.end_token_set(end_counts)
     out = clean_batch(tbl, tf, end_tokens)
@@ -126,7 +126,7 @@ def test_tf_builders_match_oracle():
     assert eng == orc
 
     # T4 numeric TF
-    _tok, num_counts, _end = tf_mod.corpus_token_stats(addrs)
+    _tok, num_counts, _end, _nt = tf_mod.corpus_token_stats(addrs)
     eng_num = tf_mod.rel_freq_table(num_counts)
     orc_num = dict(
         con.sql(oracle.numeric_tf_table_sql("SELECT * FROM input_rows")).fetchall()

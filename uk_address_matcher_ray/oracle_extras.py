@@ -1,0 +1,308 @@
+"""DuckDB oracle SQL for the selection, extraction, dedup, similarity,
+text-stats and windowed-aggregate queries in __ray_entry__.
+
+Each function mirrors its Ray operator expression-for-expression (hashing via
+functions/hashing.py SQL fragments) so the driver's value-hash comparison
+holds; where floats could drift (cosines), both sides round identically.
+"""
+
+from __future__ import annotations
+
+from uk_address_matcher_ray.functions import hashing as H
+from uk_address_matcher_ray.sources import synth
+from uk_address_matcher_ray.stages.textstats import STOPWORDS
+
+
+# ---------------------------------------------------------------------------
+# best matches (stages/select.py; analyse_results.py:5-191)
+# ---------------------------------------------------------------------------
+
+def best_matches_sql(pairs_sql: str, thresholds=(10, 5, 1)) -> str:
+    d_whens = "\n".join(
+        f"WHEN distinguishability > {d} THEN '{i:02d}: Distinguishability > {d}'"
+        for i, d in enumerate(sorted(set(thresholds) | {0}, reverse=True), start=2)
+    )
+    next_label = f"{len(set(thresholds) | {0}) + 2:02d}."
+    messy = synth.messy_sql("SELECT c_custkey FROM customer")
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs_sql}),
+windowed AS (
+    SELECT *,
+        match_weight - LEAD(match_weight) OVER (
+            PARTITION BY unique_id_r ORDER BY match_weight DESC
+        ) AS distinguishability,
+        COUNT(*) OVER (PARTITION BY unique_id_r) AS match_count
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY unique_id_r ORDER BY match_weight DESC, unique_id_l
+    ) = 1
+),
+categorized AS (
+    SELECT *,
+        CASE
+            WHEN match_count = 1 THEN '01: One match only'
+            WHEN distinguishability IS NULL THEN '{next_label}: NaN (last match in group)'
+            {d_whens}
+            WHEN distinguishability = 0 THEN '{next_label}: Distinguishability = 0'
+            ELSE '99: error, uncategorized'
+        END AS distinguishability_category
+    FROM windowed
+),
+messy_raw AS ({messy}),
+cleaned AS (SELECT * FROM categorized),
+l_side AS (
+    SELECT unique_id AS cu, original_address_concat, postcode FROM (
+        {_cleaned_l_projection_sql()}
+    )
+)
+SELECT
+    a.unique_id AS unique_id_r,
+    t.unique_id_l,
+    a.address_concat AS address_concat_r,
+    a.postcode AS postcode_r,
+    ls.original_address_concat AS original_address_concat_l,
+    ls.postcode AS postcode_l,
+    t.match_weight,
+    t.distinguishability,
+    COALESCE(t.distinguishability_category, '99: No match')
+        AS distinguishability_category
+FROM messy_raw a
+LEFT JOIN cleaned t ON a.unique_id = t.unique_id_r
+LEFT JOIN l_side ls ON t.unique_id_l = ls.cu
+"""
+
+
+def _cleaned_l_projection_sql() -> str:
+    """Cleaned canonical-side (original_address_concat, postcode) — the pair
+    table carries them in the engine; the oracle rejoins from the cleaned
+    union."""
+    from uk_address_matcher_ray import oracle
+
+    src = "SELECT c_custkey FROM customer"
+    union_input = (
+        f"SELECT * FROM ({synth.canonical_sql(src)}) "
+        f"UNION ALL SELECT * FROM ({synth.messy_sql(src)})"
+    )
+    return (
+        "SELECT unique_id, original_address_concat, postcode FROM ("
+        + oracle.cleaned_features_sql(union_input)
+        + ") WHERE unique_id LIKE 'c%'"
+    )
+
+
+def best_matches_summary_sql(pairs_sql: str) -> str:
+    return f"""
+WITH best AS ({best_matches_sql(pairs_sql)})
+SELECT distinguishability_category,
+    count(*) AS count,
+    printf('%.2f%%', 100.0 * count(*) / sum(count(*)) OVER ()) AS percentage
+FROM best
+GROUP BY distinguishability_category
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction mapping (stages/extract.py over synth pages)
+# ---------------------------------------------------------------------------
+
+def extract_pages_sql() -> str:
+    messy = synth.messy_sql("SELECT c_custkey FROM customer")
+    return f"""
+WITH messy AS ({messy})
+SELECT
+    'https://host' || CAST(CAST(substr(unique_id, 2) AS BIGINT) % 97 AS VARCHAR)
+        || '.example/' || unique_id AS unique_id,
+    address_concat,
+    CASE WHEN postcode = '' THEN NULL ELSE postcode END AS postcode,
+    'en' AS lang
+FROM messy
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup (stages/dedup.py)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_sql(docs_sql: str) -> str:
+    return f"""
+WITH docs AS ({docs_sql})
+SELECT min(doc_id) AS doc_id
+FROM docs
+GROUP BY {H.h60_sql("coalesce(text, '')")}
+"""
+
+
+def minhash_pairs_sql(
+    docs_sql: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> str:
+    rows = num_perm // bands
+    sh = "shingles"
+    sig_terms = []
+    for seed in range(num_perm):
+        sig_terms.append(
+            f"list_aggregate(list_transform({sh}, "
+            f"x -> {H.h60_sql(repr(str(seed) + '|') + ' || x')}), 'min')"
+        )
+    sig_list = "[" + ", ".join(sig_terms) + "]"
+    band_rows = []
+    for b in range(bands):
+        chunk = f"array_to_string(list_transform(sig[{b * rows + 1}:{(b + 1) * rows}], x -> CAST(x AS VARCHAR)), '_')"
+        band_rows.append(
+            f"SELECT doc_id, shingles, '{b}|' || lower(hex({H.h60_sql(chunk)})) AS bucket FROM sigs"
+        )
+    bands_union = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH docs AS ({docs_sql}),
+toks AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                    t -> t != '') AS t
+    FROM docs
+),
+shingled AS (
+    SELECT doc_id,
+        list_sort(list_distinct(
+            CASE WHEN len(t) <= {shingle_k}
+                THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - {shingle_k} + 2),
+                    i -> array_to_string(t[i:i+{shingle_k - 1}], ' '))
+            END)) AS shingles
+    FROM toks
+    WHERE len(t) > 0
+),
+sigs AS MATERIALIZED (
+    SELECT doc_id, shingles, {sig_list} AS sig FROM shingled
+),
+bucketed AS MATERIALIZED ({bands_union}),
+raw_pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM raw_pairs WHERE jaccard >= {jaccard_threshold!r}
+"""
+
+
+def embedding_near_dup_sql(threshold: float) -> str:
+    dot = _cosine_sql("a.v", "b.v")
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({dot}, 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {dot} >= {threshold!r}
+"""
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """Cosine in DOUBLE with sequential list_reduce sums (order = list order,
+    matching numpy within the rounding applied by both sides)."""
+    dot = f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (p, q) -> p + q)"
+    na = f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform({a}, x -> x * x)), (p, q) -> p + q))"
+    nb = f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform({b}, x -> x * x)), (p, q) -> p + q))"
+    return f"(({dot}) / (({na}) * ({nb})))"
+
+
+def ann_topk_sql(k: int, n_queries: int = 5) -> str:
+    cos = _cosine_sql("q.v", "e.v")
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e ORDER BY vec_id LIMIT {n_queries}),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {cos} AS cosine
+    FROM q JOIN e ON e.vec_id != q.vec_id
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+    CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+    ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text stats (stages/textstats.py mirror)
+# ---------------------------------------------------------------------------
+
+def text_stats_sql() -> str:
+    lang_conds = []
+    hits = {}
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hits[lang] = (
+            f"len(list_filter(list_transform(toks, t -> lower(t)), "
+            f"t -> list_contains([{words}], t)))"
+        )
+    langs = sorted(STOPWORDS)
+    case_parts = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"]
+        for other in langs[i + 1 :]:
+            conds.append(f"h_{lang} >= h_{other}")
+        for prev in langs[:i]:
+            conds.append(f"h_{lang} > h_{prev}")
+        case_parts.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(case_parts) + " ELSE 'und' END"
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    fp = H.fingerprint_sql("list_transform(toks, t -> lower(t))")
+    return f"""
+WITH base AS (
+    SELECT doc_id, coalesce(text, '') AS text,
+        list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                    t -> t != '') AS toks
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, text, toks, {hit_cols},
+        length(text) AS n_chars,
+        len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+        CASE WHEN len(toks) > 0 THEN
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+                (a, b) -> a + b) / len(toks)
+            ELSE 0.0 END AS mean_token_len
+    FROM base
+)
+SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS token_count,
+    CAST(n_chars AS BIGINT) AS n_chars,
+    CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha / n_chars END AS alpha_ratio,
+    CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END AS punct_ratio,
+    mean_token_len,
+    CASE WHEN n_chars = 0 THEN 0.0 ELSE
+        (n_alpha / n_chars)
+        * (1.0 - least((n_punct / n_chars) * 5.0, 1.0))
+        * (CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0
+            THEN 1.0 ELSE 0.5 END)
+    END AS quality,
+    {lang_case} AS lang_pred,
+    {fp} AS fingerprint
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregate over events
+# ---------------------------------------------------------------------------
+
+def events_hourly_sql() -> str:
+    return """
+SELECT user_id,
+    CAST(epoch(ts) AS BIGINT) // 3600 AS hour_window,
+    count(*) AS n_events,
+    sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+FROM events
+GROUP BY user_id, hour_window
+"""

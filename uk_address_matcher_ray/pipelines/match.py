@@ -1,0 +1,127 @@
+"""End-to-end match pipelines (SURVEY.md §3).
+
+``match_pipeline`` is the fused fast path: after the blocking shuffle,
+a SINGLE ``groupby(unique_id_r)`` shuffle performs match-key dedup, top-n
+filtering and second-pass rescoring (the reference runs these as separate
+relational passes; the semantics compose exactly because all three operate
+within one messy record's candidate group).
+
+``flagship_pipeline`` is the north-star DAG over Common-Crawl-style pages:
+extract -> clean -> block/score -> rescore -> threshold -> cluster, with
+optional per-stage checkpoints (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from uk_address_matcher_ray.stages import cluster as cluster_mod
+from uk_address_matcher_ray.stages.clean import clean_dataset
+from uk_address_matcher_ray.stages.extract import extract_addresses
+from uk_address_matcher_ray.stages.rescore import ImproveStage
+from uk_address_matcher_ray.stages.score import scored_pairs_raw
+from uk_address_matcher_ray.stages.tf import collect_corpus_stats
+from uk_address_matcher_ray.state.model import MatchModel
+
+
+def match_pipeline(
+    cleaned_l,
+    cleaned_r,
+    model: MatchModel,
+    numeric_tf: Optional[Dict[str, Dict[str, float]]] = None,
+    *,
+    predict_threshold: float = -50.0,
+    improve_threshold: float = -20.0,
+    top_n_matches: int = 5,
+    use_bigrams: bool = True,
+    retain_columns: Sequence[str] = (),
+    salt_threshold: int = 5000,
+):
+    """cleaned canonical × cleaned messy -> improved pair Dataset.
+
+    Two shuffles total: (rule_id, key) blocking and unique_id_r grouping.
+    """
+    raw = scored_pairs_raw(
+        cleaned_l,
+        cleaned_r,
+        model,
+        numeric_tf,
+        threshold=predict_threshold,
+        retain_columns=retain_columns,
+        salt_threshold=salt_threshold,
+    )
+    stage = ImproveStage(
+        dedup_first=True,
+        retain_columns=retain_columns,
+        match_weight_threshold=improve_threshold,
+        top_n_matches=top_n_matches,
+        use_bigrams=use_bigrams,
+    )
+
+    def finalize_group(group):
+        return stage(group)
+
+    return raw.groupby("unique_id_r").map_groups(finalize_group, batch_format="pyarrow")
+
+
+def flagship_pipeline(
+    pages_messy,
+    pages_canonical,
+    *,
+    model: Optional[MatchModel] = None,
+    cluster_threshold: float = 5.0,
+    checkpoint_run=None,
+    salt_threshold: int = 5000,
+    verify_text: bool = True,
+):
+    """Common-Crawl-style page Datasets -> (improved pairs, cluster labels).
+
+    TF tables / end tokens are computed on the fly from the union of both
+    sides (one distributed counting pass; vocabulary-sized result broadcast
+    back), mirroring the reference's on-the-fly mode
+    (cleaning_pipelines.py:68-111).
+    """
+    model = model or MatchModel()
+
+    extracted_r = extract_addresses(pages_messy, verify_text=verify_text)
+    extracted_l = extract_addresses(pages_canonical, verify_text=verify_text)
+
+    def build_stats():
+        tf, num_tf, end_tokens = collect_corpus_stats(
+            extracted_r.union(extracted_l)
+        )
+        return tf, num_tf, end_tokens
+
+    tf, num_tf, end_tokens = build_stats()
+    numeric_tf = {f"numeric_token_{i}": num_tf for i in (1, 2, 3)}
+
+    def build_cleaned_r():
+        return clean_dataset(extracted_r, tf, end_tokens)
+
+    def build_cleaned_l():
+        return clean_dataset(extracted_l, tf, end_tokens)
+
+    if checkpoint_run is not None:
+        cleaned_r = checkpoint_run.stage("cleaned_messy", "v1", build_cleaned_r)
+        cleaned_l = checkpoint_run.stage("cleaned_canonical", "v1", build_cleaned_l)
+    else:
+        cleaned_r = build_cleaned_r()
+        cleaned_l = build_cleaned_l()
+
+    def build_pairs():
+        return match_pipeline(
+            cleaned_l,
+            cleaned_r,
+            model,
+            numeric_tf,
+            salt_threshold=salt_threshold,
+        )
+
+    if checkpoint_run is not None:
+        pairs = checkpoint_run.stage("improved_pairs", "v1", build_pairs)
+    else:
+        pairs = build_pairs()
+
+    edges = cluster_mod.edges_from_pairs(pairs, threshold=cluster_threshold)
+    labels = cluster_mod.propagate_labels(edges)
+    return pairs, labels

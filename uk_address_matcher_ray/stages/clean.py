@@ -168,11 +168,13 @@ def clean_dataset(
 
     tf_ref = ray.put(dict(tf))
     end_ref = ray.put(frozenset(end_tokens))
-    kwargs = dict(
+    if concurrency is None:
+        # actor pool sized to the cluster, leaving shuffle headroom
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    return ds.map_batches(
+        CleaningStage,
         batch_format="pyarrow",
         batch_size=batch_size,
+        concurrency=concurrency,
         fn_constructor_kwargs={"tf_ref": tf_ref, "end_tokens_ref": end_ref},
     )
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    return ds.map_batches(CleaningStage, **kwargs)

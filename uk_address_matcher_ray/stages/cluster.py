@@ -1,0 +1,169 @@
+"""Distributed transitive closure: groupby-min label propagation.
+
+The reference has no clustering (its closest analogue is best-match-per-group
+selection); the north rule requires connected components over thresholded
+pairs. Implemented as the classic iterative min-label propagation over a
+Dataset of edges:
+
+    labels(v) = min(v, min over neighbours u of labels(u))
+
+iterated to fixed point. Each round is two hash shuffles (attach labels to
+edge endpoints via a union+groupby join, then groupby(node).min(label));
+rounds converge in O(component diameter) — tiny for entity-resolution
+clusters (star-shaped around canonical records).
+
+Labels are the lexicographic min of member unique_ids (deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+EDGE_SCHEMA = pa.schema(
+    [pa.field("src", pa.string()), pa.field("dst", pa.string())]
+)
+LABEL_SCHEMA = pa.schema(
+    [pa.field("node", pa.string()), pa.field("label", pa.string())]
+)
+
+
+def edges_from_pairs(pairs_ds, threshold: float, l_prefix: str = "c_", r_prefix: str = "m_"):
+    """Thresholded pair rows -> undirected edge list (both directions).
+
+    Node ids are prefixed per side so messy and canonical id spaces cannot
+    collide (the reference keeps sides distinct via source_dataset aliases).
+    """
+
+    def emit(batch: pa.Table) -> pa.Table:
+        mw = batch.column("match_weight").to_pylist()
+        l = batch.column("unique_id_l").to_pylist()
+        r = batch.column("unique_id_r").to_pylist()
+        src, dst = [], []
+        for w, a, b in zip(mw, l, r):
+            if w is not None and w >= threshold:
+                a2, b2 = l_prefix + a, r_prefix + b
+                src += [a2, b2]
+                dst += [b2, a2]
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    return pairs_ds.map_batches(emit, batch_format="pyarrow")
+
+
+def _init_labels(edges_ds):
+    def emit(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("src")
+        return pa.table({"node": nodes, "label": nodes})
+
+    return (
+        edges_ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("node")
+        .min("label")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        )
+    )
+
+
+def propagate_labels(edges_ds, max_iters: int = 25, checkpoint_dir: Optional[str] = None):
+    """-> Dataset(node, label) of connected components.
+
+    ``checkpoint_dir``: when set, labels are written per round
+    (``{dir}/round={k}/``) so a failed run resumes from the last round.
+    """
+    labels = _init_labels(edges_ds)
+    edges = edges_ds
+
+    for it in range(max_iters):
+        # join: union labels (kind=l) with edges keyed by src (kind=e), group
+        # by node; emit candidate labels (dst, label_of_src) + own labels.
+        def tag_labels(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": batch.column("node"),
+                    "kind": pa.array(["l"] * batch.num_rows, pa.string()),
+                    "val": batch.column("label"),
+                }
+            )
+
+        def tag_edges(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": batch.column("src"),
+                    "kind": pa.array(["e"] * batch.num_rows, pa.string()),
+                    "val": batch.column("dst"),
+                }
+            )
+
+        both = labels.map_batches(tag_labels, batch_format="pyarrow").union(
+            edges.map_batches(tag_edges, batch_format="pyarrow")
+        )
+
+        def emit_candidates(group: pa.Table) -> pa.Table:
+            rows = group.to_pylist()
+            lab = None
+            dsts = []
+            for r in rows:
+                if r["kind"] == "l":
+                    lab = r["val"]
+                else:
+                    dsts.append(r["val"])
+            node = rows[0]["key"]
+            out_nodes = [node]
+            out_labels = [lab if lab is not None else node]
+            if lab is not None:
+                for d in dsts:
+                    out_nodes.append(d)
+                    out_labels.append(lab)
+            return pa.table(
+                {
+                    "node": pa.array(out_nodes, pa.string()),
+                    "label": pa.array(out_labels, pa.string()),
+                }
+            )
+
+        new_labels = (
+            both.groupby("key")
+            .map_groups(emit_candidates, batch_format="pyarrow")
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow",
+            )
+        )
+
+        # convergence check: has any label changed? compare via checksum agg.
+        def checksum(batch: pa.Table) -> pa.Table:
+            import zlib
+
+            s = 0
+            for n, l in zip(
+                batch.column("node").to_pylist(), batch.column("label").to_pylist()
+            ):
+                s = (s + zlib.crc32(f"{n}\x1f{l}".encode())) % (1 << 61)
+            return pa.table({"sum": pa.array([s], pa.int64())})
+
+        if checkpoint_dir is not None:
+            new_labels.write_parquet(f"{checkpoint_dir}/round={it}")
+            import ray
+
+            new_labels = ray.data.read_parquet(f"{checkpoint_dir}/round={it}")
+        else:
+            new_labels = new_labels.materialize()
+
+        old_sum = sum(
+            r["sum"]
+            for r in labels.map_batches(checksum, batch_format="pyarrow").take_all()
+        )
+        new_sum = sum(
+            r["sum"]
+            for r in new_labels.map_batches(checksum, batch_format="pyarrow").take_all()
+        )
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    return labels

@@ -1,0 +1,335 @@
+"""Deduplication operators for large-scale text corpora (driver brief:
+first-class components alongside the reference's operator inventory).
+
+All operators are expressed as Dataset transforms:
+
+* exact:   hash-partition on content hash -> per-group min-id survivor.
+* minhash: shingle -> minhash signature (map_batches) -> LSH band bucket
+           (flat_map) -> groupby(bucket) -> candidate pairs -> exact Jaccard
+           verify inside the group -> global pair dedup.
+* simhash: 64-bit signature; banded buckets; Hamming-verified pairs.
+* ngram-Jaccard: exact Jaccard within LSH buckets (the verify step above).
+* embedding near-dup: cosine >= threshold via blockwise numpy against a
+  broadcast matrix (small side) — see stages/similarity.py for the ANN path.
+
+Hashing primitives are mirrored in DuckDB SQL (functions/hashing.py) so the
+driver's oracle can replay exact/minhash/fingerprint results.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pyarrow as pa
+
+from uk_address_matcher_ray.functions import hashing as H
+
+_WS_SPLIT = r"\s+"
+
+
+def _tokens(text: Optional[str]) -> List[str]:
+    import re
+
+    if text is None:
+        return []
+    return [t for t in re.split(_WS_SPLIT, text.lower().strip()) if t]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Survivors (min id per exact text hash) -> Dataset(doc_id)."""
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        return pa.table(
+            {
+                "h": pa.array(
+                    [H.h60(t or "") for t in texts], pa.int64()
+                ),
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+            }
+        )
+
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow")
+    return (
+        keyed.groupby("h")
+        .min(id_col)
+        .map_batches(
+            lambda t: t.select([f"min({id_col})"]).rename_columns([id_col]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+class MinHashStage:
+    """map_batches: (id, text) -> one row per LSH band bucket."""
+
+    def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int, shingle_k: int):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_bucket, out_sh = [], [], []
+        for i, t in zip(ids, texts):
+            toks = _tokens(t)
+            sh = sorted(set(H.shingles(toks, self.shingle_k))) if toks else []
+            if not sh:
+                continue
+            sig = H.minhash_signature(sh, self.num_perm)
+            for bk in H.band_keys(sig, self.bands):
+                out_id.append(i)
+                out_bucket.append(bk)
+                out_sh.append(sh)
+        return pa.table(
+            {
+                "bucket": pa.array(out_bucket, pa.string()),
+                self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
+                "shingles": pa.array(out_sh, pa.list_(pa.string())),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+):
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Candidates surface in any shared LSH bucket; exact shingle-set Jaccard
+    verifies inside the bucket group; cross-bucket duplicates collapse in a
+    final pair-keyed groupby.
+    """
+    import ray
+
+    concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    keyed = ds.map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+        ),
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        rows.sort(key=lambda r: r[id_col])
+        out_a, out_b, out_j = [], [], []
+        for x in range(len(rows)):
+            sx = set(rows[x]["shingles"])
+            for y in range(x + 1, len(rows)):
+                if rows[x][id_col] == rows[y][id_col]:
+                    continue
+                sy = set(rows[y]["shingles"])
+                inter = len(sx & sy)
+                union = len(sx | sy)
+                j = inter / union if union else 0.0
+                if j >= jaccard_threshold:
+                    out_a.append(rows[x][id_col])
+                    out_b.append(rows[y][id_col])
+                    out_j.append(j)
+        t = group.schema.field(id_col).type
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, t),
+                "id_b": pa.array(out_b, t),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    raw_pairs = keyed.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pyarrow"
+    )
+
+    def dedup_pair_group(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        return batch.append_column(
+            "__pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)], pa.string())
+        )
+
+    return (
+        raw_pairs.map_batches(add_pair_key, batch_format="pyarrow")
+        .groupby("__pair")
+        .map_groups(dedup_pair_group, batch_format="pyarrow")
+        .drop_columns(["__pair"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset(id, simhash:int64) — 64-bit signature per document."""
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        sigs = []
+        for t in texts:
+            s = H.simhash64(_tokens(t))
+            sigs.append(s - (1 << 64) if s >= (1 << 63) else s)  # to int64
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch.schema.field(id_col).type),
+                "simhash": pa.array(sigs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def simhash_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+):
+    """Pairs with Hamming(simhash) <= max_hamming, via banded bucketing
+    (a pair within distance d shares at least one of ``bands`` bands when
+    d < bands)."""
+    sigs = simhash_signatures(ds, id_col, text_col)
+    width = 64 // bands
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ss = batch.column("simhash").to_pylist()
+        out_id, out_sig, out_bucket = [], [], []
+        for i, s in zip(ids, ss):
+            u = s & ((1 << 64) - 1)
+            for b in range(bands):
+                chunk = (u >> (b * width)) & ((1 << width) - 1)
+                out_id.append(i)
+                out_sig.append(s)
+                out_bucket.append(f"{b}|{chunk:x}")
+        return pa.table(
+            {
+                "bucket": pa.array(out_bucket, pa.string()),
+                id_col: pa.array(out_id, batch.schema.field(id_col).type),
+                "simhash": pa.array(out_sig, pa.int64()),
+            }
+        )
+
+    keyed = sigs.map_batches(emit_bands, batch_format="pyarrow")
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        rows.sort(key=lambda r: r[id_col])
+        out_a, out_b, out_d = [], [], []
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                if rows[x][id_col] == rows[y][id_col]:
+                    continue
+                d = bin((rows[x]["simhash"] ^ rows[y]["simhash"]) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    out_a.append(rows[x][id_col])
+                    out_b.append(rows[y][id_col])
+                    out_d.append(d)
+        t = group.schema.field(id_col).type
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, t),
+                "id_b": pa.array(out_b, t),
+                "hamming": pa.array(out_d, pa.int32()),
+            }
+        )
+
+    raw = keyed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        return batch.append_column(
+            "__pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)], pa.string())
+        )
+
+    return (
+        raw.map_batches(add_pair_key, batch_format="pyarrow")
+        .groupby("__pair")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .drop_columns(["__pair"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+):
+    """All pairs with cosine >= threshold.
+
+    The full matrix is broadcast once via ray.put (valid while the embedding
+    table is the 'small side'; the IVF route in stages/similarity.py is the
+    scale path) and each batch computes a numpy block-product against it.
+    """
+    import numpy as np
+    import ray
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = [r[id_col] for r in rows]
+    mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    ref = ray.put((ids, matn))
+
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        b_ids = batch.column(id_col).to_pylist()
+        b = np.asarray(
+            [list(v) for v in batch.column(vec_col).to_pylist()], dtype=np.float64
+        )
+        bn = np.linalg.norm(b, axis=1)
+        bn[bn == 0] = 1.0
+        b = b / bn[:, None]
+        sims = b @ all_mat.T
+        out_a, out_b, out_s = [], [], []
+        for i, bid in enumerate(b_ids):
+            hits = np.nonzero(sims[i] >= threshold)[0]
+            for j in hits:
+                if all_ids[j] > bid:  # emit each unordered pair once
+                    out_a.append(bid)
+                    out_b.append(all_ids[j])
+                    out_s.append(float(sims[i, j]))
+        t = batch.schema.field(id_col).type
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, t),
+                "id_b": pa.array(out_b, t),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(block, batch_format="pyarrow", batch_size=1024)

@@ -303,4 +303,8 @@ def improve_predictions(
 ):
     """Reference ``improve_predictions_using_distinguishing_tokens`` operator."""
     stage = ImproveStage(dedup_first=False, retain_columns=retain_columns, **params)
-    return pairs_ds.groupby("unique_id_r").map_groups(stage, batch_format="pyarrow")
+
+    def improve_group(group):
+        return stage(group)
+
+    return pairs_ds.groupby("unique_id_r").map_groups(improve_group, batch_format="pyarrow")

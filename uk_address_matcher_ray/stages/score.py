@@ -165,14 +165,17 @@ def scored_pairs_raw(
         hot_keys = compute_hot_keys(cleaned_l, model, salt_threshold)
     hot_ref = ray.put(hot_keys)
 
+    concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
     emitted_l = cleaned_l.map_batches(
         BlockKeyEmitter,
         batch_format="pyarrow",
+        concurrency=concurrency,
         fn_constructor_kwargs={"model": model, "side": 0, "hot_keys_ref": hot_ref},
     )
     emitted_r = cleaned_r.map_batches(
         BlockKeyEmitter,
         batch_format="pyarrow",
+        concurrency=concurrency,
         fn_constructor_kwargs={"model": model, "side": 1, "hot_keys_ref": hot_ref},
     )
     both = emitted_l.union(emitted_r)
@@ -188,7 +191,11 @@ def scored_pairs_raw(
     # map_groups runs the callable per block; pass a constructed instance so
     # the model/threshold ship once via closure capture.
     scorer.numeric_tf = numeric_tf or {}
-    return both.groupby(BLOCK_KEY_COL).map_groups(scorer, batch_format="pyarrow")
+
+    def score_block(group):
+        return scorer(group)
+
+    return both.groupby(BLOCK_KEY_COL).map_groups(score_block, batch_format="pyarrow")
 
 
 def _dedup_group(group: pa.Table) -> pa.Table:

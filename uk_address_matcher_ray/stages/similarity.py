@@ -1,0 +1,224 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — the baseline: the (small) query matrix is broadcast
+  via ``ray.put``; every batch computes a numpy block matmul and emits its
+  LOCAL top-k per query (partial top-k inside map_batches — the combine is a
+  tiny groupby over num_queries × k rows, never an all-to-all of scores).
+* ``ivf_topk`` — the scale path: k-means-ish coarse quantizer (deterministic
+  seeded init, few Lloyd iterations via Dataset aggregations), vectors
+  bucketed by nearest centroid; queries probe ``nprobe`` nearest buckets so
+  only those partitions are scanned.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import pyarrow as pa
+
+
+def _normalized(mat):
+    import numpy as np
+
+    m = np.asarray(mat, dtype=np.float64)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def brute_force_topk(
+    ds,
+    query_ids: Sequence,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+):
+    """-> Dataset(query_id, vec_id, cosine, rank) — exact top-k by cosine.
+
+    Ties broken by vec_id ascending (deterministic)."""
+    import numpy as np
+    import ray
+
+    qset = set(query_ids)
+    q_rows = ds.filter(lambda r: r[id_col] in qset).take_all()
+    q_rows.sort(key=lambda r: r[id_col])
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = _normalized([r[vec_col] for r in q_rows])
+    ref = ray.put((q_ids, q_mat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        ids = batch.column(id_col).to_pylist()
+        mat = _normalized([list(v) for v in batch.column(vec_col).to_pylist()])
+        sims = qm @ mat.T  # (nq, nb)
+        out_q, out_v, out_s = [], [], []
+        for a, qid in enumerate(qi):
+            order = sorted(
+                range(len(ids)), key=lambda j: (-sims[a, j], ids[j])
+            )[: k + (0 if include_self else 1)]
+            for j in order:
+                if not include_self and ids[j] == qid:
+                    continue
+                out_q.append(qid)
+                out_v.append(ids[j])
+                out_s.append(float(sims[a, j]))
+        t = batch.schema.field(id_col).type
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, t),
+                id_col: pa.array(out_v, t),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        rows.sort(key=lambda r: (-r["cosine"], r[id_col]))
+        rows = rows[:k]
+        for i, r in enumerate(rows, 1):
+            r["rank"] = i
+        out = pa.Table.from_pylist(rows)
+        return out
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pyarrow"
+    )
+
+
+def train_centroids(
+    ds,
+    num_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Deterministic coarse quantizer: init = vectors of the ``num_centroids``
+    smallest ids; Lloyd iterations as map_batches partial-sum + tiny combine."""
+    import numpy as np
+    import ray
+
+    seed_rows = sorted(
+        ds.select_columns([id_col, vec_col]).take(num_centroids * 4),
+        key=lambda r: r[id_col],
+    )[:num_centroids]
+    cents = _normalized([r[vec_col] for r in seed_rows])
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            mat = _normalized(
+                [list(v) for v in batch.column(vec_col).to_pylist()]
+            )
+            assign = np.argmax(mat @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            for i, a in enumerate(assign):
+                sums[a] += mat[i]
+                counts[a] += 1
+            return pa.table(
+                {
+                    "cid": pa.array(range(len(c)), pa.int32()),
+                    "sum": pa.array([list(s) for s in sums], pa.list_(pa.float64())),
+                    "count": pa.array(counts, pa.int64()),
+                }
+            )
+
+        import numpy as np
+
+        parts = ds.map_batches(
+            partial_sums, batch_format="pyarrow", batch_size=4096
+        ).take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in parts:
+            sums[r["cid"]] += np.asarray(r["sum"])
+            counts[r["cid"]] += r["count"]
+        nonzero = counts > 0
+        cents[nonzero] = _normalized(sums[nonzero] / counts[nonzero, None])
+    return cents
+
+
+def ivf_topk(
+    ds,
+    query_ids: Sequence,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Approximate top-k: scan only the ``nprobe`` nearest centroid buckets.
+
+    Returns the same schema as brute_force_topk (approximate recall)."""
+    import numpy as np
+    import ray
+
+    cents = train_centroids(ds, num_centroids, vec_col=vec_col, id_col=id_col)
+    cref = ray.put(cents)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _normalized([list(v) for v in batch.column(vec_col).to_pylist()])
+        assign = np.argmax(mat @ c.T, axis=1)
+        return batch.append_column("__bucket", pa.array(assign, pa.int32()))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    qset = set(query_ids)
+    q_rows = sorted(
+        ds.filter(lambda r: r[id_col] in qset).take_all(),
+        key=lambda r: r[id_col],
+    )
+    q_mat = _normalized([r[vec_col] for r in q_rows])
+    probe_buckets = set()
+    q_probes = {}
+    for r, qv in zip(q_rows, q_mat):
+        order = np.argsort(-(cents @ qv))[:nprobe]
+        q_probes[r[id_col]] = set(int(x) for x in order)
+        probe_buckets.update(int(x) for x in order)
+
+    pref = ray.put((q_rows, q_mat, q_probes))
+    pruned = bucketed.filter(lambda r: r["__bucket"] in probe_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q_rows_, q_mat_, probes = ray.get(pref)
+        ids = batch.column(id_col).to_pylist()
+        buckets = batch.column("__bucket").to_pylist()
+        mat = _normalized([list(v) for v in batch.column(vec_col).to_pylist()])
+        out_q, out_v, out_s = [], [], []
+        for (qr, qv) in zip(q_rows_, q_mat_):
+            qid = qr[id_col]
+            sims = mat @ qv
+            for j, vid in enumerate(ids):
+                if buckets[j] not in probes[qid] or vid == qid:
+                    continue
+                out_q.append(qid)
+                out_v.append(vid)
+                out_s.append(float(sims[j]))
+        t = batch.schema.field(id_col).type
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, t),
+                id_col: pa.array(out_v, t),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = pruned.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        rows.sort(key=lambda r: (-r["cosine"], r[id_col]))
+        rows = rows[:k]
+        for i, r in enumerate(rows, 1):
+            r["rank"] = i
+        return pa.Table.from_pylist(rows)
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pyarrow"
+    )

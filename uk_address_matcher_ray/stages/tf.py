@@ -26,21 +26,25 @@ DEFAULT_END_TOKEN_MIN_COUNT = 5
 
 def corpus_token_stats(
     addresses: Iterable[Optional[str]],
-) -> Tuple[Counter, Counter, Counter]:
+) -> Tuple[Counter, Counter, Counter, Counter]:
     """One pass over raw address strings -> (address_token_counts,
-    numeric_token_counts, end_token_counts) using the full cleaning core."""
+    numeric_token_counts, end_token_counts, nt123_counts) using the full
+    cleaning core. nt123 = the numeric_token_1..3 digit-run columns (T1's
+    numeric contribution, cleaning_steps.py:294-302)."""
     tok_counts: Counter = Counter()
     num_counts: Counter = Counter()
     end_counts: Counter = Counter()
+    nt123_counts: Counter = Counter()
     for addr in addresses:
         core = _clean_core_row(addr, None)
         if core is None:
             continue
         tok_counts.update(core.tokens)
         num_counts.update(core.numeric_tokens or [])
+        nt123_counts.update(t for t in (core.nt1, core.nt2, core.nt3) if t is not None)
         if core.tokens and core.tokens[-1]:
             end_counts[core.tokens[-1]] += 1
-    return tok_counts, num_counts, end_counts
+    return tok_counts, num_counts, end_counts, nt123_counts
 
 
 def rel_freq_table(counts: Counter) -> Dict[str, float]:
@@ -59,15 +63,8 @@ def end_token_set(
 
 def token_tf_with_numeric(addresses: Iterable[Optional[str]]) -> Dict[str, float]:
     """T1 (cleaning_steps.py:289-323): numeric tokens 1-3 + address tokens."""
-    counts: Counter = Counter()
-    for addr in addresses:
-        core = _clean_core_row(addr, None)
-        if core is None:
-            continue
-        nts = [t for t in (core.nt1, core.nt2, core.nt3) if t is not None]
-        counts.update(nts)
-        counts.update(core.tokens)
-    return rel_freq_table(counts)
+    tok_counts, _num, _end, nt123 = corpus_token_stats(addresses)
+    return rel_freq_table(tok_counts + nt123)
 
 
 # ---------------------------------------------------------------------------
@@ -77,14 +74,15 @@ def token_tf_with_numeric(addresses: Iterable[Optional[str]]) -> Dict[str, float
 def _partial_counts_batch(batch: pa.Table) -> pa.Table:
     """Per-batch partial token counts -> (token, kind, count) rows.
 
-    kind: 0 = address token, 1 = numeric token, 2 = end token.
+    kind: 0 = address token, 1 = numeric token, 2 = end token,
+    3 = numeric_token_1..3 column value (T1's numeric contribution).
     """
     addrs = batch.column("address_concat").to_pylist()
-    tok_counts, num_counts, end_counts = corpus_token_stats(addrs)
+    tok_counts, num_counts, end_counts, nt123_counts = corpus_token_stats(addrs)
     tokens: List[str] = []
     kinds: List[int] = []
     counts: List[int] = []
-    for kind, ctr in ((0, tok_counts), (1, num_counts), (2, end_counts)):
+    for kind, ctr in ((0, tok_counts), (1, num_counts), (2, end_counts), (3, nt123_counts)):
         for t, c in ctr.items():
             tokens.append(t)
             kinds.append(kind)
@@ -126,7 +124,8 @@ def collect_corpus_stats(
     tok_counts: Counter = Counter()
     num_counts: Counter = Counter()
     end_counts: Counter = Counter()
-    by_kind = {0: tok_counts, 1: num_counts, 2: end_counts}
+    nt123_counts: Counter = Counter()
+    by_kind = {0: tok_counts, 1: num_counts, 2: end_counts, 3: nt123_counts}
     for t, k, c in zip(toks, kinds, cnts):
         by_kind[k][t] += c
     return (
