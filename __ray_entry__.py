@@ -20,7 +20,7 @@ from typing import Any
 DOC_TRUNC = 400  # bound shingle cost; mirrored via substr(text, 1, 400)
 MINHASH = dict(num_perm=16, bands=4, shingle_k=5, jaccard_threshold=0.8)
 ANN_K = 10
-NEAR_DUP_COS = 0.95
+NEAR_DUP_COS = 0.35  # synthetic embeddings are near-orthogonal (max cos ~0.48)
 CLUSTER_THRESHOLD = 5.0
 
 

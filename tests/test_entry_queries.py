@@ -25,8 +25,13 @@ def _to_arrow(res) -> pa.Table:
 
     if isinstance(res, ray.data.Dataset):
         tables = ray.get(res.to_arrow_refs())
-        tables = [t for t in tables if t.num_rows] or tables[:1]
-        return pa.concat_tables(tables, promote_options="permissive")
+        nonempty = [t for t in tables if t.num_rows]
+        if not nonempty:
+            schema = res.schema()
+            return pa.schema(
+                [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+            ).empty_table()
+        return pa.concat_tables(nonempty, promote_options="permissive")
     if isinstance(res, pa.Table):
         return res
     return pa.Table.from_pandas(res)

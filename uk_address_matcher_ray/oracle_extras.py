@@ -300,9 +300,9 @@ FROM feats
 def events_hourly_sql() -> str:
     return """
 SELECT user_id,
-    CAST(epoch(ts) AS BIGINT) // 3600 AS hour_window,
+    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_window,
     count(*) AS n_events,
-    sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value_cents
+    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events
 GROUP BY user_id, hour_window
 """
