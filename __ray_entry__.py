@@ -66,8 +66,10 @@ def _cleaned_sides(sf_dir: str):
     union = pa.concat_tables([canon, messy])
     tf, num_tf, end_tokens = _corpus_assets(union)
     numeric_tf = {f"numeric_token_{i}": num_tf for i in (1, 2, 3)}
-    cl = clean_dataset(ray.data.from_arrow(canon), tf, end_tokens)
-    cm = clean_dataset(ray.data.from_arrow(messy), tf, end_tokens)
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    cl = clean_dataset(dataset_from_table(canon), tf, end_tokens)
+    cm = clean_dataset(dataset_from_table(messy), tf, end_tokens)
     return cl, cm, numeric_tf, messy
 
 
@@ -150,9 +152,11 @@ def entry() -> Any:
         [(r["unique_id"], r["address_concat"], r["postcode"]) for r in messy.to_pylist()],
         host_of=host_of,
     )
+    from uk_address_matcher_ray.util import dataset_from_table
+
     pairs, _labels = flagship_pipeline(
-        ray.data.from_arrow(pages_m),
-        ray.data.from_arrow(pages_c),
+        dataset_from_table(pages_m),
+        dataset_from_table(pages_c),
         cluster_threshold=CLUSTER_THRESHOLD,
     )
     return pairs.select_columns(
@@ -178,8 +182,10 @@ def _q_clean_features(sf_dir: str):
 
     canon, messy = _synth_tables(sf_dir)
     union = pa.concat_tables([canon, messy])
+    from uk_address_matcher_ray.util import dataset_from_table
+
     tf, _num_tf, end_tokens = _corpus_assets(union)
-    return clean_dataset(ray.data.from_arrow(union), tf, end_tokens)
+    return clean_dataset(dataset_from_table(union), tf, end_tokens)
 
 
 def _q_token_tf(sf_dir: str):
@@ -194,7 +200,9 @@ def _q_token_tf(sf_dir: str):
 
     canon, messy = _synth_tables(sf_dir)
     union = pa.concat_tables([canon, messy])
-    agg = tf_mod.corpus_stats_dataset(ray.data.from_arrow(union)).take_all()
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    agg = tf_mod.corpus_stats_dataset(dataset_from_table(union)).take_all()
     counts = Counter()
     for r in agg:
         if r["kind"] in (0, 3):
@@ -298,7 +306,9 @@ def _q_extract_pages(sf_dir: str):
         [(r["unique_id"], r["address_concat"], r["postcode"]) for r in messy.to_pylist()],
         host_of=host_of,
     )
-    return extract_addresses(ray.data.from_arrow(pages))
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    return extract_addresses(dataset_from_table(pages))
 
 
 def _q_exact_dedup_docs(sf_dir: str):
@@ -442,6 +452,26 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_label_accuracy(sf_dir: str):
+    """E1 evaluation vs labels: top-1 per messy record compared to the synth
+    truth (m{k} <-> c{k}); returns one row of counts."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.pipelines.evaluate import accuracy_vs_labels
+    from uk_address_matcher_ray.sources import synth
+
+    keys = _custkeys(sf_dir)
+    labels = synth.truth_labels(keys)
+    counts = accuracy_vs_labels(_predict_ds(sf_dir), labels)
+    return pa.table(
+        {
+            "correct": pa.array([counts["correct"]], pa.int64()),
+            "incorrect": pa.array([counts["incorrect"]], pa.int64()),
+            "missing": pa.array([counts["missing"]], pa.int64()),
+        }
+    )
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo: html payloads as opaque binary media."""
     import pyarrow as pa
@@ -461,7 +491,9 @@ def _q_media_features(sf_dir: str):
             "payload": pages.column("html"),
         }
     )
-    return extract_media_features(ray.data.from_arrow(media))
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    return extract_media_features(dataset_from_table(media))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -485,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
+        "label_accuracy": _q_label_accuracy,
         "media_features": _q_media_features,
     }
 
@@ -518,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "events_hourly": oracle_extras.events_hourly_sql(),
+        "label_accuracy": oracle_extras.label_accuracy_sql(pairs_sql),
         # simhash_sigs / simhash_pairs / improve_pairs / ivf_topk /
         # media_features: no SQL equivalent (bit-level simhash, staged
         # group-rescoring, approximate index, binary feature extraction) ->

@@ -33,6 +33,7 @@ def _flagship(sf_dir: str):
     import __ray_entry__ as entry
     from uk_address_matcher_ray.pipelines.match import flagship_pipeline
     from uk_address_matcher_ray.sources.webpages import synth_web_pages
+    from uk_address_matcher_ray.util import dataset_from_table
 
     canon, messy = entry._synth_tables(sf_dir)
 
@@ -48,8 +49,8 @@ def _flagship(sf_dir: str):
         host_of=host_of,
     )
     pairs, labels = flagship_pipeline(
-        ray.data.from_arrow(pages_m),
-        ray.data.from_arrow(pages_c),
+        dataset_from_table(pages_m),
+        dataset_from_table(pages_c),
         cluster_threshold=5.0,
     )
     n_pairs = pairs.count()

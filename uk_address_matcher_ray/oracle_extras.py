@@ -306,3 +306,29 @@ SELECT user_id,
 FROM events
 GROUP BY user_id, hour_window
 """
+
+
+# ---------------------------------------------------------------------------
+# E1 label evaluation (pipelines/evaluate.py; accuracy_from_labels.py:294-365)
+# ---------------------------------------------------------------------------
+
+def label_accuracy_sql(pairs_sql: str) -> str:
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs_sql}),
+top1 AS (
+    SELECT unique_id_r, unique_id_l FROM pairs
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY unique_id_r ORDER BY match_weight DESC, unique_id_l
+    ) = 1
+),
+labels AS (
+    SELECT 'm' || CAST(c_custkey AS VARCHAR) AS unique_id,
+           'c' || CAST(c_custkey AS VARCHAR) AS correct_unique_id
+    FROM customer WHERE c_custkey % 3 != 0
+)
+SELECT
+    CAST(sum(CASE WHEN t.unique_id_l = l.correct_unique_id THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+    CAST(sum(CASE WHEN t.unique_id_l IS NOT NULL AND t.unique_id_l != l.correct_unique_id THEN 1 ELSE 0 END) AS BIGINT) AS incorrect,
+    CAST(sum(CASE WHEN t.unique_id_l IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing
+FROM labels l LEFT JOIN top1 t ON l.unique_id = t.unique_id_r
+"""

@@ -83,8 +83,12 @@ def flagship_pipeline(
     """
     model = model or MatchModel()
 
-    extracted_r = extract_addresses(pages_messy, verify_text=verify_text)
-    extracted_l = extract_addresses(pages_canonical, verify_text=verify_text)
+    # Extraction output (text-only, ~10% of page bytes) is consumed by three
+    # passes (corpus stats, cleaning, and cleaning's consumers); materialize
+    # once so lineage doesn't re-parse HTML per pass. Blocks live in the
+    # object store and spill under pressure.
+    extracted_r = extract_addresses(pages_messy, verify_text=verify_text).materialize()
+    extracted_l = extract_addresses(pages_canonical, verify_text=verify_text).materialize()
 
     def build_stats():
         tf, num_tf, end_tokens = collect_corpus_stats(
@@ -105,8 +109,10 @@ def flagship_pipeline(
         cleaned_r = checkpoint_run.stage("cleaned_messy", "v1", build_cleaned_r)
         cleaned_l = checkpoint_run.stage("cleaned_canonical", "v1", build_cleaned_l)
     else:
-        cleaned_r = build_cleaned_r()
-        cleaned_l = build_cleaned_l()
+        # cleaned_l feeds both the hot-key pre-pass and key emission;
+        # materialize to avoid re-cleaning (checkpoints do this on disk).
+        cleaned_r = build_cleaned_r().materialize()
+        cleaned_l = build_cleaned_l().materialize()
 
     def build_pairs():
         return match_pipeline(

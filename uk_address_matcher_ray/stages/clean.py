@@ -169,8 +169,9 @@ def clean_dataset(
     tf_ref = ray.put(dict(tf))
     end_ref = ray.put(frozenset(end_tokens))
     if concurrency is None:
-        # actor pool sized to the cluster, leaving shuffle headroom
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+        # autoscaling actor pool: min 1 so concurrent operators can't
+        # deadlock on reserved CPUs; max sized to the cluster
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
     return ds.map_batches(
         CleaningStage,
         batch_format="pyarrow",

@@ -76,6 +76,7 @@ def propagate_labels(edges_ds, max_iters: int = 25, checkpoint_dir: Optional[str
     """
     labels = _init_labels(edges_ds)
     edges = edges_ds
+    prev_sum = None
 
     for it in range(max_iters):
         # join: union labels (kind=l) with edges keyed by src (kind=e), group
@@ -155,15 +156,13 @@ def propagate_labels(edges_ds, max_iters: int = 25, checkpoint_dir: Optional[str
         else:
             new_labels = new_labels.materialize()
 
-        old_sum = sum(
-            r["sum"]
-            for r in labels.map_batches(checksum, batch_format="pyarrow").take_all()
-        )
+        # one checksum pass per round; previous round's sum is cached
         new_sum = sum(
             r["sum"]
             for r in new_labels.map_batches(checksum, batch_format="pyarrow").take_all()
         )
         labels = new_labels
-        if old_sum == new_sum:
+        if prev_sum is not None and prev_sum == new_sum:
             break
+        prev_sum = new_sum
     return labels

@@ -119,7 +119,7 @@ def minhash_lsh_pairs(
     """
     import ray
 
-    concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
     keyed = ds.map_batches(
         MinHashStage,
         batch_format="pyarrow",

@@ -100,7 +100,7 @@ def extract_media_features(ds, *, dim: int = FEATURE_DIM, concurrency: Optional[
     import ray
 
     if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
     return ds.map_batches(
         MediaFeatureStage,
         batch_format="pyarrow",

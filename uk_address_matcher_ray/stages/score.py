@@ -165,7 +165,7 @@ def scored_pairs_raw(
         hot_keys = compute_hot_keys(cleaned_l, model, salt_threshold)
     hot_ref = ray.put(hot_keys)
 
-    concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
     emitted_l = cleaned_l.map_batches(
         BlockKeyEmitter,
         batch_format="pyarrow",
