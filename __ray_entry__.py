@@ -552,9 +552,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "events_hourly": oracle_extras.events_hourly_sql(),
         "label_accuracy": oracle_extras.label_accuracy_sql(pairs_sql),
-        # simhash_sigs / simhash_pairs / improve_pairs / ivf_topk /
-        # media_features: no SQL equivalent (bit-level simhash, staged
-        # group-rescoring, approximate index, binary feature extraction) ->
-        # driver records the weaker rows-only check.
+        "improve_pairs": oracle_extras.improve_pairs_sql(
+            pairs_sql, oracle.cleaned_features_sql(_union_input_sql())
+        ),
+        # simhash_sigs / simhash_pairs / ivf_topk / media_features: no SQL
+        # equivalent (bit-level simhash, approximate index, binary feature
+        # extraction) -> driver records the weaker rows-only check.
     }
     return out

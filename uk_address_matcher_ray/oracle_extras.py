@@ -332,3 +332,134 @@ SELECT
     CAST(sum(CASE WHEN t.unique_id_l IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing
 FROM labels l LEFT JOIN top1 t ON l.unique_id = t.unique_id_r
 """
+
+
+# ---------------------------------------------------------------------------
+# Second pass: improve_predictions oracle (stages/rescore.py mirror)
+# ---------------------------------------------------------------------------
+
+def improve_pairs_sql(
+    pairs_sql: str,
+    cleaned_union_sql: str,
+    match_weight_threshold: float = -20.0,
+    top_n: int = 5,
+) -> str:
+    """mw_adjustment / final weights of the second pass, mirroring
+    rescore_group term-for-term (sums iterate sorted keys in both systems so
+    doubles are bit-identical). Output: unique_id_r, unique_id_l,
+    mw_adjustment, match_weight_original, match_weight."""
+    sep = "chr(31)"
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs_sql}),
+cleaned AS MATERIALIZED ({cleaned_union_sql}),
+good AS (SELECT * FROM pairs WHERE match_weight > {match_weight_threshold!r}),
+topn AS (
+    SELECT * FROM good
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY unique_id_r ORDER BY match_weight DESC, unique_id_l DESC
+    ) <= {top_n}
+),
+with_addr AS (
+    SELECT t.unique_id_r, t.unique_id_l, t.match_weight,
+        cl.original_address_concat AS orig_l, cl.postcode AS pc_l,
+        cm2.original_address_concat AS orig_r, cm2.postcode AS pc_r,
+        coalesce(list_transform(cm2.common_end_tokens_hist, e -> e.tok),
+                 CAST([] AS VARCHAR[])) AS cet
+    FROM topn t
+    JOIN cleaned cl ON t.unique_id_l = cl.unique_id
+    JOIN cleaned cm2 ON t.unique_id_r = cm2.unique_id
+),
+r_side AS (
+    SELECT DISTINCT unique_id_r,
+        regexp_split_to_array(upper(trim(coalesce(orig_r, ''))), '\\s+') AS rt0,
+        list_reverse(rt0) AS rv0,
+        CASE WHEN len(rv0) > 0 AND list_contains(cet, rv0[1])
+            THEN rv0[2:] ELSE rv0 END AS rv1,
+        CASE WHEN len(rv1) > 0 AND list_contains(cet, rv1[1])
+            THEN rv1[2:] ELSE rv1 END AS rv2,
+        array_to_string(list_reverse(rv2), ' ') AS stripped_r,
+        regexp_split_to_array(
+            trim(concat_ws(' ', stripped_r, pc_r)), '\\s+') AS tokens_r,
+        list_transform(range(1, len(tokens_r)),
+            i -> tokens_r[i] || {sep} || tokens_r[i+1]) AS bigrams_r
+    FROM with_addr
+),
+l_tok AS (
+    SELECT w.*,
+        regexp_split_to_array(
+            trim(concat_ws(' ', upper(trim(coalesce(orig_l, ''))), pc_l)),
+            '\\s+') AS tokens_l
+    FROM with_addr w
+),
+block AS (
+    SELECT unique_id_r,
+        flatten(array_agg(tokens_l
+            ORDER BY match_weight DESC, unique_id_l DESC)) AS flat
+    FROM l_tok GROUP BY unique_id_r
+),
+per_pair AS (
+    SELECT l.*, b.flat,
+        list_transform(range(1, len(b.flat)),
+            i -> b.flat[i] || {sep} || b.flat[i+1]) AS flat_bg,
+        r.tokens_r, r.bigrams_r,
+        list_transform(range(1, len(l.tokens_l)),
+            i -> l.tokens_l[i] || {sep} || l.tokens_l[i+1]) AS bigrams_l
+    FROM l_tok l
+    JOIN block b USING (unique_id_r)
+    JOIN r_side r USING (unique_id_r)
+),
+calc AS (
+    SELECT unique_id_r, unique_id_l, match_weight AS match_weight_original,
+        list_sort(list_distinct(flat)) AS dt,
+        list_sort(list_distinct(flat_bg)) AS dbg,
+        -- overlapping tokens: in messy AND this candidate; 3 * sum 1/c^2
+        coalesce(list_aggregate(list_transform(
+            list_filter(dt, t -> list_contains(tokens_r, t)
+                              AND list_contains(tokens_l, t)),
+            t -> 1.0 / (len(list_filter(flat, y -> y = t))
+                        * len(list_filter(flat, y -> y = t)))), 'sum'), 0.0)
+            AS ov_sum,
+        -- tokens elsewhere: distinct flat tokens in messy but not this l
+        len(list_filter(dt, t -> list_contains(tokens_r, t)
+                             AND NOT list_contains(tokens_l, t)))
+            AS n_elsewhere,
+        len(list_filter(tokens_l, t -> NOT list_contains(tokens_r, t)))
+            AS n_missing,
+        -- bigram maps with unigram-coverage filter (filtered variants)
+        coalesce(list_aggregate(list_transform(
+            list_filter(dbg, bg ->
+                list_contains(bigrams_r, bg) AND list_contains(bigrams_l, bg)
+                AND NOT (
+                    list_contains(tokens_r, split_part(bg, {sep}, 1))
+                    AND list_contains(tokens_l, split_part(bg, {sep}, 1))
+                    AND len(list_filter(flat, y -> y = split_part(bg, {sep}, 1)))
+                        <= len(list_filter(flat_bg, y -> y = bg))
+                    AND list_contains(tokens_r, split_part(bg, {sep}, 2))
+                    AND list_contains(tokens_l, split_part(bg, {sep}, 2))
+                    AND len(list_filter(flat, y -> y = split_part(bg, {sep}, 2)))
+                        <= len(list_filter(flat_bg, y -> y = bg))
+                )),
+            bg -> 1.0 / (len(list_filter(flat_bg, y -> y = bg))
+                         * len(list_filter(flat_bg, y -> y = bg)))), 'sum'), 0.0)
+            AS ov_bg_sum,
+        len(list_filter(dbg, bg ->
+            list_contains(bigrams_r, bg) AND NOT list_contains(bigrams_l, bg)
+            AND NOT (
+                list_contains(tokens_r, split_part(bg, {sep}, 1))
+                AND NOT list_contains(tokens_l, split_part(bg, {sep}, 1))
+                AND len(list_filter(flat, y -> y = split_part(bg, {sep}, 1)))
+                    <= len(list_filter(flat_bg, y -> y = bg))
+                AND list_contains(tokens_r, split_part(bg, {sep}, 2))
+                AND NOT list_contains(tokens_l, split_part(bg, {sep}, 2))
+                AND len(list_filter(flat, y -> y = split_part(bg, {sep}, 2)))
+                    <= len(list_filter(flat_bg, y -> y = bg))
+            ))) AS n_bg_elsewhere
+    FROM per_pair
+)
+SELECT unique_id_r, unique_id_l,
+    ((((3.0 * ov_sum) - (1.5 * n_elsewhere)) - (0.1 * n_missing))
+        + (3.0 * ov_bg_sum)) - (1.5 * n_bg_elsewhere) AS mw_adjustment,
+    match_weight_original,
+    match_weight_original + mw_adjustment AS match_weight
+FROM calc
+"""

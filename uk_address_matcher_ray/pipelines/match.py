@@ -57,11 +57,9 @@ def match_pipeline(
         top_n_matches=top_n_matches,
         use_bigrams=use_bigrams,
     )
+    from uk_address_matcher_ray.stages.grouped import grouped_map
 
-    def finalize_group(group):
-        return stage(group)
-
-    return raw.groupby("unique_id_r").map_groups(finalize_group, batch_format="pyarrow")
+    return grouped_map(raw, "unique_id_r", stage.process_rows, stage.schema)
 
 
 def flagship_pipeline(

@@ -74,11 +74,14 @@ def propagate_labels(edges_ds, max_iters: int = 25, checkpoint_dir: Optional[str
     ``checkpoint_dir``: when set, labels are written per round
     (``{dir}/round={k}/``) so a failed run resumes from the last round.
     """
-    labels = _init_labels(edges_ds)
-    edges = edges_ds
+    # edges are consumed every round: pin them once, in a few blocks (the
+    # edge list is tiny relative to the corpus; fewer blocks cut the fixed
+    # per-shuffle task overhead of each round)
+    edges = edges_ds.repartition(8).materialize()
+    labels = _init_labels(edges)
     prev_sum = None
 
-    for it in range(max_iters):
+    for it in range(max_iters):  # noqa: B007
         # join: union labels (kind=l) with edges keyed by src (kind=e), group
         # by node; emit candidate labels (dst, label_of_src) + own labels.
         def tag_labels(batch: pa.Table) -> pa.Table:
@@ -103,8 +106,7 @@ def propagate_labels(edges_ds, max_iters: int = 25, checkpoint_dir: Optional[str
             edges.map_batches(tag_edges, batch_format="pyarrow")
         )
 
-        def emit_candidates(group: pa.Table) -> pa.Table:
-            rows = group.to_pylist()
+        def emit_candidates(rows):
             lab = None
             dsts = []
             for r in rows:
@@ -113,22 +115,15 @@ def propagate_labels(edges_ds, max_iters: int = 25, checkpoint_dir: Optional[str
                 else:
                     dsts.append(r["val"])
             node = rows[0]["key"]
-            out_nodes = [node]
-            out_labels = [lab if lab is not None else node]
+            out = [{"node": node, "label": lab if lab is not None else node}]
             if lab is not None:
-                for d in dsts:
-                    out_nodes.append(d)
-                    out_labels.append(lab)
-            return pa.table(
-                {
-                    "node": pa.array(out_nodes, pa.string()),
-                    "label": pa.array(out_labels, pa.string()),
-                }
-            )
+                out.extend({"node": d, "label": lab} for d in dsts)
+            return out
+
+        from uk_address_matcher_ray.stages.grouped import grouped_map
 
         new_labels = (
-            both.groupby("key")
-            .map_groups(emit_candidates, batch_format="pyarrow")
+            grouped_map(both, "key", emit_candidates, LABEL_SCHEMA)
             .groupby("node")
             .min("label")
             .map_batches(

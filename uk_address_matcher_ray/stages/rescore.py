@@ -148,7 +148,11 @@ def rescore_group(
             t: c for t, c in hist_all_tokens.items() if t in tokens_r_not_in_l
         }
 
-        adj = REWARD_MULTIPLIER * sum(1.0 / (c * c) for c in overlapping.values())
+        # sums iterate keys in sorted order so the DuckDB oracle
+        # (list_sort + list_aggregate 'sum') reproduces identical doubles
+        adj = REWARD_MULTIPLIER * sum(
+            1.0 / (c * c) for _t, c in sorted(overlapping.items())
+        )
         adj -= PUNISHMENT_MULTIPLIER * len(elsewhere)
         adj -= MISSING_TOKEN_PENALTY * len(missing_tokens)
 
@@ -199,7 +203,10 @@ def rescore_group(
                 if not _covered(bg, v, elsewhere)
             }
             adj += BIGRAM_REWARD_MULTIPLIER * sum(
-                1.0 / (c * c) for c in overlapping_bg_f.values()
+                1.0 / (c * c)
+                for _bg, c in sorted(
+                    overlapping_bg_f.items(), key=lambda kv: "\x1f".join(kv[0])
+                )
             )
             adj -= BIGRAM_PUNISHMENT_MULTIPLIER * len(elsewhere_bg_f)
             rec["overlapping_bigrams_this_l_and_r"] = _map_cols(overlapping_bg, True)
@@ -277,14 +284,12 @@ class ImproveStage:
             self.params["use_bigrams"], self.retain_columns
         )
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
+    def process_rows(self, rows: List[dict]) -> List[dict]:
+        """Rows of ONE messy record's pairs -> rescored pair row-dicts."""
         if self.dedup_first:
             rows = dedup_pairs_in_group(rows)
         out = rescore_group(rows, **self.params)
-        if not out:
-            return self.schema.empty_table()
-        if self.retain_columns:
+        if out and self.retain_columns:
             by_l = {r["unique_id_l"]: r for r in rows}
             for rec in out:
                 src = by_l.get(rec["unique_id_l"], {})
@@ -292,7 +297,12 @@ class ImproveStage:
                     for suffix in ("_l", "_r"):
                         v = src.get(f"{col}{suffix}")
                         rec[f"{col}{suffix}"] = None if v is None else str(v)
-        return pa.Table.from_pylist(out, schema=self.schema)
+        return out
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        return pa.Table.from_pylist(
+            self.process_rows(group.to_pylist()), schema=self.schema
+        )
 
 
 def improve_predictions(
@@ -302,9 +312,7 @@ def improve_predictions(
     **params,
 ):
     """Reference ``improve_predictions_using_distinguishing_tokens`` operator."""
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
     stage = ImproveStage(dedup_first=False, retain_columns=retain_columns, **params)
-
-    def improve_group(group):
-        return stage(group)
-
-    return pairs_ds.groupby("unique_id_r").map_groups(improve_group, batch_format="pyarrow")
+    return grouped_map(pairs_ds, "unique_id_r", stage.process_rows, stage.schema)

@@ -79,13 +79,12 @@ class BlockScorer:
 
         self.max_pairs_per_block = max_pairs_per_block
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        sides = group.column(SIDE_COL).to_pylist()
-        if 0 not in sides or 1 not in sides:
-            return self.schema.empty_table()
-        rows = group.to_pylist()
+    def score_rows(self, rows: List[dict]) -> List[dict]:
+        """Rows of ONE block-key group -> scored pair row-dicts."""
         l_rows = [r for r in rows if r[SIDE_COL] == 0]
         r_rows = [r for r in rows if r[SIDE_COL] == 1]
+        if not l_rows or not r_rows:
+            return []
         if len(l_rows) * len(r_rows) > self.max_pairs_per_block:
             raise RuntimeError(
                 f"block {rows[0][BLOCK_KEY_COL]!r} would generate "
@@ -93,37 +92,36 @@ class BlockScorer:
             )
         l_prep = [(r, prepare_row(r)) for r in l_rows]
         r_prep = [(r, prepare_row(r)) for r in r_rows]
-
-        out: Dict[str, list] = {f.name: [] for f in self.schema}
         gamma_names = [f"gamma_{c.name}" for c in self.model.comparisons]
+        out: List[dict] = []
         for l_raw, l_s in l_prep:
             for r_raw, r_s in r_prep:
                 mw, prob, gammas = score_pair(l_s, r_s, self.model, self.numeric_tf)
                 if mw < self.threshold:
                     continue
-                out["match_weight"].append(mw)
-                out["match_probability"].append(prob)
-                out["match_key"].append(l_raw[RULE_COL])
-                out["unique_id_l"].append(l_raw["unique_id"])
-                out["unique_id_r"].append(r_raw["unique_id"])
-                out["original_address_concat_l"].append(
-                    l_raw.get("original_address_concat")
-                )
-                out["original_address_concat_r"].append(
-                    r_raw.get("original_address_concat")
-                )
-                out["postcode_l"].append(l_raw.get("postcode"))
-                out["postcode_r"].append(r_raw.get("postcode"))
-                out["common_end_tokens_hist_r"].append(
-                    r_raw.get("common_end_tokens_hist")
-                )
+                rec = {
+                    "match_weight": mw,
+                    "match_probability": prob,
+                    "match_key": l_raw[RULE_COL],
+                    "unique_id_l": l_raw["unique_id"],
+                    "unique_id_r": r_raw["unique_id"],
+                    "original_address_concat_l": l_raw.get("original_address_concat"),
+                    "original_address_concat_r": r_raw.get("original_address_concat"),
+                    "postcode_l": l_raw.get("postcode"),
+                    "postcode_r": r_raw.get("postcode"),
+                    "common_end_tokens_hist_r": r_raw.get("common_end_tokens_hist"),
+                }
                 for gn, g in zip(gamma_names, gammas):
-                    out[gn].append(g)
+                    rec[gn] = g
                 for col in self.retain_columns:
-                    out[f"{col}_l"].append(l_raw.get(col))
-                    out[f"{col}_r"].append(r_raw.get(col))
-        return pa.table(
-            {f.name: pa.array(out[f.name], type=f.type) for f in self.schema}
+                    rec[f"{col}_l"] = l_raw.get(col)
+                    rec[f"{col}_r"] = r_raw.get(col)
+                out.append(rec)
+        return out
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        return pa.Table.from_pylist(
+            self.score_rows(group.to_pylist()), schema=self.schema
         )
 
 
@@ -192,17 +190,14 @@ def scored_pairs_raw(
     # the model/threshold ship once via closure capture.
     scorer.numeric_tf = numeric_tf or {}
 
-    def score_block(group):
-        return scorer(group)
+    from uk_address_matcher_ray.stages.grouped import grouped_map
 
-    return both.groupby(BLOCK_KEY_COL).map_groups(score_block, batch_format="pyarrow")
+    return grouped_map(both, BLOCK_KEY_COL, scorer.score_rows, scorer.schema)
 
 
-def _dedup_group(group: pa.Table) -> pa.Table:
-    rows = dedup_pairs_in_group(group.to_pylist())
-    if not rows:
-        return group.slice(0, 0)
-    return pa.Table.from_pylist(rows, schema=group.schema)
+def _dataset_schema(ds) -> pa.Schema:
+    s = ds.schema()
+    return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
 
 
 def predict(
@@ -225,4 +220,8 @@ def predict(
         retain_columns=retain_columns,
         salt_threshold=salt_threshold,
     )
-    return raw.groupby("unique_id_r").map_groups(_dedup_group, batch_format="pyarrow")
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    return grouped_map(
+        raw, "unique_id_r", dedup_pairs_in_group, _dataset_schema(raw)
+    )
