@@ -25,17 +25,27 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
-def _flagship(sf_dir: str):
+SCALE_MULT = int(os.environ.get("GRAFT_SCALE_MULT", "1"))
+
+
+def _flagship(sf_dir: str, mult: int = 1):
     """Headline: synth web pages from customer -> extract -> clean -> block/
-    score -> rescore. Returns (messy_count, pair_count)."""
+    score -> rescore. Returns (messy_count, pair_count).
+
+    ``mult`` replicates the key space (disjoint offsets) so the scaling runs
+    measure a compute-bound job rather than fixed scheduling overhead; both
+    parallelism levels see the identical input."""
     import ray
 
     import __ray_entry__ as entry
+    from uk_address_matcher_ray.sources import synth
     from uk_address_matcher_ray.pipelines.match import flagship_pipeline
     from uk_address_matcher_ray.sources.webpages import synth_web_pages
     from uk_address_matcher_ray.util import dataset_from_table
 
-    canon, messy = entry._synth_tables(sf_dir)
+    base = entry._custkeys(sf_dir)
+    keys = [k + 300_000 * i for i in range(mult) for k in base]
+    canon, messy = synth.canonical_table(keys), synth.messy_table(keys)
 
     def host_of(i, uid):
         return f"host{int(uid[1:]) % 97}.example"
@@ -97,7 +107,7 @@ def run_once(num_cpus: int, include_queries: bool = True) -> dict:
             logging_level="error",
         )
     t0 = time.monotonic()
-    n_messy, n_pairs, n_nodes = _flagship(SF_DIR)
+    n_messy, n_pairs, n_nodes = _flagship(SF_DIR, mult=SCALE_MULT)
     flagship_sec = time.monotonic() - t0
 
     queries = {"flagship_er": round(flagship_sec, 3)}
@@ -126,7 +136,11 @@ def run_scaling() -> dict:
     """Same job, fresh processes, num_cpus=8 then 32 (N vs 4N)."""
     out = {}
     for n in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(n),
+            GRAFT_SCALE_MULT=os.environ.get("GRAFT_SCALE_MULT", "8"),
+        )
         proc = subprocess.run(
             [sys.executable, __file__, "--child"],
             env=env,
@@ -150,6 +164,7 @@ def run_scaling() -> dict:
         "sf": SF_DIR,
         "num_cpus": 32,
         "counters": {
+            "messy_records": out[8]["counters"]["messy_records"],
             "messy_per_sec_8cpu": thr8,
             "messy_per_sec_32cpu": thr32,
             "pairs_8cpu": out[8]["counters"]["improved_pairs"],

@@ -208,6 +208,67 @@ def _tf_adjustment(
     return (level.u_probability / tf) ** level.tf_weight
 
 
+def _compile_condition(cond: str, thr, cname: str):
+    """Condition name -> fast closure(l, r) -> bool (same semantics as
+    _level_matches, resolved once per model instead of per pair)."""
+    if cond == "hist_product_lt":
+        if cname == "common_end_tokens":
+            return lambda l, r: hist_product(l.cet_hist_sorted, r.cet_hist) < thr
+        return lambda l, r: hist_product(l.tok_hist_sorted, r.tok_hist) < thr
+    return lambda l, r: _level_matches(cond, thr, cname, l, r)
+
+
+_FAST_CONDITIONS = {
+    "exact:original_address_concat": lambda l, r: _eq(l.original, r.original),
+    "either_null:original_address_concat": lambda l, r: l.original is None or r.original is None,
+    "flat_all_null": lambda l, r: (
+        l.flat_positional is None and r.flat_positional is None
+        and l.flat_letter is None and r.flat_letter is None
+    ),
+    "exact:flat_positional": lambda l, r: _eq(l.flat_positional, r.flat_positional),
+    "exact:flat_letter": lambda l, r: _eq(l.flat_letter, r.flat_letter),
+    "flat_letter_vs_numeric_token_1": lambda l, r: _eq(l.flat_letter, r.nt1) or _eq(r.flat_letter, l.nt1),
+    "exact:numeric_token_1": lambda l, r: _eq(l.nt1, r.nt1),
+    "either_null:numeric_token_1": lambda l, r: l.nt1 is None or r.nt1 is None,
+    "digits_equal:numeric_token_1": lambda l, r: _eq(l.nt1_digits, r.nt1_digits),
+    "inverted_12": lambda l, r: _eq(l.nt2, r.nt1) or _eq(l.nt1, r.nt2),
+    "exact:numeric_token_2": lambda l, r: _eq(l.nt2, r.nt2),
+    "both_null:numeric_token_2": lambda l, r: l.nt2 is None and r.nt2 is None,
+    "either_null:numeric_token_2": lambda l, r: l.nt2 is None or r.nt2 is None,
+    "exact:numeric_token_3": lambda l, r: _eq(l.nt3, r.nt3),
+    "both_null:numeric_token_3": lambda l, r: l.nt3 is None and r.nt3 is None,
+    "either_null:numeric_token_3": lambda l, r: l.nt3 is None or r.nt3 is None,
+    "n2l_eq_n3r": lambda l, r: _eq(l.nt2, r.nt3),
+    "both_null:postcode": lambda l, r: l.postcode is None and r.postcode is None,
+    "exact:postcode": lambda l, r: _eq(l.postcode, r.postcode),
+    "outward_equal": lambda l, r: _eq(l.outward, r.outward),
+    "inward_equal": lambda l, r: _eq(l.inward, r.inward),
+    "else": lambda l, r: True,
+}
+
+
+def _compile_model(model: MatchModel):
+    compiled = []
+    for comp in model.comparisons:
+        nn_count = sum(1 for lv in comp.levels if not lv.is_null)
+        levels = []
+        pos = 0
+        for lv in comp.levels:
+            fn = _FAST_CONDITIONS.get(lv.condition) or _compile_condition(
+                lv.condition, lv.threshold, comp.name
+            )
+            gamma = -1 if lv.is_null else nn_count - 1 - pos
+            levels.append((fn, lv, gamma))
+            if not lv.is_null:
+                pos += 1
+        compiled.append(tuple(levels))
+    return tuple(compiled)
+
+
+# keyed by id(); the value holds the model reference so the id stays valid
+_COMPILED_CACHE: Dict[int, tuple] = {}
+
+
 def score_pair(
     l: ScoreRow,
     r: ScoreRow,
@@ -219,26 +280,27 @@ def score_pair(
     gamma follows Splink numbering: -1 for the null level, then the first
     non-null level gets the highest value counting down to 0 for ELSE.
     """
+    entry = _COMPILED_CACHE.get(id(model))
+    if entry is None or entry[0] is not model:
+        entry = (model, _compile_model(model))
+        _COMPILED_CACHE[id(model)] = entry
+    compiled = entry[1]
     log2_bf_total = model.prior_weight
     gammas: List[int] = []
-    for comp in model.comparisons:
-        nn_count = sum(1 for lv in comp.levels if not lv.is_null)
-        matched_level = None
+    for levels in compiled:
         gamma = -1
-        pos = 0  # position among non-null levels
-        for lv in comp.levels:
-            if _level_matches(lv.condition, lv.threshold, comp.name, l, r):
+        matched = None
+        for fn, lv, g in levels:
+            if fn(l, r):
                 if not lv.is_null:
-                    matched_level = lv
-                    gamma = nn_count - 1 - pos
+                    matched = lv
+                    gamma = g
                 break
-            if not lv.is_null:
-                pos += 1
         gammas.append(gamma)
-        if matched_level is not None:
-            bf = matched_level.bayes_factor
-            if matched_level.tf_column:
-                bf *= _tf_adjustment(matched_level, l, r, numeric_tf)
+        if matched is not None:
+            bf = matched.bayes_factor
+            if matched.tf_column:
+                bf *= _tf_adjustment(matched, l, r, numeric_tf)
             log2_bf_total += math.log2(bf)
     mw = log2_bf_total
     prob = 1.0 / (1.0 + 2.0 ** (-mw))

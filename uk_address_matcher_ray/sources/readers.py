@@ -28,6 +28,14 @@ def read_csv(paths, **kwargs):
     return ray.data.read_csv(paths, **kwargs)
 
 
+def read_json(paths, **kwargs):
+    """S3 (scripts/generate_better_tfs.py:50-77): JSON source for TF-table
+    builds; thin wrapper so every reference source format has a reader."""
+    import ray
+
+    return ray.data.read_json(paths, **kwargs)
+
+
 def write_partitioned_parquet(ds, path: str):
     """Resumable sink: one directory of files per Ray block (never one giant
     file); pair with state/checkpoint.PipelineRun for manifest+resume."""
