@@ -164,19 +164,33 @@ def scored_pairs_raw(
     hot_ref = ray.put(hot_keys)
 
     concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
-    emitted_l = cleaned_l.map_batches(
-        BlockKeyEmitter,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_kwargs={"model": model, "side": 0, "hot_keys_ref": hot_ref},
-    )
-    emitted_r = cleaned_r.map_batches(
-        BlockKeyEmitter,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_kwargs={"model": model, "side": 1, "hot_keys_ref": hot_ref},
-    )
-    both = emitted_l.union(emitted_r)
+
+    # After key emission, only the scoring payload rides the shuffle —
+    # the unusual-token arrays / address_without_numbers exist solely for
+    # key extraction and are projected out before the sort.
+    payload_cols = [
+        BLOCK_KEY_COL, RULE_COL, SIDE_COL,
+        "unique_id", "original_address_concat", "postcode",
+        "flat_positional", "flat_letter",
+        "numeric_token_1", "numeric_token_2", "numeric_token_3",
+        "token_rel_freq_arr_hist", "common_end_tokens_hist",
+    ] + [c for c in retain_columns if c not in (
+        "unique_id", "original_address_concat", "postcode")]
+
+    def emit_side(ds, side):
+        emitted = ds.map_batches(
+            BlockKeyEmitter,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_kwargs={
+                "model": model, "side": side, "hot_keys_ref": hot_ref,
+            },
+        )
+        names = ds.schema().names + [BLOCK_KEY_COL, RULE_COL, SIDE_COL]
+        keep = [c for c in payload_cols if c in names]
+        return emitted.select_columns(keep)
+
+    both = emit_side(cleaned_l, 0).union(emit_side(cleaned_r, 1))
 
     tf_ref = ray.put(numeric_tf or {})
     scorer = BlockScorer(
