@@ -106,12 +106,9 @@ def run_once(num_cpus: int, include_queries: bool = True) -> dict:
             include_dashboard=False,
             logging_level="error",
         )
-    try:  # hash shuffle beats sort-based for the groupby aggregations (~35%)
-        from ray.data.context import DataContext, ShuffleStrategy
-
-        DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    except Exception:
-        pass
+    # NOTE: ShuffleStrategy.HASH_SHUFFLE measured ~35% faster on groupbys at
+    # 16+ CPUs but its aggregator actors reserve CPUs and can starve map tasks
+    # in small sessions (observed hang at num_cpus=8); left at the default.
     t0 = time.monotonic()
     n_messy, n_pairs, n_nodes = _flagship(SF_DIR, mult=SCALE_MULT)
     flagship_sec = time.monotonic() - t0
