@@ -71,3 +71,21 @@ def test_postcode_semi_join():
     messy = ray.data.from_items([{"unique_id": "m1", "postcode": "AA1 1AA"}])
     kept = filter_to_overlapping_postcodes(canonical, messy).take_all()
     assert [r["unique_id"] for r in kept] == ["c1"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_uprn_agreement():
+    import ray
+
+    from uk_address_matcher_ray.pipelines.evaluate import uprn_agreement
+
+    best = ray.data.from_items(
+        [
+            {"unique_id_r": "m1", "unique_id_l": "100"},
+            {"unique_id_r": "m2", "unique_id_l": "200"},
+            {"unique_id_r": "m3", "unique_id_l": None},
+            {"unique_id_r": "m4", "unique_id_l": "400"},
+        ]
+    )
+    counts = uprn_agreement(best, {"m1": "100", "m2": "999", "m3": "300"})
+    assert counts == {"agree": 1, "disagree": 1, "no_claim": 1, "unmatched": 1}

@@ -83,3 +83,28 @@ def pairwise_f1(
         else 0.0
     )
     return precision, recall, f1
+
+
+def uprn_agreement(best_ds, messy_uprn: Dict[str, str]) -> Dict[str, int]:
+    """E4 (examples/match_epc_to_os.py:149-186): agreement between the
+    engine's best match (unique_id_l = gazetteer UPRN) and a messy-side
+    provided UPRN column. ``messy_uprn``: messy unique_id -> claimed UPRN
+    (small; broadcast implicitly via closure capture)."""
+    agree = disagree = no_claim = unmatched = 0
+    for row in best_ds.select_columns(["unique_id_r", "unique_id_l"]).take_all():
+        claimed = messy_uprn.get(row["unique_id_r"])
+        got = row["unique_id_l"]
+        if got is None:
+            unmatched += 1
+        elif claimed is None:
+            no_claim += 1
+        elif str(claimed) == str(got):
+            agree += 1
+        else:
+            disagree += 1
+    return {
+        "agree": agree,
+        "disagree": disagree,
+        "no_claim": no_claim,
+        "unmatched": unmatched,
+    }
