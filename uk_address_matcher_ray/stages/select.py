@@ -235,3 +235,58 @@ def best_matches_summary(best_ds):
             ),
         }
     )
+
+
+def best_matches_summary_binned(best_ds):
+    """B2 variant (analyse_results.py:165-189): counts grouped by
+    distinguishability category × match-weight bin."""
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        bins = []
+        for w in batch.column("match_weight").to_pylist():
+            if w is None:
+                bins.append("Unknown")
+            elif w < -20:
+                bins.append("00. mw < -20")
+            elif w < -10:
+                bins.append("01. -20 to -10")
+            elif w < 0:
+                bins.append("02. -10 to 0")
+            elif w < 10:
+                bins.append("03. 0 to 10")
+            elif w < 20:
+                bins.append("04. 10 to 20")
+            else:
+                bins.append("05. mw > 20")
+        return batch.append_column(
+            "match_weight_bin_label", pa.array(bins, pa.string())
+        )
+
+    counts = (
+        best_ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby(["distinguishability_category", "match_weight_bin_label"])
+        .count()
+    )
+    rows = counts.take_all()
+    total = sum(r["count()"] for r in rows)
+    rows.sort(
+        key=lambda r: (
+            r["distinguishability_category"],
+            r["match_weight_bin_label"],
+        )
+    )
+    return pa.table(
+        {
+            "distinguishability_category": pa.array(
+                [r["distinguishability_category"] for r in rows], pa.string()
+            ),
+            "match_weight_bin_label": pa.array(
+                [r["match_weight_bin_label"] for r in rows], pa.string()
+            ),
+            "count": pa.array([r["count()"] for r in rows], pa.int64()),
+            "percentage": pa.array(
+                [f"{100.0 * r['count()'] / total:.2f}%" for r in rows],
+                pa.string(),
+            ),
+        }
+    )
