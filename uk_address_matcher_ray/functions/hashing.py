@@ -29,13 +29,26 @@ def shingles(tokens: List[str], k: int) -> List[str]:
     return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: (a*h+b) % P stays below 2^63
+
+
+def minhash_coeffs(num_perm: int) -> tuple[List[int], List[int]]:
+    """Deterministic universal-hash coefficients a_i in [1, P), b_i in [0, P),
+    derived from md5 so Python and DuckDB agree with no shared state."""
+    A = [(h60(f"minhash_a|{i}") % (MINHASH_P - 1)) + 1 for i in range(num_perm)]
+    B = [h60(f"minhash_b|{i}") % MINHASH_P for i in range(num_perm)]
+    return A, B
+
+
 def minhash_signature(shingle_set: List[str], num_perm: int) -> List[int]:
-    """min over shingles of h60(seed || '|' || shingle), per seed."""
-    sig = []
-    for seed in range(num_perm):
-        prefix = f"{seed}|"
-        sig.append(min(h60(prefix + s) for s in shingle_set))
-    return sig
+    """min over shingles of (a_i * (h60(s) % P) + b_i) % P, per permutation.
+
+    Each shingle is md5-hashed once; permutations are arithmetic (the
+    classic MinHash universal-hash scheme), mirrored exactly in DuckDB SQL
+    (oracle_extras.minhash_pairs_sql)."""
+    A, B = minhash_coeffs(num_perm)
+    hs = [h60(s) % MINHASH_P for s in shingle_set]
+    return [min((A[i] * h + B[i]) % MINHASH_P for h in hs) for i in range(num_perm)]
 
 
 def band_keys(sig: List[int], bands: int) -> List[str]:

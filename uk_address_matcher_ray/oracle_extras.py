@@ -140,19 +140,20 @@ def minhash_pairs_sql(
     jaccard_threshold: float = 0.8,
 ) -> str:
     rows = num_perm // bands
-    sh = "shingles"
+    P = H.MINHASH_P
+    A, B = H.minhash_coeffs(num_perm)
     sig_terms = []
-    for seed in range(num_perm):
+    for i in range(num_perm):
         sig_terms.append(
-            f"list_aggregate(list_transform({sh}, "
-            f"x -> {H.h60_sql(repr(str(seed) + '|') + ' || x')}), 'min')"
+            f"list_aggregate(list_transform(hmod, "
+            f"h -> ({A[i]} * h + {B[i]}) % {P}), 'min')"
         )
     sig_list = "[" + ", ".join(sig_terms) + "]"
     band_rows = []
     for b in range(bands):
         chunk = f"array_to_string(list_transform(sig[{b * rows + 1}:{(b + 1) * rows}], x -> CAST(x AS VARCHAR)), '_')"
         band_rows.append(
-            f"SELECT doc_id, shingles, '{b}|' || lower(hex({H.h60_sql(chunk)})) AS bucket FROM sigs"
+            f"SELECT doc_id, hashes, '{b}|' || lower(hex({H.h60_sql(chunk)})) AS bucket FROM sigs"
         )
     bands_union = "\nUNION ALL\n".join(band_rows)
     return f"""
@@ -165,23 +166,26 @@ toks AS (
 ),
 shingled AS (
     SELECT doc_id,
-        list_sort(list_distinct(
+        list_sort(list_distinct(list_transform(
             CASE WHEN len(t) <= {shingle_k}
                 THEN [array_to_string(t, ' ')]
                 ELSE list_transform(range(1, len(t) - {shingle_k} + 2),
                     i -> array_to_string(t[i:i+{shingle_k - 1}], ' '))
-            END)) AS shingles
+            END, s -> {H.h60_sql('s')}))) AS hashes
     FROM toks
     WHERE len(t) > 0
 ),
 sigs AS MATERIALIZED (
-    SELECT doc_id, shingles, {sig_list} AS sig FROM shingled
+    SELECT doc_id, hashes, {sig_list} AS sig
+    FROM (SELECT doc_id, hashes, list_transform(hashes, h -> h % {P}) AS hmod
+          FROM shingled)
 ),
 bucketed AS MATERIALIZED ({bands_union}),
 raw_pairs AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        len(list_filter(a.hashes, x -> list_contains(b.hashes, x)))
+            / (len(a.hashes) + len(b.hashes)
+               - len(list_filter(a.hashes, x -> list_contains(b.hashes, x)))) AS jaccard
     FROM bucketed a JOIN bucketed b
         ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 )

@@ -70,7 +70,17 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 class MinHashStage:
-    """map_batches: (id, text) -> one row per LSH band bucket."""
+    """map_batches: (id, text) -> one row per LSH band bucket.
+
+    Each shingle is md5-hashed ONCE (h60); the ``num_perm`` permutation
+    values derive from the universal hash (a_i*h + b_i) mod (2^31-1) —
+    vectorized over the whole batch with one ``minimum.reduceat`` per
+    permutation instead of num_perm md5 calls per shingle. The shuffle
+    payload is the int64 shingle-hash list (for the exact-Jaccard verify
+    inside the bucket group), ~15× smaller than the shingle strings the
+    previous version shipped; at extreme scale swap the verify to a
+    candidate-pair keyed fetch so only (bucket, id) rides the bucket
+    shuffle (documented tradeoff)."""
 
     def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int, shingle_k: int):
         self.id_col = id_col
@@ -78,26 +88,50 @@ class MinHashStage:
         self.num_perm = num_perm
         self.bands = bands
         self.shingle_k = shingle_k
+        self.A, self.B = H.minhash_coeffs(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out_id, out_bucket, out_sh = [], [], []
+        doc_ids, doc_hashes, offsets = [], [], [0]
         for i, t in zip(ids, texts):
             toks = _tokens(t)
-            sh = sorted(set(H.shingles(toks, self.shingle_k))) if toks else []
-            if not sh:
+            if not toks:
                 continue
-            sig = H.minhash_signature(sh, self.num_perm)
-            for bk in H.band_keys(sig, self.bands):
+            sh = sorted({H.h60(s) for s in H.shingles(toks, self.shingle_k)})
+            doc_ids.append(i)
+            doc_hashes.extend(sh)
+            offsets.append(len(doc_hashes))
+        if not doc_ids:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.string()),
+                    self.id_col: pa.array([], batch.schema.field(self.id_col).type),
+                    "hashes": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        Hh = np.asarray(doc_hashes, dtype=np.uint64) % np.uint64(H.MINHASH_P)
+        starts = np.asarray(offsets[:-1])
+        sigs = np.empty((len(doc_ids), self.num_perm), dtype=np.int64)
+        for p in range(self.num_perm):
+            v = (np.uint64(self.A[p]) * Hh + np.uint64(self.B[p])) % np.uint64(
+                H.MINHASH_P
+            )
+            sigs[:, p] = np.minimum.reduceat(v, starts).astype(np.int64)
+        out_id, out_bucket, out_h = [], [], []
+        for d, i in enumerate(doc_ids):
+            hs = doc_hashes[offsets[d] : offsets[d + 1]]
+            for bk in H.band_keys(sigs[d].tolist(), self.bands):
                 out_id.append(i)
                 out_bucket.append(bk)
-                out_sh.append(sh)
+                out_h.append(hs)
         return pa.table(
             {
                 "bucket": pa.array(out_bucket, pa.string()),
                 self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
-                "shingles": pa.array(out_sh, pa.list_(pa.string())),
+                "hashes": pa.array(out_h, pa.list_(pa.int64())),
             }
         )
 
@@ -136,15 +170,16 @@ def minhash_lsh_pairs(
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         rows = group.to_pylist()
         rows.sort(key=lambda r: r[id_col])
+        sets = [set(r["hashes"]) for r in rows]
         out_a, out_b, out_j = [], [], []
         for x in range(len(rows)):
-            sx = set(rows[x]["shingles"])
+            sx = sets[x]
             for y in range(x + 1, len(rows)):
                 if rows[x][id_col] == rows[y][id_col]:
                     continue
-                sy = set(rows[y]["shingles"])
+                sy = sets[y]
                 inter = len(sx & sy)
-                union = len(sx | sy)
+                union = len(sx) + len(sy) - inter
                 j = inter / union if union else 0.0
                 if j >= jaccard_threshold:
                     out_a.append(rows[x][id_col])
@@ -186,19 +221,50 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Dataset(id, simhash:int64) — 64-bit signature per document."""
+    """Dataset(id, simhash:int64) — 64-bit signature per document.
+
+    Token hashes are memoized per batch (web-text tokens repeat heavily) and
+    the 64 bit-plane accumulations run as one numpy reduceat per batch
+    instead of a per-token Python loop. Semantics identical to
+    functions/hashing.simhash64 (asserted in tests) and mirrored in DuckDB
+    (oracle_extras.simhash_sigs_sql)."""
 
     def sig_batch(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        sigs = []
+        memo: dict = {}
+        tok_hashes, offsets = [], [0]
         for t in texts:
-            s = H.simhash64(_tokens(t))
-            sigs.append(s - (1 << 64) if s >= (1 << 63) else s)  # to int64
+            for tok in _tokens(t):
+                h = memo.get(tok)
+                if h is None:
+                    h = (H.h60(tok) << 4) | (H.h60("s|" + tok) & 0xF)
+                    memo[tok] = h
+                tok_hashes.append(h)
+            offsets.append(len(tok_hashes))
+        n = len(ids)
+        sigs = np.zeros(n, dtype=np.uint64)
+        if tok_hashes:
+            hs = np.asarray(tok_hashes, dtype=np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            contrib = bits * 2 - 1
+            starts = np.asarray(offsets[:-1])
+            # token-less docs give repeated/out-of-range start indices:
+            # clip for reduceat, then zero their rows explicitly
+            acc = np.add.reduceat(
+                contrib, np.minimum(starts, len(contrib) - 1), axis=0
+            )
+            empty = np.asarray(offsets[1:]) == starts
+            acc[empty] = 0
+            pows = np.left_shift(np.uint64(1), shifts)
+            sigs = ((acc > 0).astype(np.uint64) * pows).sum(axis=1, dtype=np.uint64)
         return pa.table(
             {
                 id_col: pa.array(ids, batch.schema.field(id_col).type),
-                "simhash": pa.array(sigs, pa.int64()),
+                "simhash": pa.array(sigs.view(np.int64), pa.int64()),
             }
         )
 

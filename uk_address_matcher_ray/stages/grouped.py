@@ -12,13 +12,18 @@ time. ``grouped_map`` provides the same semantics with per-BLOCK calls:
 3. the straddler rows (≤ 2 keys per block) go through one tiny
    ``groupby(key).map_groups`` repair pass; outputs union.
 
-``fn_rows`` maps the row-dicts of ONE group to output row-dicts;
-``out_schema`` fixes the output schema so both legs line up.
+Two callable modes:
+
+* ``fn_rows``: maps the row-dicts of ONE group to output row-dicts (simple,
+  Python-object path);
+* ``fn_table``: receives a pyarrow.Table containing one or more COMPLETE
+  groups sorted by the key and returns an output table — the vectorized
+  path (no per-row Python objects; used by the pair scorer).
 """
 
 from __future__ import annotations
 
-from typing import Callable, List
+from typing import Callable, List, Optional
 
 import pyarrow as pa
 
@@ -26,13 +31,30 @@ import pyarrow as pa
 def grouped_map(
     ds,
     key: str,
-    fn_rows: Callable[[List[dict]], List[dict]],
+    fn_rows: Optional[Callable[[List[dict]], List[dict]]],
     out_schema: pa.Schema,
+    fn_table: Optional[Callable[[pa.Table], pa.Table]] = None,
 ):
     import ray
 
     sorted_ds = ds.sort(key).materialize()
     refs = sorted_ds.to_arrow_refs()
+
+    def run_complete(tbl: pa.Table) -> pa.Table:
+        if fn_table is not None:
+            return fn_table(tbl)
+        out_rows: List[dict] = []
+        group: List[dict] = []
+        gkey = None
+        for r in tbl.to_pylist():
+            if gkey is not None and r[key] != gkey:
+                out_rows.extend(fn_rows(group))
+                group = []
+            gkey = r[key]
+            group.append(r)
+        if group:
+            out_rows.extend(fn_rows(group))
+        return pa.Table.from_pylist(out_rows, schema=out_schema)
 
     @ray.remote(num_returns=2)
     def split_block(tbl: pa.Table):
@@ -49,18 +71,7 @@ def grouped_map(
             trail_start -= 1
         if trail_start < lead_end:  # whole block is one key -> all boundary
             return out_schema.empty_table(), tbl
-        out_rows: List[dict] = []
-        group: List[dict] = []
-        gkey = None
-        for r in tbl.slice(lead_end, trail_start - lead_end).to_pylist():
-            if gkey is not None and r[key] != gkey:
-                out_rows.extend(fn_rows(group))
-                group = []
-            gkey = r[key]
-            group.append(r)
-        if group:
-            out_rows.extend(fn_rows(group))
-        done = pa.Table.from_pylist(out_rows, schema=out_schema)
+        done = run_complete(tbl.slice(lead_end, trail_start - lead_end))
         boundary = pa.concat_tables(
             [tbl.slice(0, lead_end), tbl.slice(trail_start, n - trail_start)]
         )
@@ -76,7 +87,7 @@ def grouped_map(
     done_ds = ray.data.from_arrow_refs(done_refs)
 
     def fix_group(group: pa.Table) -> pa.Table:
-        return pa.Table.from_pylist(fn_rows(group.to_pylist()), schema=out_schema)
+        return run_complete(group)
 
     boundary_ds = ray.data.from_arrow_refs(boundary_refs)
     fixed = boundary_ds.groupby(key).map_groups(fix_group, batch_format="pyarrow")

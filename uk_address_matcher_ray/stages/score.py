@@ -137,6 +137,30 @@ def dedup_pairs_in_group(rows: List[dict]) -> List[dict]:
     return sorted(best.values(), key=lambda r: (-r["match_weight"], r["unique_id_l"]))
 
 
+def dedup_pairs_table(tbl: pa.Table) -> pa.Table:
+    """Vectorized dedup_pairs_in_group over a table of complete unique_id_r
+    groups (sorted by unique_id_r): min match_key per (r, l), rows ordered
+    (unique_id_r, match_weight DESC, unique_id_l)."""
+    import numpy as np
+
+    if tbl.num_rows == 0:
+        return tbl
+    uid_r = tbl.column("unique_id_r").to_numpy(zero_copy_only=False)
+    uid_l = tbl.column("unique_id_l").to_numpy(zero_copy_only=False)
+    mk = tbl.column("match_key").to_numpy(zero_copy_only=False).astype(np.int64)
+    mw = tbl.column("match_weight").to_numpy(zero_copy_only=False)
+    # order-preserving integer ranks for the string keys
+    _, r_rank = np.unique(uid_r, return_inverse=True)
+    _, l_rank = np.unique(uid_l, return_inverse=True)
+    order = np.lexsort((mk, l_rank, r_rank))
+    rr, lr = r_rank[order], l_rank[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (rr[1:] != rr[:-1]) | (lr[1:] != lr[:-1])
+    kept = order[first]
+    final = kept[np.lexsort((l_rank[kept], -mw[kept], r_rank[kept]))]
+    return tbl.take(pa.array(final))
+
+
 def scored_pairs_raw(
     cleaned_l,
     cleaned_r,
@@ -192,21 +216,25 @@ def scored_pairs_raw(
 
     both = emit_side(cleaned_l, 0).union(emit_side(cleaned_r, 1))
 
+    out_schema = pair_schema(model, retain_columns, retain_types)
     tf_ref = ray.put(numeric_tf or {})
-    scorer = BlockScorer(
-        model,
-        None,
-        threshold=threshold,
-        retain_columns=retain_columns,
-        retain_types=retain_types,
-    )
-    # map_groups runs the callable per block; pass a constructed instance so
-    # the model/threshold ship once via closure capture.
-    scorer.numeric_tf = numeric_tf or {}
+    retain = tuple(retain_columns)
+
+    def score_table(tbl: pa.Table) -> pa.Table:
+        from uk_address_matcher_ray.stages.score_vec import score_pairs_vectorized
+
+        return score_pairs_vectorized(
+            tbl,
+            model,
+            ray.get(tf_ref),
+            threshold,
+            out_schema,
+            retain_columns=retain,
+        )
 
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
-    return grouped_map(both, BLOCK_KEY_COL, scorer.score_rows, scorer.schema)
+    return grouped_map(both, BLOCK_KEY_COL, None, out_schema, fn_table=score_table)
 
 
 def _dataset_schema(ds) -> pa.Schema:
@@ -237,5 +265,5 @@ def predict(
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
     return grouped_map(
-        raw, "unique_id_r", dedup_pairs_in_group, _dataset_schema(raw)
+        raw, "unique_id_r", None, _dataset_schema(raw), fn_table=dedup_pairs_table
     )

@@ -1,0 +1,479 @@
+"""Vectorized in-block Fellegi-Sunter pair scoring.
+
+Semantically identical to the per-pair path in functions/compare.py
+(score_pair) — asserted bit-exactly by tests/test_scoring_oracle.py and the
+driver's DuckDB value-hash gate — but evaluated column-wise over ALL pairs of
+a sorted block at once:
+
+* string comparisons run on dictionary-encoded int32 codes (one Arrow
+  ``dictionary_encode`` per column per block, SIMD equality after that);
+* the histogram-product ladder computes each pair's product ONCE (the scalar
+  path recomputes it per level — up to 34 times);
+* transcendental ops stay bit-identical to the scalar engine: level Bayes
+  factors pre-log2'd with ``math.log2``; TF-adjusted factors go through a
+  unique-value LUT evaluated with Python floats (numpy's SIMD log2/pow differ
+  from libm in the last ulp — measured, not guessed);
+* the match weight is accumulated per comparison IN MODEL ORDER with
+  elementwise float adds, preserving the scalar engine's (and the DuckDB
+  oracle's) expression order exactly.
+
+Reference semantics: splink_model.json comparisons via state/model.py;
+level/gamma numbering per Splink (functions/compare.py:250-307).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from uk_address_matcher_ray.functions.text import levenshtein
+from uk_address_matcher_ray.state.model import Level, MatchModel
+from uk_address_matcher_ray.stages.block import BLOCK_KEY_COL, RULE_COL, SIDE_COL
+
+_TF_ATTR = {"numeric_token_1": "nt1", "numeric_token_2": "nt2", "numeric_token_3": "nt3"}
+
+
+def _single_array(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _codes(col) -> np.ndarray:
+    """Dictionary-encode a string column -> int codes, -1 for NULL."""
+    import pyarrow.compute as pc
+
+    enc = _single_array(col).dictionary_encode()
+    return (
+        pc.fill_null(enc.indices, -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def _shared_codes(cols: List) -> List[np.ndarray]:
+    """Dictionary-encode several columns against ONE shared dictionary so
+    codes compare across columns (flat_letter vs numeric_token_1 etc.)."""
+    import pyarrow.compute as pc
+
+    arrs = [_single_array(c) for c in cols]
+    joined = pa.concat_arrays([a.cast(pa.string()) for a in arrs])
+    enc = joined.dictionary_encode()
+    codes = (
+        pc.fill_null(enc.indices, -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    out = []
+    ofs = 0
+    for a in arrs:
+        out.append(codes[ofs : ofs + len(a)])
+        ofs += len(a)
+    return out
+
+
+def _hist_structs(col) -> List[Optional[dict]]:
+    return col.to_pylist()
+
+
+class _RowFeatures:
+    """Per-row (not per-pair) feature arrays for one sorted block table."""
+
+    def __init__(self, tbl: pa.Table, numeric_tf: Dict[str, Dict[str, float]]):
+        n = tbl.num_rows
+        self.n = n
+        names = set(tbl.column_names)
+
+        def col(name):
+            return tbl.column(name) if name in names else pa.chunked_array(
+                [pa.nulls(n, pa.string())]
+            )
+
+        pc_obj = col("postcode").to_numpy(zero_copy_only=False)
+        self.postcode_str = pc_obj
+        outward = np.empty(n, dtype=object)
+        inward = np.empty(n, dtype=object)
+        for i, p in enumerate(pc_obj):
+            if p is None:
+                outward[i] = None
+                inward[i] = None
+            else:
+                parts = p.split(" ")
+                outward[i] = parts[0] if p else ""
+                inward[i] = parts[1] if len(parts) > 1 else ""
+
+        nt1_col = col("numeric_token_1")
+        nt1_obj = nt1_col.to_numpy(zero_copy_only=False)
+        import re
+
+        digit_run = re.compile(r"\d+", re.ASCII)
+        nt1_digits = np.empty(n, dtype=object)
+        for i, v in enumerate(nt1_obj):
+            if v is None:
+                nt1_digits[i] = None
+            else:
+                m = digit_run.search(v)
+                nt1_digits[i] = m.group(0) if m else None
+
+        # shared dictionary for cross-compared token columns
+        self.nt1, self.nt2, self.nt3, self.flat_letter = _shared_codes(
+            [nt1_col, col("numeric_token_2"), col("numeric_token_3"), col("flat_letter")]
+        )
+        self.original = _codes(col("original_address_concat"))
+        self.postcode = _codes(col("postcode"))
+        self.flat_positional = _codes(col("flat_positional"))
+        self.nt1_digits = _codes(pa.chunked_array([pa.array(nt1_digits, pa.string())]))
+        self.outward = _codes(pa.chunked_array([pa.array(outward, pa.string())]))
+        self.inward = _codes(pa.chunked_array([pa.array(inward, pa.string())]))
+
+        # histograms: dict + sorted-items per row (None when NULL)
+        self.tok_hist: List[Optional[dict]] = [None] * n
+        self.tok_sorted: List[Optional[list]] = [None] * n
+        self.cet_hist: List[Optional[dict]] = [None] * n
+        self.cet_sorted: List[Optional[list]] = [None] * n
+        self.tok_valid = np.zeros(n, dtype=bool)
+        self.cet_valid = np.zeros(n, dtype=bool)
+        if "token_rel_freq_arr_hist" in names:
+            for i, entries in enumerate(_hist_structs(tbl.column("token_rel_freq_arr_hist"))):
+                if entries is not None:
+                    d = {(e["tok"], e["rel_freq"]): e["count"] for e in entries}
+                    self.tok_hist[i] = d
+                    self.tok_sorted[i] = sorted(d.items())
+                    self.tok_valid[i] = True
+        if "common_end_tokens_hist" in names:
+            for i, entries in enumerate(_hist_structs(tbl.column("common_end_tokens_hist"))):
+                if entries is not None:
+                    d = {(e["tok"], e["rel_freq"]): e["count"] for e in entries}
+                    self.cet_hist[i] = d
+                    self.cet_sorted[i] = sorted(d.items())
+                    self.cet_valid[i] = True
+
+        # term frequencies per row per tf-column (NaN = no adjustment value)
+        self.tf: Dict[str, np.ndarray] = {}
+        obj_cols = {"numeric_token_1": nt1_obj}
+        for tf_col, lookup in (numeric_tf or {}).items():
+            if lookup is None:
+                continue
+            vals = obj_cols.get(tf_col)
+            if vals is None:
+                vals = col(tf_col).to_numpy(zero_copy_only=False)
+            arr = np.full(n, np.nan)
+            get = lookup.get
+            for i, v in enumerate(vals):
+                if v is not None:
+                    t = get(v)
+                    if t is not None:
+                        arr[i] = t
+            self.tf[tf_col] = arr
+
+
+class _PairContext:
+    """Lazily-computed per-pair arrays shared across level conditions."""
+
+    def __init__(self, feats: _RowFeatures, LI: np.ndarray, RI: np.ndarray):
+        self.f = feats
+        self.LI = LI
+        self.RI = RI
+        self.n = len(LI)
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def eq(self, la: np.ndarray, ra: np.ndarray) -> np.ndarray:
+        a = la[self.LI]
+        b = ra[self.RI]
+        return (a == b) & (a >= 0)
+
+    def null_l(self, arr) -> np.ndarray:
+        return arr[self.LI] < 0
+
+    def null_r(self, arr) -> np.ndarray:
+        return arr[self.RI] < 0
+
+    def hist_prod(self, which: str) -> np.ndarray:
+        key = f"prod_{which}"
+        out = self._cache.get(key)
+        if out is not None:
+            return out
+        f = self.f
+        if which == "cet":
+            valid = f.cet_valid
+            sorted_l, dict_r = f.cet_sorted, f.cet_hist
+        else:
+            valid = f.tok_valid
+            sorted_l, dict_r = f.tok_sorted, f.tok_hist
+        out = np.full(self.n, np.nan)
+        both = valid[self.LI] & valid[self.RI]
+        for k in np.nonzero(both)[0]:
+            ls = sorted_l[self.LI[k]]
+            rd = dict_r[self.RI[k]]
+            p = 1.0
+            for hkey, cl in ls:
+                cr = rd.get(hkey, 0)
+                if cr > 0:
+                    p *= hkey[1] ** (cl if cl < cr else cr)
+            out[k] = p
+        self._cache[key] = out
+        return out
+
+    def hist_valid_pair(self, which: str) -> np.ndarray:
+        f = self.f
+        v = f.cet_valid if which == "cet" else f.tok_valid
+        return v[self.LI] & v[self.RI]
+
+    def lev(self) -> np.ndarray:
+        """Postcode Levenshtein per pair; 127 where either side NULL."""
+        out = self._cache.get("lev")
+        if out is not None:
+            return out
+        f = self.f
+        out = np.full(self.n, 127, dtype=np.int64)
+        pl = f.postcode[self.LI]
+        pr = f.postcode[self.RI]
+        both = (pl >= 0) & (pr >= 0)
+        out[both & (pl == pr)] = 0
+        todo = np.nonzero(both & (pl != pr))[0]
+        cache: Dict[tuple, int] = {}
+        for k in todo:
+            a = f.postcode_str[self.LI[k]]
+            b = f.postcode_str[self.RI[k]]
+            ck = (a, b)
+            d = cache.get(ck)
+            if d is None:
+                d = levenshtein(a, b)
+                cache[ck] = d
+            out[k] = d
+        self._cache["lev"] = out
+        return out
+
+
+def _cond_vector(cond: str, thr, cname: str, ctx: _PairContext) -> np.ndarray:
+    f = ctx.f
+    if cond == "else":
+        return np.ones(ctx.n, dtype=bool)
+    if cond == "exact:original_address_concat":
+        return ctx.eq(f.original, f.original)
+    if cond == "either_null:original_address_concat":
+        return ctx.null_l(f.original) | ctx.null_r(f.original)
+    if cond == "flat_all_null":
+        return (
+            ctx.null_l(f.flat_positional)
+            & ctx.null_r(f.flat_positional)
+            & ctx.null_l(f.flat_letter)
+            & ctx.null_r(f.flat_letter)
+        )
+    if cond == "exact:flat_positional":
+        return ctx.eq(f.flat_positional, f.flat_positional)
+    if cond == "exact:flat_letter":
+        return ctx.eq(f.flat_letter, f.flat_letter)
+    if cond == "flat_letter_vs_numeric_token_1":
+        return ctx.eq(f.flat_letter, f.nt1) | ctx.eq(f.nt1, f.flat_letter)
+    if cond == "flat_positional_one_side_letter_other":
+        return (
+            ~ctx.null_l(f.flat_positional)
+            & ctx.null_r(f.flat_positional)
+            & ~ctx.null_r(f.flat_letter)
+        ) | (
+            ~ctx.null_r(f.flat_positional)
+            & ctx.null_l(f.flat_positional)
+            & ~ctx.null_l(f.flat_letter)
+        )
+    if cond == "exact:numeric_token_1":
+        return ctx.eq(f.nt1, f.nt1)
+    if cond == "either_null:numeric_token_1":
+        return ctx.null_l(f.nt1) | ctx.null_r(f.nt1)
+    if cond == "digits_equal:numeric_token_1":
+        return ctx.eq(f.nt1_digits, f.nt1_digits)
+    if cond == "inverted_12":
+        return ctx.eq(f.nt2, f.nt1) | ctx.eq(f.nt1, f.nt2)
+    if cond == "exact:numeric_token_2":
+        return ctx.eq(f.nt2, f.nt2)
+    if cond == "both_null:numeric_token_2":
+        return ctx.null_l(f.nt2) & ctx.null_r(f.nt2)
+    if cond == "either_null:numeric_token_2":
+        return ctx.null_l(f.nt2) | ctx.null_r(f.nt2)
+    if cond == "exact:numeric_token_3":
+        return ctx.eq(f.nt3, f.nt3)
+    if cond == "both_null:numeric_token_3":
+        return ctx.null_l(f.nt3) & ctx.null_r(f.nt3)
+    if cond == "either_null:numeric_token_3":
+        return ctx.null_l(f.nt3) | ctx.null_r(f.nt3)
+    if cond == "n2l_eq_n3r":
+        return ctx.eq(f.nt2, f.nt3)
+    if cond == "hist_null":
+        which = "cet" if cname == "common_end_tokens" else "tok"
+        return ~ctx.hist_valid_pair(which)
+    if cond == "hist_product_lt":
+        which = "cet" if cname == "common_end_tokens" else "tok"
+        prod = ctx.hist_prod(which)
+        with np.errstate(invalid="ignore"):
+            return prod < thr
+    if cond == "both_null:postcode":
+        return ctx.null_l(f.postcode) & ctx.null_r(f.postcode)
+    if cond == "exact:postcode":
+        return ctx.eq(f.postcode, f.postcode)
+    if cond == "postcode_lev1":
+        return ctx.lev() <= 1
+    if cond == "postcode_lev2":
+        return ctx.lev() <= 2
+    if cond == "outward_equal":
+        return ctx.eq(f.outward, f.outward)
+    if cond == "inward_equal":
+        return ctx.eq(f.inward, f.inward)
+    raise ValueError(f"unknown level condition: {cond}")
+
+
+def _tf_log2_lut(level: Level, tf_pair: np.ndarray, base_log2: float) -> np.ndarray:
+    """log2(bf * (u/tf)^w) per pair, exact: unique tf values evaluated with
+    Python-float math (mirrors functions/compare.py:_tf_adjustment + log2)."""
+    sent = np.where(np.isnan(tf_pair), -1.0, tf_pair)
+    uniq, inv = np.unique(sent, return_inverse=True)
+    lut = np.empty(len(uniq))
+    for i, v in enumerate(uniq.tolist()):
+        if v < 0:
+            lut[i] = base_log2
+        else:
+            lut[i] = math.log2(
+                level.bayes_factor * ((level.u_probability / v) ** level.tf_weight)
+            )
+    return lut[inv]
+
+
+def score_pairs_vectorized(
+    tbl: pa.Table,
+    model: MatchModel,
+    numeric_tf: Dict[str, Dict[str, float]],
+    threshold: float,
+    out_schema: pa.Schema,
+    retain_columns: Sequence[str] = (),
+    max_pairs_per_block: int = 1_000_000,
+) -> pa.Table:
+    """Score all l×r pairs of every complete block-key group in ``tbl``
+    (sorted by BLOCK_KEY_COL) -> pair table matching ``out_schema``."""
+    n = tbl.num_rows
+    if n == 0:
+        return out_schema.empty_table()
+
+    keys = tbl.column(BLOCK_KEY_COL).to_numpy(zero_copy_only=False)
+    side = tbl.column(SIDE_COL).to_numpy(zero_copy_only=False).astype(np.int8)
+    starts = np.concatenate(([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [n]))
+
+    LI_parts: List[np.ndarray] = []
+    RI_parts: List[np.ndarray] = []
+    for s, e in zip(starts[:-1], starts[1:]):
+        seg = side[s:e]
+        l_idx = s + np.nonzero(seg == 0)[0]
+        r_idx = s + np.nonzero(seg == 1)[0]
+        nl, nr = len(l_idx), len(r_idx)
+        if nl == 0 or nr == 0:
+            continue
+        if nl * nr > max_pairs_per_block:
+            raise RuntimeError(
+                f"block {keys[s]!r} would generate {nl * nr} pairs; "
+                "raise salt_threshold"
+            )
+        LI_parts.append(np.repeat(l_idx, nr))
+        RI_parts.append(np.tile(r_idx, nl))
+    if not LI_parts:
+        return out_schema.empty_table()
+    LI = np.concatenate(LI_parts)
+    RI = np.concatenate(RI_parts)
+
+    feats = _RowFeatures(tbl, numeric_tf or {})
+    ctx = _PairContext(feats, LI, RI)
+    npairs = ctx.n
+
+    mw = np.full(npairs, model.prior_weight)
+    gamma_cols: List[np.ndarray] = []
+    for comp in model.comparisons:
+        nn_count = sum(1 for lv in comp.levels if not lv.is_null)
+        gamma = np.full(npairs, -1, dtype=np.int32)
+        logbf = np.zeros(npairs)
+        undecided = np.ones(npairs, dtype=bool)
+        pos = 0
+        for lv in comp.levels:
+            if not undecided.any():
+                break
+            hit = undecided & _cond_vector(lv.condition, lv.threshold, comp.name, ctx)
+            if not lv.is_null:
+                g = nn_count - 1 - pos
+                pos += 1
+                if hit.any():
+                    gamma[hit] = g
+                    base = math.log2(lv.bayes_factor)
+                    if lv.tf_column and (numeric_tf or {}).get(lv.tf_column):
+                        tf_arr = feats.tf.get(lv.tf_column)
+                        if tf_arr is None:
+                            logbf[hit] = base
+                        else:
+                            tf_pair = np.fmax(tf_arr[LI[hit]], tf_arr[RI[hit]])
+                            logbf[hit] = _tf_log2_lut(lv, tf_pair, base)
+                    else:
+                        logbf[hit] = base
+            else:
+                pos += 0
+            undecided &= ~hit
+        mw += logbf
+        gamma_cols.append(gamma)
+
+    keep = np.nonzero(mw >= threshold)[0]
+    if len(keep) == 0:
+        return out_schema.empty_table()
+    li = pa.array(LI[keep])
+    ri = pa.array(RI[keep])
+    mw_k = mw[keep]
+    # bit-exact probability: Python-float pow (numpy's differs in last ulp)
+    prob = np.fromiter(
+        (1.0 / (1.0 + 2.0 ** (-v)) for v in mw_k.tolist()), dtype=np.float64,
+        count=len(keep),
+    )
+
+    def take_l(name):
+        return tbl.column(name).take(li)
+
+    def take_r(name):
+        return tbl.column(name).take(ri)
+
+    names = set(tbl.column_names)
+    arrays: List = []
+    for fld in out_schema:
+        nm = fld.name
+        if nm == "match_weight":
+            arrays.append(pa.array(mw_k, pa.float64()))
+        elif nm == "match_probability":
+            arrays.append(pa.array(prob, pa.float64()))
+        elif nm == "match_key":
+            arrays.append(tbl.column(RULE_COL).take(li).cast(pa.int32()))
+        elif nm == "unique_id_l":
+            arrays.append(take_l("unique_id"))
+        elif nm == "unique_id_r":
+            arrays.append(take_r("unique_id"))
+        elif nm == "common_end_tokens_hist_r":
+            arrays.append(take_r("common_end_tokens_hist"))
+        elif nm.startswith("gamma_"):
+            cname = nm[len("gamma_"):]
+            idx = [c.name for c in model.comparisons].index(cname)
+            arrays.append(pa.array(gamma_cols[idx][keep], pa.int32()))
+        elif nm.endswith("_l"):
+            base = nm[:-2]
+            if base in names:
+                arrays.append(take_l(base))
+            else:
+                arrays.append(pa.nulls(len(keep), fld.type))
+        elif nm.endswith("_r"):
+            base = nm[:-2]
+            if base in names:
+                arrays.append(take_r(base))
+            else:
+                arrays.append(pa.nulls(len(keep), fld.type))
+        else:
+            raise ValueError(f"unmapped output field {nm}")
+    cols = []
+    for fld, arr in zip(out_schema, arrays):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.type != fld.type:
+            arr = arr.cast(fld.type)
+        cols.append(arr)
+    return pa.Table.from_arrays(cols, schema=out_schema)
