@@ -472,6 +472,21 @@ def _q_label_accuracy(sf_dir: str):
     )
 
 
+def _q_train_em(sf_dir: str):
+    """EM training of m/u weights over the blocked gamma vectors (north-star
+    'weights learned via an EM pass implemented as iterative Dataset
+    aggregations'); 2 unrolled iterations, fixed-point deterministic sums."""
+    from uk_address_matcher_ray.stages.score import predict
+    from uk_address_matcher_ray.stages.train import em_train
+    from uk_address_matcher_ray.state.model import MatchModel
+
+    cl, cm, _ntf, _messy = _cleaned_sides(sf_dir)
+    model = MatchModel()
+    pairs = predict(cl, cm, model, {}, threshold=-1e300, salt_threshold=20000)
+    _w, _lam, tbl = em_train(pairs, model, iterations=2)
+    return tbl
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing demo: html payloads as opaque binary media."""
     import pyarrow as pa
@@ -518,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
         "label_accuracy": _q_label_accuracy,
+        "train_em": _q_train_em,
         "media_features": _q_media_features,
     }
 
@@ -527,7 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    from uk_address_matcher_ray import oracle, oracle_scoring, oracle_extras
+    from uk_address_matcher_ray import oracle, oracle_scoring, oracle_extras, oracle_train
 
     union_input = _union_input_sql()
     pairs_sql = _pairs_oracle_sql()
@@ -554,6 +570,9 @@ def oracle_sql() -> dict[str, str]:
         "label_accuracy": oracle_extras.label_accuracy_sql(pairs_sql),
         "improve_pairs": oracle_extras.improve_pairs_sql(
             pairs_sql, oracle.cleaned_features_sql(_union_input_sql())
+        ),
+        "train_em": oracle_train.em_sql(
+            oracle.cleaned_features_sql(_union_input_sql()), iterations=2
         ),
         # simhash_sigs / simhash_pairs / ivf_topk / media_features: no SQL
         # equivalent (bit-level simhash, approximate index, binary feature
