@@ -574,6 +574,12 @@ def oracle_sql() -> dict[str, str]:
         "train_em": oracle_train.em_sql(
             oracle.cleaned_features_sql(_union_input_sql()), iterations=2
         ),
+        "simhash_sigs": oracle_extras.simhash_sigs_sql(
+            "SELECT doc_id, text FROM documents"
+        ),
+        "simhash_pairs": oracle_extras.simhash_pairs_sql(
+            _DOCS_VARIANTS_SQL, max_hamming=3
+        ),
         # simhash_sigs / simhash_pairs / ivf_topk / media_features: no SQL
         # equivalent (bit-level simhash, approximate index, binary feature
         # extraction) -> driver records the weaker rows-only check.

@@ -151,3 +151,84 @@ def test_salting_preserves_pair_coverage():
     assert len(set(salted_l.column("__block_key").to_pylist())) > len(
         set(plain_l.column("__block_key").to_pylist())
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_two_sided_salting_pairs_meet_exactly_once():
+    """With BOTH sides hot, the (k_l, k_r) salt grid must present every
+    (l, r) pair in exactly one sub-block (multiset check, not just set)."""
+    import ray
+    from collections import Counter
+
+    keys = list(range(1, 40))
+    cleaned = _cleaned_rows(keys)
+    model = MatchModel()
+    l_tbl = cleaned.filter(
+        pa.compute.match_substring_regex(cleaned.column("unique_id"), "^c")
+    )
+    r_tbl = cleaned.filter(
+        pa.compute.match_substring_regex(cleaned.column("unique_id"), "^m")
+    )
+    hot = compute_hot_keys(
+        ray.data.from_arrow(l_tbl),
+        model,
+        salt_threshold=2,
+        cleaned_r=ray.data.from_arrow(r_tbl),
+    )
+    assert any(kr > 1 for (_kl, kr) in hot.values()), "messy side never salted"
+    assert any(kl > 1 for (kl, _kr) in hot.values()), "canonical side never salted"
+
+    def pair_multiset(emitted_l, emitted_r):
+        got = Counter()
+        by_key = {}
+        for rec in emitted_l.to_pylist():
+            by_key.setdefault((rec["__block_key"], rec["__rule"]), []).append(
+                rec["unique_id"]
+            )
+        for rec in emitted_r.to_pylist():
+            for luid in by_key.get((rec["__block_key"], rec["__rule"]), []):
+                got[(luid, rec["unique_id"], rec["__rule"])] += 1
+        return got
+
+    l_batch = l_tbl.combine_chunks()
+    r_batch = r_tbl.combine_chunks()
+    plain = pair_multiset(
+        BlockKeyEmitter(model, 0, {})(l_batch), BlockKeyEmitter(model, 1, {})(r_batch)
+    )
+    salted = pair_multiset(
+        BlockKeyEmitter(model, 0, hot)(l_batch), BlockKeyEmitter(model, 1, hot)(r_batch)
+    )
+    assert plain == salted  # same pairs, same multiplicity (exactly once per rule)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_messy_key_predict_bit_identical():
+    """predict() over a corpus with a deliberately hot MESSY key returns
+    bit-identical results salted vs unsalted (and no pair-cap error)."""
+    import ray
+    from uk_address_matcher_ray.stages.score import predict
+
+    keys = list(range(1, 40))
+    cleaned = _cleaned_rows(keys)
+    l_tbl = cleaned.filter(
+        pa.compute.match_substring_regex(cleaned.column("unique_id"), "^c")
+    )
+    r_tbl = cleaned.filter(
+        pa.compute.match_substring_regex(cleaned.column("unique_id"), "^m")
+    )
+    model = MatchModel()
+
+    def run(salt):
+        out = predict(
+            ray.data.from_arrow(l_tbl),
+            ray.data.from_arrow(r_tbl),
+            model,
+            {},
+            salt_threshold=salt,
+        )
+        rows = out.select_columns(
+            ["unique_id_l", "unique_id_r", "match_key", "match_weight"]
+        ).take_all()
+        return sorted(tuple(r.values()) for r in rows)
+
+    assert run(0) == run(2)

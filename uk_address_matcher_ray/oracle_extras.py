@@ -193,6 +193,79 @@ SELECT id_a, id_b, jaccard FROM raw_pairs WHERE jaccard >= {jaccard_threshold!r}
 """
 
 
+def _simhash_sigs_cte(docs_sql: str) -> str:
+    """CTE chain ending in ``sigs(doc_id, simhash)`` — bit-exact DuckDB mirror
+    of functions/hashing.simhash64 over stages/dedup._tokens (token hash =
+    (h60(t) << 4) | (h60('s|'||t) & 15) in HUGEINT; 64 per-bit ±1 sums;
+    two's-complement fold to int64)."""
+    h_expr = (
+        f"CAST({H.h60_sql('t')} AS HUGEINT) * 16 + ({H.h60_sql(chr(39) + 's|' + chr(39) + ' || t')} % 16)"
+    )
+    acc_cols = ", ".join(
+        f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS acc_{i}"
+        for i in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN acc_{i} > 0 THEN CAST('{1 << i}' AS HUGEINT) ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+docs AS ({docs_sql}),
+toks AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                    t -> t != '') AS ts
+    FROM docs
+),
+tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+th AS (SELECT doc_id, {h_expr} AS h FROM tok),
+accs AS (SELECT doc_id, {acc_cols} FROM th GROUP BY doc_id),
+usig AS (SELECT doc_id, {sig_terms} AS us FROM accs),
+sigs AS (
+    SELECT d.doc_id,
+        CAST(coalesce(
+            CASE WHEN u.us >= CAST('{1 << 63}' AS HUGEINT)
+                 THEN u.us - CAST('{1 << 64}' AS HUGEINT) ELSE u.us END,
+            0) AS BIGINT) AS simhash
+    FROM docs d LEFT JOIN usig u ON d.doc_id = u.doc_id
+)"""
+
+
+def simhash_sigs_sql(docs_sql: str) -> str:
+    return f"WITH {_simhash_sigs_cte(docs_sql)}\nSELECT doc_id, simhash FROM sigs"
+
+
+def simhash_pairs_sql(docs_sql: str, max_hamming: int = 3, bands: int = 4) -> str:
+    """Banded-bucket simhash pairs: Hamming(sig) <= max_hamming, id_a < id_b
+    (mirror of stages/dedup.simhash_pairs; bucket string encoding only needs
+    to be injective per (band, chunk), not byte-identical)."""
+    width = 64 // bands
+    band_rows = []
+    for b in range(bands):
+        chunk = f"(us // {1 << (b * width)}) % {1 << width}"
+        band_rows.append(
+            f"SELECT doc_id, simhash, '{b}|' || CAST({chunk} AS VARCHAR) AS bucket FROM usigned"
+        )
+    bands_union = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH {_simhash_sigs_cte(docs_sql)},
+usigned AS (
+    SELECT doc_id, simhash,
+        CASE WHEN simhash < 0 THEN CAST(simhash AS HUGEINT) + CAST('{1 << 64}' AS HUGEINT)
+             ELSE CAST(simhash AS HUGEINT) END AS us
+    FROM sigs
+),
+bucketed AS MATERIALIZED ({bands_union}),
+raw AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM raw WHERE hamming <= {max_hamming}
+"""
+
+
 def embedding_near_dup_sql(threshold: float) -> str:
     dot = _cosine_sql("a.v", "b.v")
     return f"""

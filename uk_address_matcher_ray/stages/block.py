@@ -89,8 +89,12 @@ def _stable_hash(s: str) -> int:
 class BlockKeyEmitter:
     """map_batches callable: cleaned rows -> exploded (block_key, side, payload).
 
-    ``hot_keys`` maps block-key -> salt factor k; canonical rows get a salted
-    sub-key, messy rows are replicated into all k sub-keys.
+    ``hot_keys`` maps block-key -> (k_l, k_r) salt grid. A canonical row
+    hashes to one li cell and replicates across the k_r columns; a messy row
+    hashes to one rj column and replicates across the k_l rows — every
+    (l, r) pair meets in EXACTLY one (li, rj) sub-block, and each sub-block
+    holds ≤ threshold rows of any salted side whichever side(s) are hot.
+    A bare int factor k is accepted as (k, 1) (canonical-side-only salting).
     """
 
     def __init__(self, model: MatchModel, side: int, hot_keys_ref=None):
@@ -101,7 +105,7 @@ class BlockKeyEmitter:
         hot = hot_keys_ref
         if hot is not None and not isinstance(hot, dict):
             hot = ray.get(hot)
-        self.hot_keys: Dict[str, int] = hot or {}
+        self.hot_keys: Dict[str, object] = hot or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
@@ -111,19 +115,29 @@ class BlockKeyEmitter:
         for i, row in enumerate(rows):
             for rule_id, key in row_block_keys(row, self.model, self.side):
                 salt = self.hot_keys.get(key)
-                if not salt or salt <= 1:
+                if salt is None:
                     take_idx.append(i)
                     keys.append(key)
                     rules.append(rule_id)
-                elif self.side == 0:
-                    sub = _stable_hash(str(row["unique_id"])) % salt
+                    continue
+                kl, kr = (salt, 1) if isinstance(salt, int) else salt
+                if kl <= 1 and kr <= 1:
                     take_idx.append(i)
-                    keys.append(f"{key}{SEP}#{sub}")
+                    keys.append(key)
                     rules.append(rule_id)
-                else:
-                    for sub in range(salt):
+                    continue
+                h = _stable_hash(str(row["unique_id"]))
+                if self.side == 0:
+                    li = h % kl
+                    for rj in range(kr):
                         take_idx.append(i)
-                        keys.append(f"{key}{SEP}#{sub}")
+                        keys.append(f"{key}{SEP}#{li}|{rj}")
+                        rules.append(rule_id)
+                else:
+                    rj = h % kr
+                    for li in range(kl):
+                        take_idx.append(i)
+                        keys.append(f"{key}{SEP}#{li}|{rj}")
                         rules.append(rule_id)
         taken = batch.take(pa.array(take_idx, type=pa.int64()))
         return taken.append_column(
@@ -136,37 +150,54 @@ class BlockKeyEmitter:
 
 
 def compute_hot_keys(
-    cleaned_l, model: MatchModel, salt_threshold: int
-) -> Dict[str, int]:
-    """Frequency pre-pass over the canonical side: block keys with more than
-    ``salt_threshold`` rows get salt factor ceil(n / salt_threshold).
+    cleaned_l,
+    model: MatchModel,
+    salt_threshold: int,
+    cleaned_r=None,
+) -> Dict[str, Tuple[int, int]]:
+    """Frequency pre-pass: block keys with more than ``salt_threshold`` rows
+    on either side get a (k_l, k_r) salt grid, k = ceil(n / salt_threshold)
+    per hot side. Only the hot tail is ever collected to the driver.
 
-    The aggregated (key, count) table is collected only above the threshold,
-    so the driver holds just the hot tail.
-    """
+    With ``cleaned_r`` omitted only the canonical side is counted
+    (k_r fixed at 1) — the pre-round-2 behavior."""
 
-    def emit(batch: pa.Table) -> pa.Table:
-        from collections import Counter
+    def make_emit(side: int):
+        def emit(batch: pa.Table) -> pa.Table:
+            from collections import Counter
 
-        c: Counter = Counter()
-        for row in batch.to_pylist():
-            for _rid, key in row_block_keys(row, model, side=0):
-                c[key] += 1
-        return pa.table(
-            {
-                "key": pa.array(list(c.keys()), type=pa.string()),
-                "n": pa.array(list(c.values()), type=pa.int64()),
-            }
-        )
+            c: Counter = Counter()
+            for row in batch.to_pylist():
+                for _rid, key in row_block_keys(row, model, side=side):
+                    c[key] += 1
+            return pa.table(
+                {
+                    "key": pa.array(list(c.keys()), type=pa.string()),
+                    "side": pa.array([side] * len(c), type=pa.int8()),
+                    "n": pa.array(list(c.values()), type=pa.int64()),
+                }
+            )
+
+        return emit
 
     import math as _math
 
-    agg = (
-        cleaned_l.map_batches(emit, batch_format="pyarrow", batch_size=8192)
-        .groupby("key")
-        .sum("n")
+    counted = cleaned_l.map_batches(
+        make_emit(0), batch_format="pyarrow", batch_size=8192
     )
+    if cleaned_r is not None:
+        counted = counted.union(
+            cleaned_r.map_batches(make_emit(1), batch_format="pyarrow", batch_size=8192)
+        )
+    agg = counted.groupby(["key", "side"]).sum("n")
     hot = agg.filter(lambda r: r["sum(n)"] > salt_threshold).take_all()
-    return {
-        r["key"]: _math.ceil(r["sum(n)"] / salt_threshold) for r in hot
-    }
+    out: Dict[str, Tuple[int, int]] = {}
+    for r in hot:
+        k = _math.ceil(r["sum(n)"] / salt_threshold)
+        kl, kr = out.get(r["key"], (1, 1))
+        if r["side"] == 0:
+            kl = k
+        else:
+            kr = k
+        out[r["key"]] = (kl, kr)
+    return out

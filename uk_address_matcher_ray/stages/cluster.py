@@ -74,10 +74,14 @@ def propagate_labels(edges_ds, max_iters: int = 25, checkpoint_dir: Optional[str
     ``checkpoint_dir``: when set, labels are written per round
     (``{dir}/round={k}/``) so a failed run resumes from the last round.
     """
-    # edges are consumed every round: pin them once, in a few blocks (the
-    # edge list is tiny relative to the corpus; fewer blocks cut the fixed
-    # per-shuffle task overhead of each round)
-    edges = edges_ds.repartition(8).materialize()
+    # edges are consumed every round: pin them once. Partition count scales
+    # with cluster CPUs (a fixed width would cap label-propagation
+    # parallelism on a big cluster) but stays small on small sessions where
+    # per-shuffle task overhead dominates.
+    import ray
+
+    nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    edges = edges_ds.repartition(nparts).materialize()
     labels = _init_labels(edges)
     prev_sum = None
 

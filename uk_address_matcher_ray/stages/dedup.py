@@ -348,54 +348,101 @@ def simhash_pairs(
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _vectors_from_table(tbl: pa.Table, vec_col: str):
+    """list<float> column -> (n, d) float64 numpy, via the flat values buffer
+    (no per-row Python lists)."""
+    import numpy as np
+
+    col = tbl.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0))
+    d = len(flat) // n
+    return flat.reshape(n, d)
+
+
 def embedding_near_dup_pairs(
     ds,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    block_rows: int = 8192,
 ):
-    """All pairs with cosine >= threshold.
+    """All pairs with cosine >= threshold — EXACT, with no driver-side
+    materialization and no whole-corpus broadcast.
 
-    The full matrix is broadcast once via ray.put (valid while the embedding
-    table is the 'small side'; the IVF route in stages/similarity.py is the
-    scale path) and each batch computes a numpy block-product against it.
+    Vectors are L2-normalized into ~``block_rows``-row Arrow blocks that stay
+    in the object store; one Ray task per unordered block pair computes the
+    (block × block) matmul and emits qualifying (id_a < id_b) pairs. Compute
+    is the unavoidable O(N²/2) of an exact all-pairs operator, but memory is
+    O(block²) per task and blocks ship peer-to-peer — at cluster scale the
+    B(B+1)/2 tasks spread across nodes. For approximate near-dup at corpus
+    scale use the IVF route (stages/similarity.py) or simhash/minhash.
     """
     import numpy as np
     import ray
 
-    rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = [r[id_col] for r in rows]
-    mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((ids, matn))
-
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        b_ids = batch.column(id_col).to_pylist()
-        b = np.asarray(
-            [list(v) for v in batch.column(vec_col).to_pylist()], dtype=np.float64
-        )
-        bn = np.linalg.norm(b, axis=1)
-        bn[bn == 0] = 1.0
-        b = b / bn[:, None]
-        sims = b @ all_mat.T
-        out_a, out_b, out_s = [], [], []
-        for i, bid in enumerate(b_ids):
-            hits = np.nonzero(sims[i] >= threshold)[0]
-            for j in hits:
-                if all_ids[j] > bid:  # emit each unordered pair once
-                    out_a.append(bid)
-                    out_b.append(all_ids[j])
-                    out_s.append(float(sims[i, j]))
-        t = batch.schema.field(id_col).type
+    def normalize(batch: pa.Table) -> pa.Table:
+        mat = _vectors_from_table(batch, vec_col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
         return pa.table(
             {
-                "id_a": pa.array(out_a, t),
-                "id_b": pa.array(out_b, t),
-                "cosine": pa.array(out_s, pa.float64()),
+                id_col: batch.column(id_col),
+                "__vn": pa.array(list(matn), pa.list_(pa.float64())),
             }
         )
 
-    return ds.map_batches(block, batch_format="pyarrow", batch_size=1024)
+    norm_ds = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(normalize, batch_format="pyarrow", batch_size=block_rows)
+        .materialize()
+    )
+    refs = norm_ds.to_arrow_refs()
+    id_type = None
+    for n, t in zip(norm_ds.schema().names, norm_ds.schema().types):
+        if n == id_col:
+            id_type = t
+
+    empty_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a = np.asarray(ta.column(id_col).to_pylist())
+        ids_b = np.asarray(tb.column(id_col).to_pylist())
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return empty_schema.empty_table()
+        A = _vectors_from_table(ta, "__vn")
+        B = _vectors_from_table(tb, "__vn")
+        sims = A @ B.T
+        mask = sims >= threshold
+        if same:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ii, jj = np.nonzero(mask)
+        lo = np.minimum(ids_a[ii], ids_b[jj])
+        hi = np.maximum(ids_a[ii], ids_b[jj])
+        return pa.table(
+            {
+                "id_a": pa.array(lo.tolist(), id_type),
+                "id_b": pa.array(hi.tolist(), id_type),
+                "cosine": pa.array(sims[ii, jj], pa.float64()),
+            }
+        )
+
+    # one task per unordered block pair: each unordered id pair meets once
+    out_refs = [
+        block_pair.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(out_refs)

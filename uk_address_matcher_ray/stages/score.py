@@ -184,7 +184,9 @@ def scored_pairs_raw(
 
     hot_keys = {}
     if salt_threshold and salt_threshold > 0:
-        hot_keys = compute_hot_keys(cleaned_l, model, salt_threshold)
+        hot_keys = compute_hot_keys(
+            cleaned_l, model, salt_threshold, cleaned_r=cleaned_r
+        )
     hot_ref = ray.put(hot_keys)
 
     concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))

@@ -368,19 +368,41 @@ def score_pairs_vectorized(
         nl, nr = len(l_idx), len(r_idx)
         if nl == 0 or nr == 0:
             continue
-        if nl * nr > max_pairs_per_block:
-            raise RuntimeError(
-                f"block {keys[s]!r} would generate {nl * nr} pairs; "
-                "raise salt_threshold"
-            )
         LI_parts.append(np.repeat(l_idx, nr))
         RI_parts.append(np.tile(r_idx, nl))
     if not LI_parts:
         return out_schema.empty_table()
-    LI = np.concatenate(LI_parts)
-    RI = np.concatenate(RI_parts)
+    LI_all = np.concatenate(LI_parts)
+    RI_all = np.concatenate(RI_parts)
 
     feats = _RowFeatures(tbl, numeric_tf or {})
+    # degrade gracefully on oversized blocks: score in bounded tiles instead
+    # of erroring (salting keeps blocks small; this is the memory backstop)
+    if len(LI_all) > max_pairs_per_block:
+        parts = [
+            _score_pair_slice(
+                tbl, feats, LI_all[o : o + max_pairs_per_block],
+                RI_all[o : o + max_pairs_per_block], model, numeric_tf,
+                threshold, out_schema,
+            )
+            for o in range(0, len(LI_all), max_pairs_per_block)
+        ]
+        return pa.concat_tables(parts)
+    return _score_pair_slice(
+        tbl, feats, LI_all, RI_all, model, numeric_tf, threshold, out_schema
+    )
+
+
+def _score_pair_slice(
+    tbl: pa.Table,
+    feats: "_RowFeatures",
+    LI: np.ndarray,
+    RI: np.ndarray,
+    model: MatchModel,
+    numeric_tf,
+    threshold: float,
+    out_schema: pa.Schema,
+) -> pa.Table:
     ctx = _PairContext(feats, LI, RI)
     npairs = ctx.n
 
