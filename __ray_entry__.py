@@ -119,6 +119,23 @@ def _union_input_sql():
     )
 
 
+def _tf_build_oracle_sql():
+    from uk_address_matcher_ray import oracle
+
+    distinct_sql = (
+        "SELECT address_concat, postcode, min(unique_id) AS unique_id "
+        f"FROM ({_union_input_sql()}) GROUP BY address_concat, postcode"
+    )
+    tok = oracle.token_tf_table_sql(distinct_sql)
+    num = oracle.numeric_tf_table_sql(distinct_sql)
+    return f"""
+SELECT 'address' AS kind, token, rel_freq FROM ({tok})
+UNION ALL
+SELECT 'numeric' AS kind, numeric_token AS token, tf_numeric_token AS rel_freq
+FROM ({num})
+"""
+
+
 def _pairs_oracle_sql():
     from uk_address_matcher_ray import oracle, oracle_scoring
 
@@ -411,45 +428,48 @@ def _q_events_hourly(sf_dir: str):
     import pyarrow as pa
     import ray
 
+    from ray.data.aggregate import Count, Sum
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
 
     def add_window(batch: pa.Table) -> pa.Table:
-        import datetime
+        """Arrow-native window key + exact integer cents (round-half-even,
+        same as Python round()) so the distributed integer sum is
+        order-independent and matches the DuckDB oracle bit-for-bit."""
+        import numpy as np
+        import pyarrow.compute as pc
 
-        epoch = datetime.datetime(1970, 1, 1)
-        hours = [
-            int((t - epoch).total_seconds()) // 3600
-            for t in batch.column("ts").to_pylist()
-        ]
+        ts_us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        hours = pc.divide(ts_us, 3_600_000_000)
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.rint(vals * 100.0).astype(np.int64)
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "hour_window": pa.array(hours, pa.int64()),
-                "value": batch.column("value"),
+                "hour_window": hours,
+                "cents": pa.array(cents, pa.int64()),
             }
         )
 
-    def agg_group(group: pa.Table) -> pa.Table:
-        # exact integer cents so the DuckDB oracle sum matches bit-for-bit
-        cents = [round(v * 100) for v in group.column("value").to_pylist()]
-        return pa.table(
-            {
-                "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
-                "hour_window": pa.array(
-                    [group.column("hour_window")[0].as_py()], pa.int64()
-                ),
-                "n_events": pa.array([len(cents)], pa.int64()),
-                "sum_value_cents": pa.array([sum(cents)], pa.int64()),
-            }
-        )
-
-    return (
+    agg = (
         ds.map_batches(add_window, batch_format="pyarrow")
         .groupby(["user_id", "hour_window"])
-        .map_groups(agg_group, batch_format="pyarrow")
+        .aggregate(Count(), Sum("cents"))
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "hour_window": batch.column("hour_window").cast(pa.int64()),
+                "n_events": batch.column("count()").cast(pa.int64()),
+                "sum_value_cents": batch.column("sum(cents)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_label_accuracy(sf_dir: str):
@@ -485,6 +505,42 @@ def _q_train_em(sf_dir: str):
     pairs = predict(cl, cm, model, {}, threshold=-1e300, salt_threshold=20000)
     _w, _lam, tbl = em_train(pairs, model, iterations=2)
     return tbl
+
+
+def _q_tf_build(sf_dir: str):
+    """TF-table build pipeline (reference scripts/generate_better_tfs.py):
+    distinct (address_concat, postcode) -> address + numeric TF tables."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.pipelines.tfbuild import (
+        build_tf_tables,
+        distinct_addresses,
+    )
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    canon, messy = _synth_tables(sf_dir)
+    union = pa.concat_tables([canon, messy])
+    tok_tbl, num_tbl = build_tf_tables(distinct_addresses(dataset_from_table(union)))
+    return pa.table(
+        {
+            "kind": pa.array(
+                ["address"] * tok_tbl.num_rows + ["numeric"] * num_tbl.num_rows,
+                pa.string(),
+            ),
+            "token": pa.concat_arrays(
+                [
+                    tok_tbl.column("token").combine_chunks(),
+                    num_tbl.column("numeric_token").combine_chunks(),
+                ]
+            ),
+            "rel_freq": pa.concat_arrays(
+                [
+                    tok_tbl.column("rel_freq").combine_chunks(),
+                    num_tbl.column("tf_numeric_token").combine_chunks(),
+                ]
+            ),
+        }
+    )
 
 
 def _q_media_features(sf_dir: str):
@@ -534,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "label_accuracy": _q_label_accuracy,
         "train_em": _q_train_em,
+        "tf_build": _q_tf_build,
         "media_features": _q_media_features,
     }
 
@@ -580,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": oracle_extras.simhash_pairs_sql(
             _DOCS_VARIANTS_SQL, max_hamming=3
         ),
+        "tf_build": _tf_build_oracle_sql(),
         # simhash_sigs / simhash_pairs / ivf_topk / media_features: no SQL
         # equivalent (bit-level simhash, approximate index, binary feature
         # extraction) -> driver records the weaker rows-only check.

@@ -96,6 +96,18 @@ def _bench_queries(sf_dir: str) -> dict:
     return timings
 
 
+def _cpu_ref_sec() -> float:
+    """Single-core reference microbenchmark (fixed Python work). This sandbox
+    VM throttles unpredictably (observed 3-5x swings); recording the machine
+    speed alongside each run makes timings comparable across rounds.
+    Typical unthrottled value ~0.55 s."""
+    t0 = time.monotonic()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    return round(time.monotonic() - t0, 3)
+
+
 def run_once(num_cpus: int, include_queries: bool = True) -> dict:
     import ray
 
@@ -129,6 +141,7 @@ def run_once(num_cpus: int, include_queries: bool = True) -> dict:
             "improved_pairs": n_pairs,
             "cluster_nodes": n_nodes,
             "messy_per_sec": round(n_messy / flagship_sec, 1),
+            "cpu_ref_sec": _cpu_ref_sec(),
         },
     }
     ray.shutdown()

@@ -108,3 +108,144 @@ def uprn_agreement(best_ds, messy_uprn: Dict[str, str]) -> Dict[str, int]:
         "no_claim": no_claim,
         "unmatched": unmatched,
     }
+
+
+def inspect_match_results(
+    improved_ds,
+    best_ds,
+    labels: Dict[str, str],
+    *,
+    cleaned_messy_ds=None,
+    cleaned_canonical_ds=None,
+    unique_id_r: str | None = None,
+    example_number: int = 1,
+) -> Dict | None:
+    """E2 diagnostic drill-down for one messy record (reference
+    post_linkage/accuracy_from_labels.py:30-291, inspect_match_results_vs_labels).
+
+    * ``improved_ds``: second-pass output (stages/rescore.py schema, with the
+      token/bigram diagnostic columns);
+    * ``best_ds``: best_matches_with_distinguishability output;
+    * ``labels``: messy unique_id -> correct canonical unique_id.
+
+    When ``unique_id_r`` is None the ``example_number``-th FALSE POSITIVE
+    (best match != label, ordered by unique_id_r) is selected, like the
+    reference. Returns a dict with the report text plus structured rows
+    (header, candidates, cleaned rows); None when nothing qualifies.
+    Distributed filters gather only the one record's rows to the driver —
+    this is a debugging surface, not a bulk operator.
+    """
+    target = unique_id_r
+    if target is None:
+        rows = best_ds.select_columns(
+            ["unique_id_r", "unique_id_l"]
+        ).take_all()
+        fps = sorted(
+            r["unique_id_r"]
+            for r in rows
+            if labels.get(r["unique_id_r"]) is not None
+            and r["unique_id_l"] != labels[r["unique_id_r"]]
+        )
+        if len(fps) < example_number:
+            return None
+        target = fps[example_number - 1]
+
+    correct_id = labels.get(target)
+
+    best_rows = best_ds.filter(
+        expr=f'unique_id_r == "{target}"'
+    ).take_all()
+    if not best_rows:
+        return None
+    best = best_rows[0]
+
+    cand_rows = improved_ds.filter(expr=f'unique_id_r == "{target}"').take_all()
+    cand_rows.sort(key=lambda r: (-r["match_weight"], r["unique_id_l"]))
+    cand_rows = cand_rows[:10]
+
+    true_row = next(
+        (r for r in cand_rows if r["unique_id_l"] == correct_id), None
+    )
+    if true_row is None and correct_id is not None:
+        found = improved_ds.filter(
+            expr=f'unique_id_r == "{target}" and unique_id_l == "{correct_id}"'
+        ).take_all()
+        true_row = found[0] if found else None
+
+    dist = best.get("distinguishability")
+    header = {
+        "unique_id_r": target,
+        "messy_address": best.get("address_concat_r"),
+        "messy_postcode": best.get("postcode_r"),
+        "best_match_id": best.get("unique_id_l"),
+        "best_match_address": best.get("original_address_concat_l"),
+        "best_match_postcode": best.get("postcode_l"),
+        "best_match_weight": best.get("match_weight"),
+        "true_match_id": correct_id,
+        "true_match_weight": (
+            true_row["match_weight"] if true_row else float("-inf")
+        ),
+        "true_match_address": (
+            true_row.get("original_address_concat_l") if true_row else "NOT SCORED"
+        ),
+        "distinguishability": dist,
+        "is_false_positive": (
+            correct_id is not None and best.get("unique_id_l") != correct_id
+        ),
+    }
+
+    candidates = [
+        {
+            "address_concat_l": (
+                ("OK " if r["unique_id_l"] == correct_id else "")
+                + (r.get("original_address_concat_l") or "")
+            ),
+            "final_score": r["match_weight"],
+            "splink_score": r.get("match_weight_original"),
+            "adjustment_score": r.get("mw_adjustment"),
+            "matching_tokens": r.get("overlapping_tokens_this_l_and_r"),
+            "penalty_tokens": r.get("tokens_elsewhere_in_block_but_not_this"),
+            "missing_tokens": r.get("missing_tokens"),
+            "matching_bigrams": r.get("overlapping_bigrams_this_l_and_r_filtered"),
+            "penalty_bigrams": r.get(
+                "bigrams_elsewhere_in_block_but_not_this_filtered"
+            ),
+            "canonical_id": r["unique_id_l"],
+        }
+        for r in cand_rows
+    ]
+
+    cleaned = {}
+    if cleaned_messy_ds is not None:
+        got = cleaned_messy_ds.filter(expr=f'unique_id == "{target}"').take_all()
+        if got:
+            cleaned["messy"] = got[0]
+    if cleaned_canonical_ds is not None:
+        for role, uid in (("best_match", best.get("unique_id_l")), ("true_match", correct_id)):
+            if uid:
+                got = cleaned_canonical_ds.filter(
+                    expr=f'unique_id == "{uid}"'
+                ).take_all()
+                if got:
+                    cleaned[role] = got[0]
+
+    report = (
+        "=" * 75
+        + f"\nunique_id_r:                  {target}"
+        + f"\nMessy address:                {header['messy_address']} {header['messy_postcode'] or ''}"
+        + f"\nBest match (score: {header['best_match_weight']:,.2f}):  "
+        + f"{header['best_match_address']} {header['best_match_postcode'] or ''} (ID: {header['best_match_id']})"
+        + f"\nTrue match (score: {header['true_match_weight']:,.2f}):  "
+        + f"{header['true_match_address']} (ID: {header['true_match_id']})"
+        + "\nDistinguishability:           "
+        + (f"{dist:,.2f}" if dist is not None else "N/A")
+        + "\n"
+        + "=" * 75
+    )
+
+    return {
+        "header": header,
+        "candidates": candidates,
+        "cleaned": cleaned,
+        "report": report,
+    }

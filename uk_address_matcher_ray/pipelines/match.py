@@ -129,3 +129,48 @@ def flagship_pipeline(
     edges = cluster_mod.edges_from_pairs(pairs, threshold=cluster_threshold)
     labels = cluster_mod.propagate_labels(edges)
     return pairs, labels
+
+
+def match_one(
+    address: str,
+    postcode: str,
+    cleaned_canonical,
+    tf: Dict[str, float],
+    end_tokens,
+    numeric_tf: Optional[Dict[str, Dict[str, float]]] = None,
+    *,
+    model: Optional[MatchModel] = None,
+    top_n_matches: int = 5,
+    unique_id: str = "q_1",
+):
+    """Match ONE messy address against a cleaned canonical Dataset — the
+    most common first-touch surface (reference examples/match_one.py).
+
+    The single record is cleaned driver-side (one row) and run through the
+    standard clean -> block/score -> rescore pipeline; returns the improved
+    pair Dataset (≤ top_n_matches rows, match_weight descending when
+    collected)."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.clean import clean_batch
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    model = model or MatchModel()
+    messy = pa.table(
+        {
+            "unique_id": pa.array([unique_id], pa.string()),
+            "address_concat": pa.array([address], pa.string()),
+            "postcode": pa.array([postcode], pa.string()),
+        }
+    )
+    cleaned_messy = dataset_from_table(
+        clean_batch(messy, dict(tf), frozenset(end_tokens))
+    )
+    return match_pipeline(
+        cleaned_canonical,
+        cleaned_messy,
+        model,
+        numeric_tf,
+        top_n_matches=top_n_matches,
+        salt_threshold=0,
+    )

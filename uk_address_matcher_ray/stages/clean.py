@@ -160,22 +160,24 @@ def clean_dataset(
 ):
     """Clean a Dataset of raw address records -> cleaned-feature Dataset.
 
-    ``tf``/``end_tokens`` are placed in the object store once and read by each
-    actor in its constructor (broadcast join replacing the reference's
-    LEFT JOIN rel_tok_freq, cleaning_steps.py:339-342).
-    """
+    ``tf``/``end_tokens`` are placed in the object store once (broadcast join
+    replacing the reference's LEFT JOIN rel_tok_freq,
+    cleaning_steps.py:339-342) and resolved once per worker process via the
+    ``get_broadcast`` memo. Task-based map_batches: no actor-pool spawn
+    latency, workers come from the prestarted raylet pool. ``concurrency``
+    is accepted for API compatibility (tasks autoscale to the cluster)."""
     import ray
+
+    from uk_address_matcher_ray.util import get_broadcast
 
     tf_ref = ray.put(dict(tf))
     end_ref = ray.put(frozenset(end_tokens))
-    if concurrency is None:
-        # autoscaling actor pool: min 1 so concurrent operators can't
-        # deadlock on reserved CPUs; max sized to the cluster
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
+
+    def clean_task(batch: pa.Table) -> pa.Table:
+        return clean_batch(batch, get_broadcast(tf_ref), get_broadcast(end_ref))
+
     return ds.map_batches(
-        CleaningStage,
+        clean_task,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"tf_ref": tf_ref, "end_tokens_ref": end_ref},
     )

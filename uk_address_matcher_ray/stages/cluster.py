@@ -68,26 +68,38 @@ def _init_labels(edges_ds):
     )
 
 
-def propagate_labels(edges_ds, max_iters: int = 25, checkpoint_dir: Optional[str] = None):
+def propagate_labels(
+    edges_ds,
+    max_iters: int = 25,
+    checkpoint_dir: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+):
     """-> Dataset(node, label) of connected components.
 
     ``checkpoint_dir``: when set, labels are written per round
     (``{dir}/round={k}/``) so a failed run resumes from the last round.
     """
     # edges are consumed every round: pin them once. Partition count scales
-    # with cluster CPUs (a fixed width would cap label-propagation
-    # parallelism on a big cluster) but stays small on small sessions where
-    # per-shuffle task overhead dominates.
+    # with the edge volume (≈64k edges per partition), clamped to the
+    # cluster CPU count — a fixed width would cap parallelism on a big
+    # cluster, while small edge lists stay in few blocks so the per-round
+    # fixed shuffle overhead doesn't multiply.
     import ray
 
-    nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    edges = edges_ds.repartition(nparts).materialize()
+    edges = edges_ds.materialize()
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(max(1, edges.count() // 65536), max(8, cpus))
+        num_partitions = max(num_partitions, 1)
+    edges = edges.repartition(num_partitions).materialize()
     labels = _init_labels(edges)
     prev_sum = None
 
     for it in range(max_iters):  # noqa: B007
         # join: union labels (kind=l) with edges keyed by src (kind=e), group
         # by node; emit candidate labels (dst, label_of_src) + own labels.
+        # (benchmarked against Ray's native hash join — the tagged-union
+        # grouped_map is faster here and keeps one code path.)
         def tag_labels(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
@@ -136,32 +148,32 @@ def propagate_labels(edges_ds, max_iters: int = 25, checkpoint_dir: Optional[str
             )
         )
 
-        # convergence check: has any label changed? compare via checksum agg.
-        def checksum(batch: pa.Table) -> pa.Table:
-            import zlib
-
-            s = 0
-            for n, l in zip(
-                batch.column("node").to_pylist(), batch.column("label").to_pylist()
-            ):
-                s = (s + zlib.crc32(f"{n}\x1f{l}".encode())) % (1 << 61)
-            return pa.table({"sum": pa.array([s], pa.int64())})
-
         if checkpoint_dir is not None:
             new_labels.write_parquet(f"{checkpoint_dir}/round={it}")
-            import ray
-
             new_labels = ray.data.read_parquet(f"{checkpoint_dir}/round={it}")
         else:
             new_labels = new_labels.materialize()
 
-        # one checksum pass per round; previous round's sum is cached
+        # convergence check: order-independent checksum computed by one tiny
+        # task per already-materialized block (no extra Dataset job/shuffle)
         new_sum = sum(
-            r["sum"]
-            for r in new_labels.map_batches(checksum, batch_format="pyarrow").take_all()
+            ray.get([_crc_block.remote(r) for r in new_labels.to_arrow_refs()])
         )
         labels = new_labels
         if prev_sum is not None and prev_sum == new_sum:
             break
         prev_sum = new_sum
     return labels
+
+
+import ray as _ray
+
+
+@_ray.remote
+def _crc_block(tbl: pa.Table) -> int:
+    import zlib
+
+    s = 0
+    for n, l in zip(tbl.column("node").to_pylist(), tbl.column("label").to_pylist()):
+        s = (s + zlib.crc32(f"{n}\x1f{l}".encode())) % (1 << 61)
+    return s

@@ -153,19 +153,14 @@ def minhash_lsh_pairs(
     """
     import ray
 
-    concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
-    keyed = ds.map_batches(
-        MinHashStage,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(
-            id_col=id_col,
-            text_col=text_col,
-            num_perm=num_perm,
-            bands=bands,
-            shingle_k=shingle_k,
-        ),
+    stage = MinHashStage(
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
     )
+    keyed = ds.map_batches(stage, batch_format="pyarrow")
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         rows = group.to_pylist()

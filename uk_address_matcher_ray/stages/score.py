@@ -189,8 +189,6 @@ def scored_pairs_raw(
         )
     hot_ref = ray.put(hot_keys)
 
-    concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
-
     # After key emission, only the scoring payload rides the shuffle —
     # the unusual-token arrays / address_without_numbers exist solely for
     # key extraction and are projected out before the sort.
@@ -204,14 +202,12 @@ def scored_pairs_raw(
         "unique_id", "original_address_concat", "postcode")]
 
     def emit_side(ds, side):
-        emitted = ds.map_batches(
-            BlockKeyEmitter,
-            batch_format="pyarrow",
-            concurrency=concurrency,
-            fn_constructor_kwargs={
-                "model": model, "side": side, "hot_keys_ref": hot_ref,
-            },
-        )
+        from uk_address_matcher_ray.util import get_broadcast
+
+        def emit(batch: pa.Table) -> pa.Table:
+            return BlockKeyEmitter(model, side, get_broadcast(hot_ref))(batch)
+
+        emitted = ds.map_batches(emit, batch_format="pyarrow")
         names = ds.schema().names + [BLOCK_KEY_COL, RULE_COL, SIDE_COL]
         keep = [c for c in payload_cols if c in names]
         return emitted.select_columns(keep)

@@ -195,15 +195,9 @@ def em_train(
                 }
         prior = math.log2(lam / (1.0 - lam))
         luts_ref = ray.put(luts)
+        em_step = _EMPartial(comps=comps, luts_ref=luts_ref, prior=prior)
         partials = pairs.map_batches(
-            _EMPartial,
-            batch_format="pyarrow",
-            concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)),
-            fn_constructor_kwargs={
-                "comps": comps,
-                "luts_ref": luts_ref,
-                "prior": prior,
-            },
+            em_step, batch_format="pyarrow"
         ).take_all()  # ~60 rows per batch — tiny combine on the driver
         acc: Dict[Tuple[str, int], List[int]] = {}
         for r in partials:
