@@ -380,7 +380,10 @@ def _q_ann_topk(sf_dir: str):
     from uk_address_matcher_ray.stages.similarity import brute_force_topk
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qids = sorted({r["vec_id"] for r in ds.select_columns(["vec_id"]).take_all()})[:5]
+    qids = [
+        r["vec_id"]
+        for r in ds.select_columns(["vec_id"]).sort("vec_id").limit(5).take_all()
+    ]
     out = brute_force_topk(ds, qids, k=ANN_K)
 
     def round_batch(batch: pa.Table) -> pa.Table:
@@ -401,7 +404,10 @@ def _q_ivf_topk(sf_dir: str):
     from uk_address_matcher_ray.stages.similarity import ivf_topk
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qids = sorted({r["vec_id"] for r in ds.select_columns(["vec_id"]).take_all()})[:5]
+    qids = [
+        r["vec_id"]
+        for r in ds.select_columns(["vec_id"]).sort("vec_id").limit(5).take_all()
+    ]
     return ivf_topk(ds, qids, k=ANN_K)
 
 

@@ -209,3 +209,43 @@ def inward_code(pc: Optional[str]) -> Optional[str]:
         return None
     parts = pc.split(" ")
     return parts[1] if len(parts) > 1 else ""
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow/RE2) variants of the string-level prefix of the chain.
+# RE2 is the SAME engine DuckDB uses, so these are byte-faithful to the
+# reference by construction; the scalar functions above remain the semantic
+# spec (differential-tested against both).
+# ---------------------------------------------------------------------------
+
+def clean_postcode_vec(arr):
+    """trim -> canonicalise_postcode -> upper, column-wise."""
+    import pyarrow.compute as pc
+
+    a = pc.utf8_trim(arr, " ")
+    a = pc.replace_substring_regex(
+        a,
+        pattern=r"^([A-Z]{1,2}\d[A-Z\d]?|GIR)\s*(\d[A-Z]{2})$",
+        replacement=r"\1 \2",
+    )
+    return pc.utf8_upper(a)
+
+
+def clean_address_first_pass_vec(arr):
+    """trim -> upper -> clean_address_first_pass, column-wise
+    (cleaning_steps.py:93-119; the two invalid-RE2 reference steps are
+    no-ops, see module docstring)."""
+    import pyarrow.compute as pc
+
+    a = pc.utf8_upper(pc.utf8_trim(arr, " "))
+    for pat, rep in (
+        (r"[,.]", " "),
+        (r"'", ""),
+        (r"\s+", " "),
+        (r"/", "-"),
+        (r"\b([A-Za-z])\s*(\d+)\b", r"\1 \2"),
+        (r"(\d{1,4})[" + _PUNCT + r"\s]([A-Za-z])\s", r"\1\2 "),
+        (r"\b(FLAT \d+[A-Z]?)\s+(.*)", r"\1 \2"),
+    ):
+        a = pc.replace_substring_regex(a, pattern=pat, replacement=rep)
+    return pc.utf8_trim(a, " ")

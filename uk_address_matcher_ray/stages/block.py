@@ -33,6 +33,28 @@ BLOCK_KEY_COL = "__block_key"
 SIDE_COL = "__side"
 RULE_COL = "__rule"
 
+_KEY_SOURCE_COLS = (
+    "unique_id",
+    "numeric_token_1",
+    "numeric_token_2",
+    "unusual_tokens_arr",
+    "very_unusual_tokens_arr",
+    "extremely_unusual_tokens_arr",
+    "postcode",
+)
+
+
+def key_source_columns(model: MatchModel) -> List[str]:
+    """Columns the blocking keys actually read — projecting to these before
+    to_pylist keeps the (heavy) histogram structs out of the Python row
+    conversion."""
+    cols = list(_KEY_SOURCE_COLS)
+    for rule in model.blocking_rules:
+        for kn in rule.l_keys + rule.r_keys:
+            if kn.startswith("col:") and kn[4:] not in cols:
+                cols.append(kn[4:])
+    return cols
+
 
 def _key_components(row: dict) -> Dict[str, Optional[str]]:
     u = row.get("unusual_tokens_arr") or []
@@ -108,7 +130,8 @@ class BlockKeyEmitter:
         self.hot_keys: Dict[str, object] = hot or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
+        key_cols = [c for c in key_source_columns(self.model) if c in batch.column_names]
+        rows = batch.select(key_cols).to_pylist()
         take_idx: List[int] = []
         keys: List[str] = []
         rules: List[int] = []
@@ -166,8 +189,11 @@ def compute_hot_keys(
         def emit(batch: pa.Table) -> pa.Table:
             from collections import Counter
 
+            key_cols = [
+                c for c in key_source_columns(model) if c in batch.column_names
+            ]
             c: Counter = Counter()
-            for row in batch.to_pylist():
+            for row in batch.select(key_cols).to_pylist():
                 for _rid, key in row_block_keys(row, model, side=side):
                     c[key] += 1
             return pa.table(
@@ -183,14 +209,20 @@ def compute_hot_keys(
     import math as _math
 
     counted = cleaned_l.map_batches(
-        make_emit(0), batch_format="pyarrow", batch_size=8192
+        make_emit(0), batch_format="pyarrow", batch_size=2048
     )
     if cleaned_r is not None:
         counted = counted.union(
-            cleaned_r.map_batches(make_emit(1), batch_format="pyarrow", batch_size=8192)
+            cleaned_r.map_batches(make_emit(1), batch_format="pyarrow", batch_size=2048)
         )
     agg = counted.groupby(["key", "side"]).sum("n")
-    hot = agg.filter(lambda r: r["sum(n)"] > salt_threshold).take_all()
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column("sum(n)"), salt_threshold))
+
+    hot = agg.map_batches(keep_hot, batch_format="pyarrow").take_all()
     out: Dict[str, Tuple[int, int]] = {}
     for r in hot:
         k = _math.ceil(r["sum(n)"] / salt_threshold)

@@ -37,13 +37,21 @@ class CoreRow:
     tokens: Optional[List[str]]
 
 
-def _clean_core_row(addr: Optional[str], pc: Optional[str]) -> Optional[CoreRow]:
+def _clean_core_row(
+    addr: Optional[str], pc: Optional[str], *, prepped: bool = False
+) -> Optional[CoreRow]:
     """C1-C11 for one row; returns None when the reference would drop the row
     (NULL address_concat -> NULL token array -> inner-join drop,
-    cleaning_steps.py:330-366)."""
-    pc = T.upper(T.canonicalise_postcode(T.trim(pc)))
-    s = T.upper(T.trim(addr))
-    s = T.clean_address_first_pass(s)
+    cleaning_steps.py:330-366).
+
+    ``prepped=True``: addr/pc already went through the vectorized string
+    prefix (functions/text.clean_*_vec) — skip to the parsing steps."""
+    if prepped:
+        s = addr
+    else:
+        pc = T.upper(T.canonicalise_postcode(T.trim(pc)))
+        s = T.upper(T.trim(addr))
+        s = T.clean_address_first_pass(s)
     s = T.remove_duplicate_end_tokens(s)
     original = s
     flat_positional, flat_letter = T.parse_flat_position_and_letter(s)
@@ -78,14 +86,16 @@ def clean_batch(
     unnests the token array and INNER JOINs back on unique_id, which drops
     rows with NULL token arrays (cleaning_steps.py:330-366).
     """
-    addr_in = batch.column("address_concat").to_pylist()
-    pc_in = batch.column("postcode").to_pylist()
+    addr_in = T.clean_address_first_pass_vec(
+        batch.column("address_concat").cast(pa.string())
+    ).to_pylist()
+    pc_in = T.clean_postcode_vec(batch.column("postcode").cast(pa.string())).to_pylist()
 
     keep_idx: List[int] = []
     out = {name: [] for name in sch.CLEANED_COLUMN_NAMES if name != "unique_id"}
 
     for i, (addr, pc) in enumerate(zip(addr_in, pc_in)):
-        core = _clean_core_row(addr, pc)
+        core = _clean_core_row(addr, pc, prepped=True)
         if core is None:
             continue  # NULL address_concat: dropped by reference's inner join
         keep_idx.append(i)

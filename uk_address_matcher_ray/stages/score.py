@@ -184,6 +184,11 @@ def scored_pairs_raw(
 
     hot_keys = {}
     if salt_threshold and salt_threshold > 0:
+        # the hot-key pre-pass consumes the cleaned sides once and key
+        # emission consumes them again — pin them so a lazy cleaning graph
+        # doesn't execute twice
+        cleaned_l = cleaned_l.materialize()
+        cleaned_r = cleaned_r.materialize()
         hot_keys = compute_hot_keys(
             cleaned_l, model, salt_threshold, cleaned_r=cleaned_r
         )

@@ -26,6 +26,21 @@ def _normalized(mat):
     return m / n[:, None]
 
 
+def _fetch_rows_by_id(ds, id_col: str, ids) -> list:
+    """Rows whose id is in ``ids`` — vectorized is_in mask per batch (no
+    per-row Python filter), sorted by id."""
+    import pyarrow.compute as pc
+
+    wanted = pa.array(sorted(set(ids)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=wanted))
+
+    rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return rows
+
+
 def brute_force_topk(
     ds,
     query_ids: Sequence,
@@ -40,9 +55,7 @@ def brute_force_topk(
     import numpy as np
     import ray
 
-    qset = set(query_ids)
-    q_rows = ds.filter(lambda r: r[id_col] in qset).take_all()
-    q_rows.sort(key=lambda r: r[id_col])
+    q_rows = _fetch_rows_by_id(ds, id_col, query_ids)
     q_ids = [r[id_col] for r in q_rows]
     q_mat = _normalized([r[vec_col] for r in q_rows])
     ref = ray.put((q_ids, q_mat))
@@ -169,11 +182,7 @@ def ivf_topk(
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    qset = set(query_ids)
-    q_rows = sorted(
-        ds.filter(lambda r: r[id_col] in qset).take_all(),
-        key=lambda r: r[id_col],
-    )
+    q_rows = _fetch_rows_by_id(ds, id_col, query_ids)
     q_mat = _normalized([r[vec_col] for r in q_rows])
     probe_buckets = set()
     q_probes = {}
@@ -183,7 +192,16 @@ def ivf_topk(
         probe_buckets.update(int(x) for x in order)
 
     pref = ray.put((q_rows, q_mat, q_probes))
-    pruned = bucketed.filter(lambda r: r["__bucket"] in probe_buckets)
+    probe_arr = pa.array(sorted(probe_buckets), pa.int32())
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.is_in(batch.column("__bucket"), value_set=probe_arr)
+        )
+
+    pruned = bucketed.map_batches(keep_probed, batch_format="pyarrow")
 
     def partial(batch: pa.Table) -> pa.Table:
         q_rows_, q_mat_, probes = ray.get(pref)
