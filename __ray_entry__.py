@@ -570,7 +570,9 @@ def _q_media_features(sf_dir: str):
     )
     from uk_address_matcher_ray.util import dataset_from_table
 
-    return extract_media_features(dataset_from_table(media))
+    return extract_media_features(dataset_from_table(media)).select_columns(
+        ["media_id", "byte_hist"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -644,8 +646,8 @@ def oracle_sql() -> dict[str, str]:
             _DOCS_VARIANTS_SQL, max_hamming=3
         ),
         "tf_build": _tf_build_oracle_sql(),
-        # simhash_sigs / simhash_pairs / ivf_topk / media_features: no SQL
-        # equivalent (bit-level simhash, approximate index, binary feature
-        # extraction) -> driver records the weaker rows-only check.
+        "media_features": oracle_extras.media_features_sql(dim=16),
+        # ivf_topk: approximate index — no SQL equivalent by construction;
+        # its recall vs brute force is asserted in tests/test_similarity_recall.py.
     }
     return out

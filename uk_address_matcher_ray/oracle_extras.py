@@ -119,6 +119,63 @@ FROM messy
 """
 
 
+def _html_escape_sql(expr: str) -> str:
+    """html.escape(quote=False) mirror: & first, then < and >."""
+    return (
+        f"replace(replace(replace({expr}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+
+
+def media_features_sql(dim: int = 16) -> str:
+    """Mirror of extract_media_features over the synth messy pages: rebuilds
+    the exact page bytes (sources/webpages.render_html, UTF-8 — the © footer
+    is 2 bytes) and folds them into a ``dim``-bucket integer histogram via
+    hex-string byte extraction."""
+    messy = synth.messy_sql("SELECT c_custkey FROM customer")
+    title = _html_escape_sql("unique_id")
+    text = _html_escape_sql(
+        "coalesce(address_concat, '') || chr(10) || coalesce(postcode, '')"
+    )
+    body = f"replace({text}, chr(10), '<br/>')"
+    return f"""
+WITH messy AS ({messy}),
+ordered AS (
+    SELECT unique_id, address_concat, postcode,
+        row_number() OVER (ORDER BY CAST(substr(unique_id, 2) AS BIGINT)) - 1 AS i
+    FROM messy
+),
+pages AS (
+    SELECT
+        'https://host' || CAST(i % 97 AS VARCHAR) || '.example/' || unique_id AS media_id,
+        '<html><head><title>' || {title}
+        || '</title><meta charset="utf-8"/></head><body><nav>home | about</nav><main>'
+        || {body}
+        || '</main><footer>© example</footer></body></html>' AS page
+    FROM ordered
+),
+hx AS (
+    SELECT media_id, hex(encode(page)) AS h, octet_length(encode(page)) AS n
+    FROM pages
+),
+b AS (SELECT media_id, h, unnest(range(0, n)) AS i FROM hx),
+v AS (
+    SELECT media_id,
+        CAST(('0x' || substr(h, CAST(2 * i + 1 AS BIGINT), 2)) AS INTEGER) % {dim} AS bucket
+    FROM b
+),
+c AS (SELECT media_id, bucket, count(*) AS cnt FROM v GROUP BY media_id, bucket),
+packed AS (
+    SELECT media_id, list(struct_pack(bucket := bucket, cnt := cnt)) AS pairs
+    FROM c GROUP BY media_id
+)
+SELECT media_id,
+    list_transform(range(0, {dim}),
+        k -> coalesce(list_extract(list_filter(pairs, p -> p.bucket = k), 1).cnt,
+                      CAST(0 AS BIGINT))) AS byte_hist
+FROM packed
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup (stages/dedup.py)
 # ---------------------------------------------------------------------------

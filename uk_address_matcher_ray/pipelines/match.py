@@ -124,7 +124,8 @@ def flagship_pipeline(
     if checkpoint_run is not None:
         pairs = checkpoint_run.stage("improved_pairs", "v1", build_pairs)
     else:
-        pairs = build_pairs()
+        # consumed by the caller AND by edge extraction: pin once
+        pairs = build_pairs().materialize()
 
     edges = cluster_mod.edges_from_pairs(pairs, threshold=cluster_threshold)
     labels = cluster_mod.propagate_labels(edges)

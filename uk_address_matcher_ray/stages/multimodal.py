@@ -46,16 +46,24 @@ def _decode_audio(payload: bytes):
     )
 
 
-def byte_histogram_features(payload: Optional[bytes], dim: int = FEATURE_DIM):
-    """Deterministic fake feature extractor: normalized histogram of the
-    payload's bytes folded into ``dim`` buckets. Stands in for a real model
-    embedding so the distributed plumbing is fully exercised and testable."""
-    if payload is None or len(payload) == 0:
-        return [0.0] * dim
+def byte_histogram_counts(payload: Optional[bytes], dim: int = FEATURE_DIM):
+    """Deterministic fake feature extractor: histogram of the payload's bytes
+    folded into ``dim`` buckets, as EXACT integer counts (SQL-mirrorable —
+    oracle_extras.media_features_sql). Stands in for a real model embedding
+    so the distributed plumbing is fully exercised and oracle-checkable."""
     counts = [0] * dim
-    for b in payload:
-        counts[b % dim] += 1
-    n = len(payload)
+    if payload:
+        for b in payload:
+            counts[b % dim] += 1
+    return counts
+
+
+def byte_histogram_features(payload: Optional[bytes], dim: int = FEATURE_DIM):
+    """Normalized float variant of ``byte_histogram_counts``."""
+    counts = byte_histogram_counts(payload, dim)
+    n = sum(counts)
+    if n == 0:
+        return [0.0] * dim
     return [round(c / n, 8) for c in counts]
 
 
@@ -78,18 +86,26 @@ class MediaFeatureStage:
         )
         payloads = batch.column("payload").to_pylist()
         feats = []
+        hists = []
         for kind, p in zip(kinds, payloads):
             if self.use_real_decoder:
                 decoded = (
                     _decode_image(p) if kind == "image" else _decode_audio(p)
                 )
                 feats.append(decoded)
+                hists.append(None)
             else:
-                feats.append(byte_histogram_features(p, self.dim))
+                counts = byte_histogram_counts(p, self.dim)
+                hists.append(counts)
+                n = sum(counts)
+                feats.append(
+                    [round(c / n, 8) for c in counts] if n else [0.0] * self.dim
+                )
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
                 "features": pa.array(feats, pa.list_(pa.float64())),
+                "byte_hist": pa.array(hists, pa.list_(pa.int64())),
             }
         )
 
