@@ -50,19 +50,22 @@ def _flagship(sf_dir: str, mult: int = 1):
     def host_of(i, uid):
         return f"host{int(uid[1:]) % 97}.example"
 
-    pages_c = synth_web_pages(
-        [(r["unique_id"], r["address_concat"], r["postcode"]) for r in canon.to_pylist()],
-        host_of=host_of,
+    def page_batches(batch):
+        rows = batch.to_pylist()
+        return synth_web_pages(
+            [(r["unique_id"], r["address_concat"], r["postcode"]) for r in rows],
+            host_of=host_of,
+        )
+
+    # page synthesis runs distributed (map_batches) — a driver-side loop
+    # here would put O(input) serial work inside the timed window
+    pages_m = dataset_from_table(messy).map_batches(
+        page_batches, batch_format="pyarrow"
     )
-    pages_m = synth_web_pages(
-        [(r["unique_id"], r["address_concat"], r["postcode"]) for r in messy.to_pylist()],
-        host_of=host_of,
+    pages_c = dataset_from_table(canon).map_batches(
+        page_batches, batch_format="pyarrow"
     )
-    pairs, labels = flagship_pipeline(
-        dataset_from_table(pages_m),
-        dataset_from_table(pages_c),
-        cluster_threshold=5.0,
-    )
+    pairs, labels = flagship_pipeline(pages_m, pages_c, cluster_threshold=5.0)
     n_pairs = pairs.count()
     n_nodes = labels.count()
     return messy.num_rows, n_pairs, n_nodes

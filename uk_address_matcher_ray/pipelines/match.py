@@ -49,6 +49,10 @@ def match_pipeline(
         threshold=predict_threshold,
         retain_columns=retain_columns,
         salt_threshold=salt_threshold,
+        # safe pre-prune: the second pass keeps only top_n rows above its
+        # threshold per messy record, so tasks drop the rest before the
+        # unique_id_r all-to-all (identical results, fraction of the bytes)
+        local_prune=(top_n_matches, improve_threshold),
     )
     stage = ImproveStage(
         dedup_first=True,

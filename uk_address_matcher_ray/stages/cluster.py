@@ -185,11 +185,6 @@ def propagate_labels(
     import ray
 
     edges = edges_ds.materialize()
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = min(max(1, edges.count() // 65536), max(8, cpus))
-        num_partitions = max(num_partitions, 1)
-    edges = edges.repartition(num_partitions).materialize()
 
     # node count ≤ edge rows, so edge rows bound the broadcast decision
     if edges.count() <= broadcast_threshold:
@@ -229,6 +224,13 @@ def propagate_labels(
             label_map = new_map
         return ray.data.from_arrow(_labels_table(label_map))
 
+    # distributed rounds consume the edges every round: compact the block
+    # layout once (partition count ∝ edge volume, clamped to cluster CPUs)
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(max(1, edges.count() // 65536), max(8, cpus))
+        num_partitions = max(num_partitions, 1)
+    edges = edges.repartition(num_partitions).materialize()
     labels = _init_labels(edges).materialize()
     prev_sum = None
     for it in range(max_iters):

@@ -10,7 +10,7 @@ Convention (asserted by the reference's tests/test_source_dataset.py:81-87):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import pyarrow as pa
 
@@ -170,9 +170,14 @@ def scored_pairs_raw(
     threshold: float = DEFAULT_PREDICT_THRESHOLD,
     retain_columns: Sequence[str] = (),
     salt_threshold: int = 0,
+    local_prune: Optional[Tuple[int, float]] = None,
 ):
     """Blocking + in-block scoring. Output may contain one row per
-    (pair, matching rule); use ``predict`` for match_key-deduped pairs."""
+    (pair, matching rule); use ``predict`` for match_key-deduped pairs.
+
+    ``local_prune=(top_n, min_weight)``: task-local safe pre-prune for the
+    improve path (see score_vec.prune_pairs_local) — NOT valid for predict
+    semantics (drops sub-threshold pairs and multi-rule match_key copies)."""
     import ray
 
     retain_types = {}
@@ -224,9 +229,12 @@ def scored_pairs_raw(
     retain = tuple(retain_columns)
 
     def score_table(tbl: pa.Table) -> pa.Table:
-        from uk_address_matcher_ray.stages.score_vec import score_pairs_vectorized
+        from uk_address_matcher_ray.stages.score_vec import (
+            prune_pairs_local,
+            score_pairs_vectorized,
+        )
 
-        return score_pairs_vectorized(
+        out = score_pairs_vectorized(
             tbl,
             model,
             ray.get(tf_ref),
@@ -234,6 +242,9 @@ def scored_pairs_raw(
             out_schema,
             retain_columns=retain,
         )
+        if local_prune is not None:
+            out = prune_pairs_local(out, local_prune[0], local_prune[1])
+        return out
 
     from uk_address_matcher_ray.stages.grouped import grouped_map
 

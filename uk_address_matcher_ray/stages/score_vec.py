@@ -340,6 +340,45 @@ def _tf_log2_lut(level: Level, tf_pair: np.ndarray, base_log2: float) -> np.ndar
     return lut[inv]
 
 
+def prune_pairs_local(tbl: pa.Table, top_n: int, min_weight: float) -> pa.Table:
+    """Task-local safe pre-prune before the unique_id_r shuffle (used by the
+    improve path only): keep per messy record the ``top_n`` pairs by
+    (match_weight DESC, unique_id_l DESC) — the EXACT order the second pass
+    sorts by (stages/rescore.py:96-99) — and drop pairs at or below its
+    ``min_weight`` cut, which rescore_group discards unconditionally. The
+    global top-n is a subset of the union of per-task top-n, so results are
+    identical while the all-to-all moves a fraction of the rows."""
+    import numpy as np
+
+    if tbl.num_rows == 0:
+        return tbl
+    mw = tbl.column("match_weight").to_numpy(zero_copy_only=False)
+    keep = mw > min_weight
+    if not keep.all():
+        tbl = tbl.filter(pa.array(keep))
+        mw = mw[keep]
+    if tbl.num_rows == 0:
+        return tbl
+    uid_r = tbl.column("unique_id_r").to_numpy(zero_copy_only=False)
+    uid_l = tbl.column("unique_id_l").to_numpy(zero_copy_only=False)
+    _, r_rank = np.unique(uid_r, return_inverse=True)
+    _, l_rank = np.unique(uid_l, return_inverse=True)
+    order = np.lexsort((-l_rank, -mw, r_rank))
+    rr = r_rank[order]
+    ll = l_rank[order]
+    # task-local (l, r) dedup first: multi-rule copies are identical rows for
+    # the improve path and must not consume top-n slots
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (rr[1:] != rr[:-1]) | (ll[1:] != ll[:-1])
+    order = order[first]
+    rr = rr[first]
+    pos = np.arange(len(order))
+    starts = np.concatenate(([0], np.nonzero(rr[1:] != rr[:-1])[0] + 1))
+    group_start = np.repeat(starts, np.diff(np.concatenate((starts, [len(order)]))))
+    sel = order[pos - group_start < top_n]
+    return tbl.take(pa.array(np.sort(sel)))
+
+
 def score_pairs_vectorized(
     tbl: pa.Table,
     model: MatchModel,
