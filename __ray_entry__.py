@@ -513,6 +513,29 @@ def _q_train_em(sf_dir: str):
     return tbl
 
 
+def _q_adjacent_tokens(sf_dir: str):
+    """C12/C13 adjacent-record distinguishing tokens + generalised aliases
+    (distributed neighbour-window; stages/adjacent.py)."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.adjacent import (
+        derive_adjacent_distinguishing_tokens,
+    )
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    canon, messy = _synth_tables(sf_dir)
+    union = pa.concat_tables([canon, messy]).select(["unique_id", "address_concat"])
+    out = derive_adjacent_distinguishing_tokens(dataset_from_table(union))
+    return out.select_columns(
+        [
+            "unique_id",
+            "distinguishing_adj_start_tokens",
+            "common_adj_start_tokens",
+            "distinguishing_adj_token_aliases",
+        ]
+    )
+
+
 def _q_tf_build(sf_dir: str):
     """TF-table build pipeline (reference scripts/generate_better_tfs.py):
     distinct (address_concat, postcode) -> address + numeric TF tables."""
@@ -599,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_accuracy": _q_label_accuracy,
         "train_em": _q_train_em,
         "tf_build": _q_tf_build,
+        "adjacent_tokens": _q_adjacent_tokens,
         "media_features": _q_media_features,
     }
 
@@ -647,6 +671,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tf_build": _tf_build_oracle_sql(),
         "media_features": oracle_extras.media_features_sql(dim=16),
+        "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
+            f"SELECT unique_id, address_concat FROM ({_union_input_sql()})"
+        ),
         # ivf_topk: approximate index — no SQL equivalent by construction;
         # its recall vs brute force is asserted in tests/test_similarity_recall.py.
     }

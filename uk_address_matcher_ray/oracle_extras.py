@@ -119,6 +119,74 @@ FROM messy
 """
 
 
+def adjacent_tokens_sql(input_sql: str) -> str:
+    """C12/C13 oracle (reference cleaning_steps.py:585-721): global window by
+    reverse(address_concat), lag/lead common-suffix lengths, start-token
+    split, plus the generalised alias flattening. duckdb 1.0 lacks
+    correlated range(); the max-i semantics use list_filter +
+    list_aggregate('max')."""
+    from uk_address_matcher_ray.stages.adjacent import GENERALISED_ALIASES
+
+    alias_whens = " ".join(
+        f"WHEN t = '{k}' THEN {v!r}" for k, v in GENERALISED_ALIASES.items()
+    )
+    alias_expr = (
+        "flatten(list_transform(distinguishing_adj_start_tokens, "
+        f"t -> CASE {alias_whens} ELSE [t] END))"
+    )
+    return f"""
+WITH input_rows AS ({input_sql}),
+tokens AS (
+    SELECT
+        ['FLAT', 'APARTMENT', 'UNIT'] AS __tokens_to_remove,
+        list_filter(regexp_split_to_array(address_concat, '\\s+'),
+            x -> not list_contains(__tokens_to_remove, x)) AS __tokens,
+        row_number() OVER (ORDER BY reverse(address_concat)) AS row_order,
+        *
+    FROM input_rows
+    WHERE address_concat IS NOT NULL
+),
+with_neighbors AS (
+    SELECT
+        lag(__tokens) OVER (ORDER BY row_order) AS __prev_tokens,
+        lead(__tokens) OVER (ORDER BY row_order) AS __next_tokens,
+        *
+    FROM tokens
+),
+with_suffix_lengths AS (
+    SELECT
+        len(__tokens) AS __token_count,
+        CASE WHEN __prev_tokens IS NOT NULL THEN
+            list_aggregate(list_filter(
+                range(0, least(len(__tokens), len(__prev_tokens))),
+                i -> list_slice(list_reverse(__tokens), 1, i+1) =
+                     list_slice(list_reverse(__prev_tokens), 1, i+1)), 'max')
+        ELSE 0 END AS prev_common_suffix,
+        CASE WHEN __next_tokens IS NOT NULL THEN
+            list_aggregate(list_filter(
+                range(0, least(len(__tokens), len(__next_tokens))),
+                i -> list_slice(list_reverse(__tokens), 1, i+1) =
+                     list_slice(list_reverse(__next_tokens), 1, i+1)), 'max')
+        ELSE 0 END AS next_common_suffix,
+        *
+    FROM with_neighbors
+),
+split AS (
+    SELECT unique_id,
+        COALESCE(list_filter(__tokens, (token, i) ->
+            i < __token_count - greatest(prev_common_suffix, next_common_suffix)),
+            ARRAY[]) AS distinguishing_adj_start_tokens,
+        COALESCE(list_filter(__tokens, (token, i) ->
+            i >= __token_count - greatest(prev_common_suffix, next_common_suffix)),
+            ARRAY[]) AS common_adj_start_tokens
+    FROM with_suffix_lengths
+)
+SELECT unique_id, distinguishing_adj_start_tokens, common_adj_start_tokens,
+    {alias_expr} AS distinguishing_adj_token_aliases
+FROM split
+"""
+
+
 def _html_escape_sql(expr: str) -> str:
     """html.escape(quote=False) mirror: & first, then < and >."""
     return (

@@ -108,6 +108,63 @@ def _stable_hash(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
 
 
+def batch_rule_keys(
+    batch: pa.Table, model: MatchModel, side: int
+) -> Tuple[List[int], List[int], List[str]]:
+    """Columnar key emission for a whole batch -> (row_idx, rule_id, key)
+    parallel lists. Same keys as row_block_keys per row, but components are
+    extracted once per column and each rule is one zip/listcomp instead of
+    per-row dict construction (~10x on the emission/counting hot path)."""
+    n = batch.num_rows
+    names = set(batch.column_names)
+
+    def col_list(name):
+        if name in names:
+            return batch.column(name).to_pylist()
+        return [None] * n
+
+    def arr_elem(name, idx):
+        if name not in names:
+            return [None] * n
+        vals = batch.column(name).to_pylist()
+        return [v[idx] if v is not None and len(v) > idx else None for v in vals]
+
+    pc_vals = col_list("postcode")
+    comp: Dict[str, List[Optional[str]]] = {
+        "n1": col_list("numeric_token_1"),
+        "n2": col_list("numeric_token_2"),
+        "u1": arr_elem("unusual_tokens_arr", 0),
+        "u2": arr_elem("unusual_tokens_arr", 1),
+        "vu1": arr_elem("very_unusual_tokens_arr", 0),
+        "vu2": arr_elem("very_unusual_tokens_arr", 1),
+        "eu1": arr_elem("extremely_unusual_tokens_arr", 0),
+        "pc": pc_vals,
+        "out": [outward_code(p) for p in pc_vals],
+        "in": [inward_code(p) for p in pc_vals],
+    }
+
+    def resolve(kn: str) -> List[Optional[str]]:
+        if kn.startswith("col:"):
+            vals = col_list(kn[4:])
+            return [None if v is None else str(v) for v in vals]
+        return comp[kn]
+
+    out_row: List[int] = []
+    out_rule: List[int] = []
+    out_key: List[str] = []
+    for rule_id, rule in enumerate(model.blocking_rules):
+        key_names = rule.l_keys if side == 0 else rule.r_keys
+        cols = [resolve(kn) for kn in key_names]
+        prefix = f"{rule_id}{SEP}"
+        for i, vals in enumerate(zip(*cols)):
+            if None in vals:
+                continue
+            out_row.append(i)
+            out_rule.append(rule_id)
+            out_key.append(prefix + SEP.join(vals))
+    return out_row, out_rule, out_key
+
+
 class BlockKeyEmitter:
     """map_batches callable: cleaned rows -> exploded (block_key, side, payload).
 
@@ -130,14 +187,18 @@ class BlockKeyEmitter:
         self.hot_keys: Dict[str, object] = hot or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        key_cols = [c for c in key_source_columns(self.model) if c in batch.column_names]
-        rows = batch.select(key_cols).to_pylist()
-        take_idx: List[int] = []
-        keys: List[str] = []
-        rules: List[int] = []
-        for i, row in enumerate(rows):
-            for rule_id, key in row_block_keys(row, self.model, self.side):
-                salt = self.hot_keys.get(key)
+        rows_idx, rule_ids, base_keys = batch_rule_keys(batch, self.model, self.side)
+        hot = self.hot_keys
+        if not hot:
+            take_idx, rules, keys = rows_idx, rule_ids, base_keys
+        else:
+            uids = batch.column("unique_id").to_pylist()
+            uid_hash: Dict[int, int] = {}
+            take_idx: List[int] = []
+            keys: List[str] = []
+            rules: List[int] = []
+            for i, rule_id, key in zip(rows_idx, rule_ids, base_keys):
+                salt = hot.get(key)
                 if salt is None:
                     take_idx.append(i)
                     keys.append(key)
@@ -149,7 +210,10 @@ class BlockKeyEmitter:
                     keys.append(key)
                     rules.append(rule_id)
                     continue
-                h = _stable_hash(str(row["unique_id"]))
+                h = uid_hash.get(i)
+                if h is None:
+                    h = _stable_hash(str(uids[i]))
+                    uid_hash[i] = h
                 if self.side == 0:
                     li = h % kl
                     for rj in range(kr):
@@ -189,13 +253,8 @@ def compute_hot_keys(
         def emit(batch: pa.Table) -> pa.Table:
             from collections import Counter
 
-            key_cols = [
-                c for c in key_source_columns(model) if c in batch.column_names
-            ]
-            c: Counter = Counter()
-            for row in batch.select(key_cols).to_pylist():
-                for _rid, key in row_block_keys(row, model, side=side):
-                    c[key] += 1
+            _rows, _rules, keys = batch_rule_keys(batch, model, side)
+            c = Counter(keys)
             return pa.table(
                 {
                     "key": pa.array(list(c.keys()), type=pa.string()),
