@@ -63,7 +63,19 @@ def match_pipeline(
     )
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
-    return grouped_map(raw, "unique_id_r", stage.process_rows, stage.schema)
+    # only the columns the rescore kernel reads ride the unique_id_r shuffle
+    # (drops match_probability + the 8 gamma_* columns the output never uses)
+    from uk_address_matcher_ray.stages.score import pair_schema
+
+    raw_names = pair_schema(model, retain_columns).names
+    keep = [c for c in stage.input_columns() if c in raw_names]
+    return grouped_map(
+        raw.select_columns(keep),
+        "unique_id_r",
+        None,
+        stage.schema,
+        fn_table=stage.process_table,
+    )
 
 
 def flagship_pipeline(

@@ -249,46 +249,74 @@ def compute_hot_keys(
     With ``cleaned_r`` omitted only the canonical side is counted
     (k_r fixed at 1) — the pre-round-2 behavior."""
 
-    def make_emit(side: int):
+    import math as _math
+
+    import ray
+
+    # No shuffle: per-batch Counter + pigeonhole floor filter + tiny driver
+    # combine. A key with global count >= T has per-batch count >= T/nb in at
+    # least one batch (nb = batch count), so emitting only per-batch counts
+    # >= floor(T/nb) guarantees every hot key reaches the driver while the
+    # cold tail (the overwhelming majority) never leaves the tasks. The
+    # collected sum may undercount a hot key by < T (its sub-floor batches);
+    # that only shrinks the salt grid by <= 1 — salting is a performance
+    # hint, results are bit-identical at any grid size and oversized blocks
+    # score in bounded tiles.
+    BATCH = 16384
+
+    def batches_of(ds) -> int:
+        n_rows = ds.count()
+        try:
+            n_blocks = ds.num_blocks()
+        except Exception:
+            n_blocks = 1
+        return max(1, _math.ceil(n_rows / BATCH), n_blocks)
+
+    def side_counts(ds, side: int):
+        nb = batches_of(ds)
+        floor_n = max(2, salt_threshold // max(1, nb))
+
         def emit(batch: pa.Table) -> pa.Table:
             from collections import Counter
 
             _rows, _rules, keys = batch_rule_keys(batch, model, side)
             c = Counter(keys)
+            hot_items = [(k, n) for k, n in c.items() if n >= floor_n]
             return pa.table(
                 {
-                    "key": pa.array(list(c.keys()), type=pa.string()),
-                    "side": pa.array([side] * len(c), type=pa.int8()),
-                    "n": pa.array(list(c.values()), type=pa.int64()),
+                    "key": pa.array([k for k, _ in hot_items], type=pa.string()),
+                    "side": pa.array([side] * len(hot_items), type=pa.int8()),
+                    "n": pa.array([n for _, n in hot_items], type=pa.int64()),
                 }
             )
 
-        return emit
+        return ds.map_batches(emit, batch_format="pyarrow", batch_size=BATCH)
 
-    import math as _math
-
-    counted = cleaned_l.map_batches(
-        make_emit(0), batch_format="pyarrow", batch_size=2048
-    )
+    parts = side_counts(cleaned_l, 0)
     if cleaned_r is not None:
-        counted = counted.union(
-            cleaned_r.map_batches(make_emit(1), batch_format="pyarrow", batch_size=2048)
-        )
-    agg = counted.groupby(["key", "side"]).sum("n")
+        parts = parts.union(side_counts(cleaned_r, 1))
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from collections import Counter
 
-        return batch.filter(pc.greater(batch.column("sum(n)"), salt_threshold))
+    totals: Dict[int, Counter] = {0: Counter(), 1: Counter()}
+    for t in ray.get(parts.to_arrow_refs()):
+        for k, s, n in zip(
+            t.column("key").to_pylist(),
+            t.column("side").to_pylist(),
+            t.column("n").to_pylist(),
+        ):
+            totals[s][k] += n
 
-    hot = agg.map_batches(keep_hot, batch_format="pyarrow").take_all()
     out: Dict[str, Tuple[int, int]] = {}
-    for r in hot:
-        k = _math.ceil(r["sum(n)"] / salt_threshold)
-        kl, kr = out.get(r["key"], (1, 1))
-        if r["side"] == 0:
-            kl = k
-        else:
-            kr = k
-        out[r["key"]] = (kl, kr)
+    for side in (0, 1):
+        for key, n in totals[side].items():
+            if n <= salt_threshold:
+                continue
+            k = _math.ceil(n / salt_threshold)
+            kl, kr = out.get(key, (1, 1))
+            if side == 0:
+                kl = k
+            else:
+                kr = k
+            out[key] = (kl, kr)
     return out

@@ -47,18 +47,21 @@ def edges_from_pairs(pairs_ds, threshold: float, l_prefix: str = "c_", r_prefix:
     """
 
     def emit(batch: pa.Table) -> pa.Table:
-        mw = batch.column("match_weight").to_pylist()
-        l = batch.column("unique_id_l").to_pylist()
-        r = batch.column("unique_id_r").to_pylist()
-        src, dst = [], []
-        for w, a, b in zip(mw, l, r):
-            if w is not None and w >= threshold:
-                a2, b2 = l_prefix + a, r_prefix + b
-                src += [a2, b2]
-                dst += [b2, a2]
-        return pa.table(
-            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        import pyarrow.compute as pc
+
+        mw = batch.column("match_weight")
+        kept = batch.filter(
+            pc.and_kleene(pc.is_valid(mw), pc.greater_equal(mw, threshold))
         )
+        a2 = pc.binary_replace_slice(
+            kept.column("unique_id_l"), start=0, stop=0, replacement=l_prefix
+        )
+        b2 = pc.binary_replace_slice(
+            kept.column("unique_id_r"), start=0, stop=0, replacement=r_prefix
+        )
+        return pa.concat_tables(
+            [pa.table({"src": a2, "dst": b2}), pa.table({"src": b2, "dst": a2})]
+        ).combine_chunks()
 
     return pairs_ds.map_batches(emit, batch_format="pyarrow")
 
@@ -132,42 +135,110 @@ def _distributed_round(labels, edges):
     )
 
 
-def _broadcast_round(label_ref, edges) -> dict:
-    """Broadcast round: labels dict shipped once via ray.put; every batch
-    computes PARTIAL per-node mins against it (no shuffle at all) and the
-    node-count-sized partials merge on the driver — the same pre-aggregate +
-    tiny-combine shape as the TF and EM stages. Valid while the label table
-    fits the broadcast threshold; the distributed round covers the rest."""
+def _broadcast_propagate(edges, max_iters: int, checkpoint_dir: Optional[str]):
+    """Broadcast path: integer-encoded min-label propagation.
+
+    Nodes are ranked by lexicographic order ONCE (so integer min == string
+    min and the output is bit-identical to the string algorithm); edges are
+    encoded to int32 rank pairs ONCE; then each round is a numpy
+    ``minimum.at`` scatter per edge block against a broadcast label array
+    (no shuffle) with a tiny sparse driver combine, followed by driver-side
+    pointer compression (``labels = labels[labels]``), which keeps label
+    chains flat so rounds stay O(1)-ish instead of O(component diameter).
+    Valid while one int64 array per node fits the driver; the distributed
+    round covers the rest."""
+    import numpy as np
+    import pyarrow.compute as pc
     import ray
 
     from uk_address_matcher_ray.util import get_broadcast
 
-    def partial_min(batch: pa.Table) -> pa.Table:
-        lab = get_broadcast(label_ref)
-        src = batch.column("src").to_pylist()
-        dst = batch.column("dst").to_pylist()
-        get = lab.get
-        d: dict = {}
-        for s, t in zip(src, dst):
-            v = get(s, s)
-            cur = d.get(t)
-            if cur is None or v < cur:
-                d[t] = v
-        return pa.table(
-            {
-                "node": pa.array(list(d.keys()), pa.string()),
-                "label": pa.array(list(d.values()), pa.string()),
-            }
-        )
+    # --- node discovery (vectorized per-block unique + driver unique) ---
+    def distinct_src(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.unique(batch.column("src"))})
 
-    parts = edges.map_batches(partial_min, batch_format="pyarrow")
-    new_map: dict = {}
-    for t in ray.get(parts.to_arrow_refs()):
-        for n, v in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
-            cur = new_map.get(n)
-            if cur is None or v < cur:
-                new_map[n] = v
-    return new_map
+    parts = ray.get(
+        edges.map_batches(distinct_src, batch_format="pyarrow").to_arrow_refs()
+    )
+    nodes_arr = pc.unique(pa.concat_tables(parts).column("node"))
+    nodes_arr = nodes_arr.take(pc.sort_indices(nodes_arr))
+    n_nodes = len(nodes_arr)
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
+        )
+    rank = {s: i for i, s in enumerate(nodes_arr.to_pylist())}
+
+    # --- one-time int32 edge encoding ---
+    rank_ref = ray.put(rank)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        rk = get_broadcast(rank_ref)
+        s = np.fromiter(
+            (rk[x] for x in batch.column("src").to_pylist()),
+            dtype=np.int32,
+            count=batch.num_rows,
+        )
+        d = np.fromiter(
+            (rk[x] for x in batch.column("dst").to_pylist()),
+            dtype=np.int32,
+            count=batch.num_rows,
+        )
+        return pa.table({"s": pa.array(s), "d": pa.array(d)})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    int_edges = (
+        edges.map_batches(encode, batch_format="pyarrow")
+        .repartition(max(8, cpus))
+        .materialize()
+    )
+
+    int_max = np.iinfo(np.int64).max
+    labels = np.arange(n_nodes, dtype=np.int64)
+    for it in range(max_iters):
+        lab_ref = ray.put(labels)
+
+        def partial_min(batch: pa.Table) -> pa.Table:
+            lab = get_broadcast(lab_ref)
+            s = batch.column("s").to_numpy()
+            d = batch.column("d").to_numpy()
+            out = np.full(len(lab), int_max, dtype=np.int64)
+            np.minimum.at(out, d, lab[s])
+            idx = np.nonzero(out != int_max)[0]
+            return pa.table({"i": pa.array(idx), "v": pa.array(out[idx])})
+
+        acc = labels.copy()
+        for t in ray.get(
+            int_edges.map_batches(partial_min, batch_format="pyarrow").to_arrow_refs()
+        ):
+            np.minimum.at(acc, t.column("i").to_numpy(), t.column("v").to_numpy())
+        # pointer compression: labels point within the component, so
+        # composing them is safe and flattens chains without extra rounds
+        while True:
+            nxt = acc[acc]
+            if np.array_equal(nxt, acc):
+                break
+            acc = nxt
+        if checkpoint_dir is not None:
+            import os
+
+            import pyarrow.parquet as pq
+
+            d = f"{checkpoint_dir}/round={it}"
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {"node": nodes_arr, "label": nodes_arr.take(pa.array(acc))}
+                ),
+                f"{d}/labels.parquet",
+            )
+        if np.array_equal(acc, labels):
+            break
+        labels = acc
+
+    return ray.data.from_arrow(
+        pa.table({"node": nodes_arr, "label": nodes_arr.take(pa.array(labels))})
+    )
 
 
 def propagate_labels(
@@ -188,41 +259,7 @@ def propagate_labels(
 
     # node count ≤ edge rows, so edge rows bound the broadcast decision
     if edges.count() <= broadcast_threshold:
-        # broadcast path: the driver holds the label dict between rounds;
-        # every node appears as some edge's dst (edges are bidirectional),
-        # so the per-batch partial mins cover all nodes. Node discovery is
-        # a per-batch distinct + driver merge (no shuffle).
-        def distinct_src(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return pa.table({"node": pc.unique(batch.column("src"))})
-
-        label_map = {}
-        for t in ray.get(
-            edges.map_batches(distinct_src, batch_format="pyarrow").to_arrow_refs()
-        ):
-            for n in t.column("node").to_pylist():
-                label_map[n] = n
-        for it in range(max_iters):
-            ref = ray.put(label_map)
-            new_map = _broadcast_round(ref, edges)
-            # labels(v) = min(own, min neighbour labels)
-            for n, own in label_map.items():
-                cur = new_map.get(n)
-                if cur is None or own < cur:
-                    new_map[n] = own
-            if checkpoint_dir is not None:
-                import os
-
-                import pyarrow.parquet as pq
-
-                d = f"{checkpoint_dir}/round={it}"
-                os.makedirs(d, exist_ok=True)
-                pq.write_table(_labels_table(new_map), f"{d}/labels.parquet")
-            if new_map == label_map:
-                break
-            label_map = new_map
-        return ray.data.from_arrow(_labels_table(label_map))
+        return _broadcast_propagate(edges, max_iters, checkpoint_dir)
 
     # distributed rounds consume the edges every round: compact the block
     # layout once (partition count ∝ edge volume, clamped to cluster CPUs)
@@ -250,16 +287,6 @@ def propagate_labels(
             break
         prev_sum = new_sum
     return labels
-
-
-def _labels_table(label_map: dict) -> pa.Table:
-    items = sorted(label_map.items())
-    return pa.table(
-        {
-            "node": pa.array([k for k, _ in items], pa.string()),
-            "label": pa.array([v for _, v in items], pa.string()),
-        }
-    )
 
 
 import ray as _ray

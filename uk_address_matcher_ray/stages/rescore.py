@@ -90,8 +90,13 @@ def rescore_group(
     BIGRAM_REWARD_MULTIPLIER: float = 3.0,
     BIGRAM_PUNISHMENT_MULTIPLIER: float = 1.5,
     MISSING_TOKEN_PENALTY: float = 0.1,
+    cet_hist_fn=None,
 ) -> List[dict]:
-    """Rescore the (already match_key-deduped) pairs of ONE messy record."""
+    """Rescore the (already match_key-deduped) pairs of ONE messy record.
+
+    ``cet_hist_fn``: optional accessor for the messy record's common-end-token
+    histogram (lets the vectorized table path convert ONE histogram per group
+    instead of every row's)."""
     good = [r for r in rows if r["match_weight"] > match_weight_threshold]
     # ORDER BY match_weight DESC, unique_id_l DESC -> stable sorts in reverse
     good.sort(key=lambda r: r["unique_id_l"], reverse=True)
@@ -100,7 +105,10 @@ def rescore_group(
     if not top:
         return []
 
-    cet_hist = top[0].get("common_end_tokens_hist_r") or []
+    if cet_hist_fn is not None:
+        cet_hist = cet_hist_fn(top[0]) or []
+    else:
+        cet_hist = top[0].get("common_end_tokens_hist_r") or []
     cet = {e["tok"] for e in cet_hist}
 
     # The reference strips trailing common-end tokens ONLY from the messy (r)
@@ -299,6 +307,70 @@ class ImproveStage:
                         rec[f"{col}{suffix}"] = None if v is None else str(v)
         return out
 
+    # columns the rescore kernel actually reads; everything else can be
+    # projected out before the unique_id_r shuffle (see match_pipeline)
+    INPUT_COLUMNS = (
+        "unique_id_l",
+        "unique_id_r",
+        "match_weight",
+        "match_key",
+        "original_address_concat_l",
+        "original_address_concat_r",
+        "postcode_l",
+        "postcode_r",
+        "common_end_tokens_hist_r",
+    )
+
+    def input_columns(self) -> List[str]:
+        cols = list(self.INPUT_COLUMNS)
+        for col in self.retain_columns:
+            for suffix in ("_l", "_r"):
+                c = f"{col}{suffix}"
+                if c not in cols:
+                    cols.append(c)
+        return cols
+
+    def process_table(self, tbl: pa.Table) -> pa.Table:
+        """Vectorized path over a table of COMPLETE unique_id_r groups: light
+        columns convert to Python once; the heavy per-row histogram column is
+        materialized only for the single top row each group reads."""
+        if tbl.num_rows == 0:
+            return self.schema.empty_table()
+        hist_col = tbl.column("common_end_tokens_hist_r").combine_chunks()
+        light_names = [
+            n
+            for n in self.input_columns()
+            if n != "common_end_tokens_hist_r" and n in tbl.column_names
+        ]
+        light = {n: tbl.column(n).to_pylist() for n in light_names}
+        uid_r = light["unique_id_r"]
+        n = tbl.num_rows
+        params = dict(self.params)
+        params["cet_hist_fn"] = lambda row: hist_col[row["_idx"]].as_py()
+        out: List[dict] = []
+        gs = 0
+        for i in range(1, n + 1):
+            if i < n and uid_r[i] == uid_r[gs]:
+                continue
+            rows = [
+                {**{k: v[j] for k, v in light.items()}, "_idx": j}
+                for j in range(gs, i)
+            ]
+            if self.dedup_first:
+                rows = dedup_pairs_in_group(rows)
+            recs = rescore_group(rows, **params)
+            if recs and self.retain_columns:
+                by_l = {r["unique_id_l"]: r for r in rows}
+                for rec in recs:
+                    src = by_l.get(rec["unique_id_l"], {})
+                    for col in self.retain_columns:
+                        for suffix in ("_l", "_r"):
+                            v = src.get(f"{col}{suffix}")
+                            rec[f"{col}{suffix}"] = None if v is None else str(v)
+            out.extend(recs)
+            gs = i
+        return pa.Table.from_pylist(out, schema=self.schema)
+
     def __call__(self, group: pa.Table) -> pa.Table:
         return pa.Table.from_pylist(
             self.process_rows(group.to_pylist()), schema=self.schema
@@ -315,4 +387,11 @@ def improve_predictions(
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
     stage = ImproveStage(dedup_first=False, retain_columns=retain_columns, **params)
-    return grouped_map(pairs_ds, "unique_id_r", stage.process_rows, stage.schema)
+    keep = [c for c in stage.input_columns() if c in pairs_ds.schema().names]
+    return grouped_map(
+        pairs_ds.select_columns(keep),
+        "unique_id_r",
+        None,
+        stage.schema,
+        fn_table=stage.process_table,
+    )
