@@ -53,6 +53,9 @@ def edges_from_pairs(pairs_ds, threshold: float, l_prefix: str = "c_", r_prefix:
         kept = batch.filter(
             pc.and_kleene(pc.is_valid(mw), pc.greater_equal(mw, threshold))
         )
+        if kept.num_rows == 0:
+            # zero-chunk chunked arrays lose their field in pa.table()
+            return EDGE_SCHEMA.empty_table()
         a2 = pc.binary_replace_slice(
             kept.column("unique_id_l"), start=0, stop=0, replacement=l_prefix
         )
@@ -154,12 +157,23 @@ def _broadcast_propagate(edges, max_iters: int, checkpoint_dir: Optional[str]):
     from uk_address_matcher_ray.util import get_broadcast
 
     # --- node discovery (vectorized per-block unique + driver unique) ---
+    node_schema = pa.schema([pa.field("node", pa.string())])
+
     def distinct_src(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": pc.unique(batch.column("src"))})
+        if batch.num_rows == 0:
+            return node_schema.empty_table()
+        return pa.table(
+            {"node": pc.unique(batch.column("src")).cast(pa.string())}
+        )
 
     parts = ray.get(
         edges.map_batches(distinct_src, batch_format="pyarrow").to_arrow_refs()
     )
+    # empty input blocks can pass through map_batches without invoking the
+    # UDF, arriving as zero-column tables — drop them before concat
+    parts = [t for t in parts if "node" in t.schema.names and t.num_rows > 0]
+    if not parts:
+        return ray.data.from_arrow(LABEL_SCHEMA.empty_table())
     nodes_arr = pc.unique(pa.concat_tables(parts).column("node"))
     nodes_arr = nodes_arr.take(pc.sort_indices(nodes_arr))
     n_nodes = len(nodes_arr)
@@ -172,7 +186,11 @@ def _broadcast_propagate(edges, max_iters: int, checkpoint_dir: Optional[str]):
     # --- one-time int32 edge encoding ---
     rank_ref = ray.put(rank)
 
+    int_edge_schema = pa.schema([pa.field("s", pa.int32()), pa.field("d", pa.int32())])
+
     def encode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return int_edge_schema.empty_table()
         rk = get_broadcast(rank_ref)
         s = np.fromiter(
             (rk[x] for x in batch.column("src").to_pylist()),
@@ -211,6 +229,8 @@ def _broadcast_propagate(edges, max_iters: int, checkpoint_dir: Optional[str]):
         for t in ray.get(
             int_edges.map_batches(partial_min, batch_format="pyarrow").to_arrow_refs()
         ):
+            if t.num_rows == 0 or "i" not in t.schema.names:
+                continue
             np.minimum.at(acc, t.column("i").to_numpy(), t.column("v").to_numpy())
         # pointer compression: labels point within the component, so
         # composing them is safe and flattens chains without extra rounds

@@ -8,9 +8,14 @@ time. ``grouped_map`` provides the same semantics with per-BLOCK calls:
    internally);
 2. every sorted block processes all its COMPLETE groups in one task;
    leading/trailing rows whose key may straddle a block boundary are split
-   off as block outputs that stay in the object store;
-3. the straddler rows (≤ 2 keys per block) go through one tiny
-   ``groupby(key).map_groups`` repair pass; outputs union.
+   off per block;
+3. straddler repair exploits the sort's range partitioning: a key can only
+   span ADJACENT blocks, so boundary tables are chained into runs (block i
+   joins block i+1 iff i's trailing key == i+1's leading key) and each run's
+   groups are complete within the run — processed by small independent tasks
+   (batched to bound scheduling), with NO shuffle. This replaces the former
+   ``groupby(key).map_groups`` repair pass, which cost a full all-to-all job
+   for a handful of straddler rows.
 
 Two callable modes:
 
@@ -26,6 +31,10 @@ from __future__ import annotations
 from typing import Callable, List, Optional
 
 import pyarrow as pa
+
+# repair tasks process this many chained runs each — bounds task count
+# without bounding data (a run is as big as its hottest straddling key)
+_RUNS_PER_REPAIR_TASK = 32
 
 
 def grouped_map(
@@ -56,10 +65,10 @@ def grouped_map(
             out_rows.extend(fn_rows(group))
         return pa.Table.from_pylist(out_rows, schema=out_schema)
 
-    @ray.remote(num_returns=2)
+    @ray.remote(num_returns=3)
     def split_block(tbl: pa.Table):
         if tbl.num_rows == 0:
-            return out_schema.empty_table(), tbl
+            return out_schema.empty_table(), tbl, (None, None)
         keys = tbl.column(key).to_pylist()
         first_key, last_key = keys[0], keys[-1]
         n = len(keys)
@@ -70,25 +79,51 @@ def grouped_map(
         while trail_start > 0 and keys[trail_start - 1] == last_key:
             trail_start -= 1
         if trail_start < lead_end:  # whole block is one key -> all boundary
-            return out_schema.empty_table(), tbl
+            return out_schema.empty_table(), tbl, (first_key, last_key)
         done = run_complete(tbl.slice(lead_end, trail_start - lead_end))
         boundary = pa.concat_tables(
             [tbl.slice(0, lead_end), tbl.slice(trail_start, n - trail_start)]
         )
-        return done, boundary
+        return done, boundary, (first_key, last_key)
 
     done_refs = []
     boundary_refs = []
+    meta_refs = []
     for ref in refs:
-        d, b = split_block.remote(ref)
+        d, b, m = split_block.remote(ref)
         done_refs.append(d)
         boundary_refs.append(b)
+        meta_refs.append(m)
 
     done_ds = ray.data.from_arrow_refs(done_refs)
 
-    def fix_group(group: pa.Table) -> pa.Table:
-        return run_complete(group)
+    # chain adjacent boundary tables whose edge keys connect; every group is
+    # complete within its run, so runs process independently
+    metas = ray.get(meta_refs)
+    chained = [
+        (b, m) for b, m in zip(boundary_refs, metas) if m[0] is not None
+    ]
+    runs: List[List] = []
+    for i, (b, m) in enumerate(chained):
+        if runs and chained[i - 1][1][1] == m[0]:
+            runs[-1].append(b)
+        else:
+            runs.append([b])
 
-    boundary_ds = ray.data.from_arrow_refs(boundary_refs)
-    fixed = boundary_ds.groupby(key).map_groups(fix_group, batch_format="pyarrow")
+    @ray.remote
+    def repair(*tbls):
+        live = [t for t in tbls if t.num_rows > 0]
+        if not live:
+            return out_schema.empty_table()
+        tbl = pa.concat_tables(live).combine_chunks()
+        return run_complete(tbl.sort_by(key))
+
+    repair_refs = []
+    for start in range(0, len(runs), _RUNS_PER_REPAIR_TASK):
+        batch = [b for run in runs[start : start + _RUNS_PER_REPAIR_TASK] for b in run]
+        repair_refs.append(repair.remote(*batch))
+
+    if not repair_refs:
+        return done_ds
+    fixed = ray.data.from_arrow_refs(repair_refs)
     return done_ds.union(fixed)
