@@ -75,8 +75,45 @@ def _shared_codes(cols: List) -> List[np.ndarray]:
     return out
 
 
-def _hist_structs(col) -> List[Optional[dict]]:
-    return col.to_pylist()
+def _hist_items(col, n: int):
+    """list<struct<tok,rel_freq,count>> column -> per-row item lists.
+
+    ``to_pylist`` on the struct column builds a dict per entry (measured as
+    the dominant scorer cost); flattening instead converts each primitive
+    child once and zips slices. Values become Python str/float/int — the
+    float keys MUST be Python floats so downstream ``**`` uses libm pow
+    (bit-exact vs the scalar engine and the DuckDB oracle)."""
+    if n == 0:
+        return []
+    arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = (
+            arr.chunk(0)
+            if arr.num_chunks == 1
+            else pa.concat_arrays(arr.chunks)
+            if arr.num_chunks
+            else pa.array([], type=arr.type)
+        )
+    if arr.null_count == len(arr):
+        return [None] * n
+    # normalize slice offset so offsets index the flattened children directly
+    if arr.offset != 0:
+        arr = pa.concat_arrays([arr])
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    vals = arr.values
+    toks = vals.field("tok").to_pylist()
+    rfs = vals.field("rel_freq").to_numpy(zero_copy_only=False).tolist()
+    cnts = vals.field("count").to_numpy(zero_copy_only=False).tolist()
+    valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    out: List[Optional[list]] = [None] * n
+    for i in range(n):
+        if valid[i]:
+            s, e = offs[i], offs[i + 1]
+            out[i] = [
+                ((t, rf), c)
+                for t, rf, c in zip(toks[s:e], rfs[s:e], cnts[s:e])
+            ]
+    return out
 
 
 class _RowFeatures:
@@ -136,19 +173,24 @@ class _RowFeatures:
         self.cet_sorted: List[Optional[list]] = [None] * n
         self.tok_valid = np.zeros(n, dtype=bool)
         self.cet_valid = np.zeros(n, dtype=bool)
+        # histogram entries are STORED sorted by (tok, rel_freq) with unique
+        # keys (functions/features.py:histogram), so the items ARE the
+        # sorted-items list — no per-row re-sort needed
         if "token_rel_freq_arr_hist" in names:
-            for i, entries in enumerate(_hist_structs(tbl.column("token_rel_freq_arr_hist"))):
-                if entries is not None:
-                    d = {(e["tok"], e["rel_freq"]): e["count"] for e in entries}
-                    self.tok_hist[i] = d
-                    self.tok_sorted[i] = sorted(d.items())
+            for i, items in enumerate(
+                _hist_items(tbl.column("token_rel_freq_arr_hist"), n)
+            ):
+                if items is not None:
+                    self.tok_hist[i] = dict(items)
+                    self.tok_sorted[i] = items
                     self.tok_valid[i] = True
         if "common_end_tokens_hist" in names:
-            for i, entries in enumerate(_hist_structs(tbl.column("common_end_tokens_hist"))):
-                if entries is not None:
-                    d = {(e["tok"], e["rel_freq"]): e["count"] for e in entries}
-                    self.cet_hist[i] = d
-                    self.cet_sorted[i] = sorted(d.items())
+            for i, items in enumerate(
+                _hist_items(tbl.column("common_end_tokens_hist"), n)
+            ):
+                if items is not None:
+                    self.cet_hist[i] = dict(items)
+                    self.cet_sorted[i] = items
                     self.cet_valid[i] = True
 
         # term frequencies per row per tf-column (NaN = no adjustment value)
