@@ -64,13 +64,46 @@ def match_pipeline(
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
     # only the columns the rescore kernel reads ride the unique_id_r shuffle
-    # (drops match_probability + the 8 gamma_* columns the output never uses)
+    # (drops match_probability + the 8 gamma_* columns the output never
+    # uses), and the heavy common_end_tokens histogram is slimmed to the
+    # token list — the kernel reads only the token SET and the improved
+    # output carries no histogram at all
+    import pyarrow as pa
+
     from uk_address_matcher_ray.stages.score import pair_schema
 
-    raw_names = pair_schema(model, retain_columns).names
-    keep = [c for c in stage.input_columns() if c in raw_names]
+    raw_schema = pair_schema(model, retain_columns)
+    keep_light = [
+        c
+        for c in stage.input_columns()
+        if c in raw_schema.names and c != "common_end_tokens_hist_r"
+    ]
+    slim_schema = pa.schema(
+        [pa.field(c, raw_schema.field(c).type) for c in keep_light]
+        + [pa.field(stage.CET_TOKS_COL, pa.list_(pa.string()))]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return slim_schema.empty_table()
+        h = batch.column("common_end_tokens_hist_r")
+        if isinstance(h, pa.ChunkedArray):
+            h = (
+                h.chunk(0)
+                if h.num_chunks == 1
+                else pa.concat_arrays(h.chunks)
+                if h.num_chunks
+                else pa.array([], type=h.type)
+            )
+        if h.offset != 0:
+            h = pa.concat_arrays([h])
+        toks = pa.ListArray.from_arrays(h.offsets, h.values.field("tok"))
+        cols = {c: batch.column(c) for c in keep_light}
+        cols[stage.CET_TOKS_COL] = toks
+        return pa.table(cols).cast(slim_schema)
+
     return grouped_map(
-        raw.select_columns(keep),
+        raw.map_batches(slim, batch_format="pyarrow"),
         "unique_id_r",
         None,
         stage.schema,

@@ -106,10 +106,10 @@ def rescore_group(
         return []
 
     if cet_hist_fn is not None:
-        cet_hist = cet_hist_fn(top[0]) or []
+        cet = cet_hist_fn(top[0]) or set()
     else:
         cet_hist = top[0].get("common_end_tokens_hist_r") or []
-    cet = {e["tok"] for e in cet_hist}
+        cet = {e["tok"] for e in cet_hist}
 
     # The reference strips trailing common-end tokens ONLY from the messy (r)
     # side actually consumed downstream: its step-3 CTE also strips _l, but
@@ -321,6 +321,10 @@ class ImproveStage:
         "common_end_tokens_hist_r",
     )
 
+    # light substitute for the histogram column: the kernel only reads the
+    # token SET, so upstream may ship list<string> instead of list<struct>
+    CET_TOKS_COL = "cet_toks_r"
+
     def input_columns(self) -> List[str]:
         cols = list(self.INPUT_COLUMNS)
         for col in self.retain_columns:
@@ -336,17 +340,31 @@ class ImproveStage:
         materialized only for the single top row each group reads."""
         if tbl.num_rows == 0:
             return self.schema.empty_table()
-        hist_col = tbl.column("common_end_tokens_hist_r").combine_chunks()
+        if self.CET_TOKS_COL in tbl.column_names:
+            toks_col = tbl.column(self.CET_TOKS_COL).combine_chunks()
+
+            def cet_of(row):
+                v = toks_col[row["_idx"]].as_py()
+                return set(v) if v else set()
+
+        else:
+            hist_col = tbl.column("common_end_tokens_hist_r").combine_chunks()
+
+            def cet_of(row):
+                v = hist_col[row["_idx"]].as_py()
+                return {e["tok"] for e in v} if v else set()
+
         light_names = [
             n
             for n in self.input_columns()
-            if n != "common_end_tokens_hist_r" and n in tbl.column_names
+            if n not in ("common_end_tokens_hist_r", self.CET_TOKS_COL)
+            and n in tbl.column_names
         ]
         light = {n: tbl.column(n).to_pylist() for n in light_names}
         uid_r = light["unique_id_r"]
         n = tbl.num_rows
         params = dict(self.params)
-        params["cet_hist_fn"] = lambda row: hist_col[row["_idx"]].as_py()
+        params["cet_hist_fn"] = cet_of
         out: List[dict] = []
         gs = 0
         for i in range(1, n + 1):
