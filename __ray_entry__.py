@@ -325,7 +325,9 @@ def _q_extract_pages(sf_dir: str):
     )
     from uk_address_matcher_ray.util import dataset_from_table
 
-    return extract_addresses(dataset_from_table(pages))
+    return extract_addresses(dataset_from_table(pages)).select_columns(
+        ["unique_id", "address_concat", "postcode", "lang"]
+    )
 
 
 def _q_exact_dedup_docs(sf_dir: str):

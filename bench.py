@@ -186,6 +186,8 @@ def run_scaling() -> dict:
             "messy_records": out[8]["counters"]["messy_records"],
             "messy_per_sec_8cpu": thr8,
             "messy_per_sec_32cpu": thr32,
+            "cpu_ref_8cpu": out[8]["counters"]["cpu_ref_sec"],
+            "cpu_ref_32cpu": out[32]["counters"]["cpu_ref_sec"],
             "pairs_8cpu": out[8]["counters"]["improved_pairs"],
             "pairs_32cpu": out[32]["counters"]["improved_pairs"],
             "pairs_identical": out[8]["counters"]["improved_pairs"]

@@ -26,7 +26,7 @@ from uk_address_matcher_ray.state.model import MatchModel
 
 def match_pipeline(
     cleaned_l,
-    cleaned_r,
+    cleaned_r,  # None => cleaned_l is a tagged union (SIDE_COL: 0=l, 1=r)
     model: MatchModel,
     numeric_tf: Optional[Dict[str, Dict[str, float]]] = None,
     *,
@@ -128,43 +128,49 @@ def flagship_pipeline(
     back), mirroring the reference's on-the-fly mode
     (cleaning_pipelines.py:68-111).
     """
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.block import SIDE_COL
+
     model = model or MatchModel()
+
+    # Both sides flow as ONE tagged union through extract -> corpus stats ->
+    # clean -> key emission: half the Dataset jobs / materializations of the
+    # two-sided pipeline (the per-job fixed cost is CPU-count-invariant, so
+    # this directly buys scaling efficiency), identical row-level semantics.
+    def tag(ds, side: int):
+        def add(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                SIDE_COL, pa.array([side] * batch.num_rows, pa.int8())
+            )
+
+        return ds.map_batches(add, batch_format="pyarrow")
+
+    pages = tag(pages_canonical, 0).union(tag(pages_messy, 1))
 
     # Extraction output (text-only, ~10% of page bytes) is consumed by three
     # passes (corpus stats, cleaning, and cleaning's consumers); materialize
     # once so lineage doesn't re-parse HTML per pass. Blocks live in the
     # object store and spill under pressure.
-    extracted_r = extract_addresses(pages_messy, verify_text=verify_text).materialize()
-    extracted_l = extract_addresses(pages_canonical, verify_text=verify_text).materialize()
+    extracted = extract_addresses(pages, verify_text=verify_text).materialize()
 
-    def build_stats():
-        tf, num_tf, end_tokens = collect_corpus_stats(
-            extracted_r.union(extracted_l)
-        )
-        return tf, num_tf, end_tokens
-
-    tf, num_tf, end_tokens = build_stats()
+    tf, num_tf, end_tokens = collect_corpus_stats(extracted)
     numeric_tf = {f"numeric_token_{i}": num_tf for i in (1, 2, 3)}
 
-    def build_cleaned_r():
-        return clean_dataset(extracted_r, tf, end_tokens)
-
-    def build_cleaned_l():
-        return clean_dataset(extracted_l, tf, end_tokens)
+    def build_cleaned():
+        return clean_dataset(extracted, tf, end_tokens)
 
     if checkpoint_run is not None:
-        cleaned_r = checkpoint_run.stage("cleaned_messy", "v1", build_cleaned_r)
-        cleaned_l = checkpoint_run.stage("cleaned_canonical", "v1", build_cleaned_l)
+        cleaned = checkpoint_run.stage("cleaned_tagged", "v1", build_cleaned)
     else:
-        # cleaned_l feeds both the hot-key pre-pass and key emission;
+        # cleaned feeds both the hot-key pre-pass and key emission;
         # materialize to avoid re-cleaning (checkpoints do this on disk).
-        cleaned_r = build_cleaned_r().materialize()
-        cleaned_l = build_cleaned_l().materialize()
+        cleaned = build_cleaned().materialize()
 
     def build_pairs():
         return match_pipeline(
-            cleaned_l,
-            cleaned_r,
+            cleaned,
+            None,
             model,
             numeric_tf,
             salt_threshold=salt_threshold,

@@ -236,18 +236,45 @@ class BlockKeyEmitter:
         )
 
 
+class TaggedBlockKeyEmitter:
+    """Single-pass emitter over a TAGGED union of both cleaned sides
+    (``SIDE_COL``: 0 = canonical/l, 1 = messy/r). Splits each batch by side
+    and delegates to the per-side emitters — one Dataset pass instead of two,
+    byte-identical emissions."""
+
+    def __init__(self, model: MatchModel, hot_keys_ref=None):
+        self.em0 = BlockKeyEmitter(model, 0, hot_keys_ref)
+        self.em1 = BlockKeyEmitter(model, 1, hot_keys_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = batch.column(SIDE_COL)
+        bare = batch.remove_column(batch.schema.get_field_index(SIDE_COL))
+        mask0 = pc.equal(side, 0)
+        return pa.concat_tables(
+            [
+                self.em0(bare.filter(mask0)),
+                self.em1(bare.filter(pc.invert(mask0))),
+            ]
+        ).combine_chunks()
+
+
 def compute_hot_keys(
     cleaned_l,
     model: MatchModel,
     salt_threshold: int,
     cleaned_r=None,
+    tagged: bool = False,
 ) -> Dict[str, Tuple[int, int]]:
     """Frequency pre-pass: block keys with more than ``salt_threshold`` rows
     on either side get a (k_l, k_r) salt grid, k = ceil(n / salt_threshold)
     per hot side. Only the hot tail is ever collected to the driver.
 
     With ``cleaned_r`` omitted only the canonical side is counted
-    (k_r fixed at 1) — the pre-round-2 behavior."""
+    (k_r fixed at 1) — the pre-round-2 behavior. With ``tagged=True``
+    ``cleaned_l`` is a tagged union carrying ``SIDE_COL`` and both sides are
+    counted in ONE pass."""
 
     import math as _math
 
@@ -292,14 +319,51 @@ def compute_hot_keys(
 
         return ds.map_batches(emit, batch_format="pyarrow", batch_size=BATCH)
 
-    parts = side_counts(cleaned_l, 0)
-    if cleaned_r is not None:
-        parts = parts.union(side_counts(cleaned_r, 1))
+    def tagged_counts(ds):
+        nb = batches_of(ds)
+        floor_n = max(2, salt_threshold // max(1, nb))
+
+        def emit(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            from collections import Counter
+
+            side_arr = batch.column(SIDE_COL)
+            bare = batch.remove_column(batch.schema.get_field_index(SIDE_COL))
+            mask0 = pc.equal(side_arr, 0)
+            out_keys, out_sides, out_ns = [], [], []
+            for side, sub in (
+                (0, bare.filter(mask0)),
+                (1, bare.filter(pc.invert(mask0))),
+            ):
+                _rows, _rules, keys = batch_rule_keys(sub, model, side)
+                for k, n in Counter(keys).items():
+                    if n >= floor_n:
+                        out_keys.append(k)
+                        out_sides.append(side)
+                        out_ns.append(n)
+            return pa.table(
+                {
+                    "key": pa.array(out_keys, type=pa.string()),
+                    "side": pa.array(out_sides, type=pa.int8()),
+                    "n": pa.array(out_ns, type=pa.int64()),
+                }
+            )
+
+        return ds.map_batches(emit, batch_format="pyarrow", batch_size=BATCH)
+
+    if tagged:
+        parts = tagged_counts(cleaned_l)
+    else:
+        parts = side_counts(cleaned_l, 0)
+        if cleaned_r is not None:
+            parts = parts.union(side_counts(cleaned_r, 1))
 
     from collections import Counter
 
     totals: Dict[int, Counter] = {0: Counter(), 1: Counter()}
     for t in ray.get(parts.to_arrow_refs()):
+        if "key" not in t.schema.names:
+            continue  # empty passthrough block
         for k, s, n in zip(
             t.column("key").to_pylist(),
             t.column("side").to_pylist(),

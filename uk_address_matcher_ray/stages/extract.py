@@ -32,6 +32,8 @@ class ExtractStage:
         self.verify_text = verify_text
         self.lang_filter = lang_filter
 
+    _INPUT_COLS = frozenset({"url", "html", "text", "lang"})
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
@@ -46,7 +48,8 @@ class ExtractStage:
             else [None] * len(urls)
         )
         out_uid, out_addr, out_pc, out_lang = [], [], [], []
-        for url, html, text, lang in zip(urls, htmls, texts, langs):
+        keep_idx: list = []
+        for i, (url, html, text, lang) in enumerate(zip(urls, htmls, texts, langs)):
             if self.lang_filter is not None and lang is not None and lang != self.lang_filter:
                 continue
             extracted = extract_text(html)
@@ -65,7 +68,8 @@ class ExtractStage:
             out_addr.append(addr)
             out_pc.append(pc if pc else None)
             out_lang.append(lang)
-        return pa.table(
+            keep_idx.append(i)
+        out = pa.table(
             {
                 "unique_id": pa.array(out_uid, pa.string()),
                 "address_concat": pa.array(out_addr, pa.string()),
@@ -73,6 +77,14 @@ class ExtractStage:
                 "lang": pa.array(out_lang, pa.string()),
             }
         )
+        # pass through any extra input columns (e.g. a side tag) aligned to
+        # the kept rows, so tagged-union pipelines survive extraction
+        extras = [c for c in batch.column_names if c not in self._INPUT_COLS]
+        if extras:
+            taken = batch.select(extras).take(pa.array(keep_idx, pa.int64()))
+            for c in extras:
+                out = out.append_column(c, taken.column(c).combine_chunks())
+        return out
 
 
 def extract_addresses(pages_ds, *, verify_text: bool = True, concurrency=None, batch_size: int = 2048):

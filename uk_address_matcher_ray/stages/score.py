@@ -175,10 +175,18 @@ def scored_pairs_raw(
     """Blocking + in-block scoring. Output may contain one row per
     (pair, matching rule); use ``predict`` for match_key-deduped pairs.
 
+    ``cleaned_r=None``: ``cleaned_l`` is a TAGGED UNION of both sides
+    carrying ``SIDE_COL`` (0 = canonical, 1 = messy) — the hot-key pre-pass
+    and key emission each run as ONE Dataset pass instead of two.
+
     ``local_prune=(top_n, min_weight)``: task-local safe pre-prune for the
     improve path (see score_vec.prune_pairs_local) — NOT valid for predict
     semantics (drops sub-threshold pairs and multi-rule match_key copies)."""
     import ray
+
+    from uk_address_matcher_ray.stages.block import TaggedBlockKeyEmitter
+
+    tagged = cleaned_r is None
 
     retain_types = {}
     if retain_columns:
@@ -193,10 +201,15 @@ def scored_pairs_raw(
         # emission consumes them again — pin them so a lazy cleaning graph
         # doesn't execute twice
         cleaned_l = cleaned_l.materialize()
-        cleaned_r = cleaned_r.materialize()
-        hot_keys = compute_hot_keys(
-            cleaned_l, model, salt_threshold, cleaned_r=cleaned_r
-        )
+        if tagged:
+            hot_keys = compute_hot_keys(
+                cleaned_l, model, salt_threshold, tagged=True
+            )
+        else:
+            cleaned_r = cleaned_r.materialize()
+            hot_keys = compute_hot_keys(
+                cleaned_l, model, salt_threshold, cleaned_r=cleaned_r
+            )
     hot_ref = ray.put(hot_keys)
 
     # After key emission, only the scoring payload rides the shuffle —
@@ -222,7 +235,18 @@ def scored_pairs_raw(
         keep = [c for c in payload_cols if c in names]
         return emitted.select_columns(keep)
 
-    both = emit_side(cleaned_l, 0).union(emit_side(cleaned_r, 1))
+    if tagged:
+        from uk_address_matcher_ray.util import get_broadcast
+
+        def emit_tagged(batch: pa.Table) -> pa.Table:
+            return TaggedBlockKeyEmitter(model, get_broadcast(hot_ref))(batch)
+
+        emitted = cleaned_l.map_batches(emit_tagged, batch_format="pyarrow")
+        names = cleaned_l.schema().names + [BLOCK_KEY_COL, RULE_COL]
+        keep = [c for c in payload_cols if c in names]
+        both = emitted.select_columns(keep)
+    else:
+        both = emit_side(cleaned_l, 0).union(emit_side(cleaned_r, 1))
 
     out_schema = pair_schema(model, retain_columns, retain_types)
     tf_ref = ray.put(numeric_tf or {})
