@@ -21,15 +21,35 @@ STREETS = [
 ]
 CITIES = ["LONDON", "YORK", "LEEDS", "SUDBURY", "BRISTOL", "DERBY"]
 
+# keys >= DISTRICT_SPAN live in a separate "district": street name tokens and
+# postcode outward codes carry the district index, so scaled benchmark
+# corpora (bench.py replicates the key space by DISTRICT_SPAN offsets) grow
+# in SIZE, not match DENSITY — block keys never collide across districts and
+# the blocking cross-pair count stays linear in the input. k < DISTRICT_SPAN
+# (all driver/oracle paths) is byte-identical to the pre-district synth.
+DISTRICT_SPAN = 300_000
+
+
+def _street(k: int) -> str:
+    street = STREETS[k % 8]
+    district = k // DISTRICT_SPAN
+    if district:
+        head, _, rest = street.partition(" ")
+        street = f"{head}{district} {rest}"
+    return street
+
 
 def _canonical_parts(k: int) -> Tuple[str, str]:
     n = k % 150 + 1
     letter = chr(65 + k % 5)
-    street = STREETS[k % 8]
+    street = _street(k)
     city = CITIES[k % 6]
     flat = f"FLAT {letter} " if k % 4 == 0 else ""
     addr = f"{flat}{n} {street} {city}"
     out = chr(65 + k % 20) + chr(66 + (k // 20) % 6) + str(k % 9 + 1)
+    district = k // DISTRICT_SPAN
+    if district:
+        out = f"{out}Q{district}"
     inw = str((k * 7) % 10) + chr(65 + (k * 3) % 26) + chr(65 + (k * 11) % 26)
     return addr, f"{out} {inw}"
 
@@ -39,7 +59,7 @@ def _messy_parts(k: int) -> Optional[Tuple[str, str]]:
         return None
     addr, pc = _canonical_parts(k)
     n = k % 150 + 1
-    street = STREETS[k % 8]
+    street = _street(k)
     city = CITIES[k % 6]
     p = k % 6
     if p == 0:
@@ -95,24 +115,36 @@ _CITIES_SQL = "[" + ", ".join(f"'{c}'" for c in CITIES) + "]"
 
 _PARTS_SQL = f"""
 SELECT
-    c_custkey AS k,
-    c_custkey % 150 + 1 AS n,
-    chr(CAST(65 + c_custkey % 5 AS INT)) AS letter,
-    list_extract({_STREETS_SQL}, c_custkey % 8 + 1) AS street,
-    list_extract({_CITIES_SQL}, c_custkey % 6 + 1) AS city,
-    chr(CAST(65 + c_custkey % 20 AS INT)) || chr(CAST(66 + (c_custkey // 20) % 6 AS INT))
-        || CAST(c_custkey % 9 + 1 AS VARCHAR)
+    k, n, letter, street, city,
+    outward || CAST(k % 9 + 1 AS VARCHAR)
+        || (CASE WHEN district = 0 THEN '' ELSE 'Q' || CAST(district AS VARCHAR) END)
         || ' '
-        || CAST((c_custkey * 7) % 10 AS VARCHAR)
-        || chr(CAST(65 + (c_custkey * 3) % 26 AS INT)) || chr(CAST(65 + (c_custkey * 11) % 26 AS INT))
+        || CAST((k * 7) % 10 AS VARCHAR)
+        || chr(CAST(65 + (k * 3) % 26 AS INT)) || chr(CAST(65 + (k * 11) % 26 AS INT))
         AS pc,
-    (CASE WHEN c_custkey % 4 = 0
-        THEN 'FLAT ' || chr(CAST(65 + c_custkey % 5 AS INT)) || ' ' ELSE '' END)
-        || CAST(c_custkey % 150 + 1 AS VARCHAR)
-        || ' ' || list_extract({_STREETS_SQL}, c_custkey % 8 + 1)
-        || ' ' || list_extract({_CITIES_SQL}, c_custkey % 6 + 1)
+    (CASE WHEN k % 4 = 0 THEN 'FLAT ' || letter || ' ' ELSE '' END)
+        || CAST(n AS VARCHAR) || ' ' || street || ' ' || city
         AS addr
-FROM ({{source}})
+FROM (
+    SELECT
+        k, n, letter, city, district, outward,
+        CASE WHEN district = 0 THEN base_street
+             ELSE split_part(base_street, ' ', 1) || CAST(district AS VARCHAR)
+                  || ' ' || split_part(base_street, ' ', 2)
+        END AS street
+    FROM (
+        SELECT
+            c_custkey AS k,
+            c_custkey % 150 + 1 AS n,
+            c_custkey // {DISTRICT_SPAN} AS district,
+            chr(CAST(65 + c_custkey % 5 AS INT)) AS letter,
+            list_extract({_STREETS_SQL}, c_custkey % 8 + 1) AS base_street,
+            list_extract({_CITIES_SQL}, c_custkey % 6 + 1) AS city,
+            chr(CAST(65 + c_custkey % 20 AS INT))
+                || chr(CAST(66 + (c_custkey // 20) % 6 AS INT)) AS outward
+        FROM ({{source}})
+    )
+)
 """
 
 

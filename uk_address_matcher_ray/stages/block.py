@@ -319,16 +319,29 @@ def compute_hot_keys(
 
         return ds.map_batches(emit, batch_format="pyarrow", batch_size=BATCH)
 
-    def tagged_counts(ds):
-        nb = batches_of(ds)
-        floor_n = max(2, salt_threshold // max(1, nb))
+    if tagged:
+        # tagged input is already materialized: count with RAW tasks over the
+        # block refs — no Dataset job (its fixed per-job cost is CPU-count
+        # invariant and would land straight in the Amdahl serial term)
+        refs = cleaned_l.to_arrow_refs()
+        nb = max(1, len(refs))
+        floor_n = max(2, salt_threshold // nb)
 
-        def emit(batch: pa.Table) -> pa.Table:
+        @ray.remote
+        def count_block(tbl: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             from collections import Counter
 
-            side_arr = batch.column(SIDE_COL)
-            bare = batch.remove_column(batch.schema.get_field_index(SIDE_COL))
+            if tbl.num_rows == 0 or SIDE_COL not in tbl.schema.names:
+                return pa.table(
+                    {
+                        "key": pa.array([], pa.string()),
+                        "side": pa.array([], pa.int8()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            side_arr = tbl.column(SIDE_COL)
+            bare = tbl.remove_column(tbl.schema.get_field_index(SIDE_COL))
             mask0 = pc.equal(side_arr, 0)
             out_keys, out_sides, out_ns = [], [], []
             for side, sub in (
@@ -349,19 +362,17 @@ def compute_hot_keys(
                 }
             )
 
-        return ds.map_batches(emit, batch_format="pyarrow", batch_size=BATCH)
-
-    if tagged:
-        parts = tagged_counts(cleaned_l)
+        part_tables = ray.get([count_block.remote(r) for r in refs])
     else:
         parts = side_counts(cleaned_l, 0)
         if cleaned_r is not None:
             parts = parts.union(side_counts(cleaned_r, 1))
+        part_tables = ray.get(parts.to_arrow_refs())
 
     from collections import Counter
 
     totals: Dict[int, Counter] = {0: Counter(), 1: Counter()}
-    for t in ray.get(parts.to_arrow_refs()):
+    for t in part_tables:
         if "key" not in t.schema.names:
             continue  # empty passthrough block
         for k, s, n in zip(

@@ -36,7 +36,10 @@ LABEL_SCHEMA = pa.schema(
     [pa.field("node", pa.string()), pa.field("label", pa.string())]
 )
 
-DEFAULT_BROADCAST_THRESHOLD = 2_000_000  # label rows; ~100 MB of id strings
+# max NODES the broadcast path keeps on the driver (int64 label array +
+# sorted id string array ≈ 60 B/node -> ~300 MB at the default); edge count
+# is unbounded — edges stay distributed as int32 blocks
+DEFAULT_BROADCAST_THRESHOLD = 5_000_000
 
 
 def edges_from_pairs(pairs_ds, threshold: float, l_prefix: str = "c_", r_prefix: str = "m_"):
@@ -138,25 +141,12 @@ def _distributed_round(labels, edges):
     )
 
 
-def _broadcast_propagate(edges, max_iters: int, checkpoint_dir: Optional[str]):
-    """Broadcast path: integer-encoded min-label propagation.
-
-    Nodes are ranked by lexicographic order ONCE (so integer min == string
-    min and the output is bit-identical to the string algorithm); edges are
-    encoded to int32 rank pairs ONCE; then each round is a numpy
-    ``minimum.at`` scatter per edge block against a broadcast label array
-    (no shuffle) with a tiny sparse driver combine, followed by driver-side
-    pointer compression (``labels = labels[labels]``), which keeps label
-    chains flat so rounds stay O(1)-ish instead of O(component diameter).
-    Valid while one int64 array per node fits the driver; the distributed
-    round covers the rest."""
-    import numpy as np
+def _discover_nodes(edges):
+    """Distributed per-block distinct + driver unique -> SORTED node array
+    (lexicographic rank order). Returns None when there are no nodes."""
     import pyarrow.compute as pc
     import ray
 
-    from uk_address_matcher_ray.util import get_broadcast
-
-    # --- node discovery (vectorized per-block unique + driver unique) ---
     node_schema = pa.schema([pa.field("node", pa.string())])
 
     def distinct_src(batch: pa.Table) -> pa.Table:
@@ -173,36 +163,48 @@ def _broadcast_propagate(edges, max_iters: int, checkpoint_dir: Optional[str]):
     # UDF, arriving as zero-column tables — drop them before concat
     parts = [t for t in parts if "node" in t.schema.names and t.num_rows > 0]
     if not parts:
-        return ray.data.from_arrow(LABEL_SCHEMA.empty_table())
+        return None
     nodes_arr = pc.unique(pa.concat_tables(parts).column("node"))
-    nodes_arr = nodes_arr.take(pc.sort_indices(nodes_arr))
-    n_nodes = len(nodes_arr)
-    if n_nodes == 0:
-        return ray.data.from_arrow(
-            pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())})
-        )
-    rank = {s: i for i, s in enumerate(nodes_arr.to_pylist())}
+    if len(nodes_arr) == 0:
+        return None
+    return nodes_arr.take(pc.sort_indices(nodes_arr))
 
-    # --- one-time int32 edge encoding ---
-    rank_ref = ray.put(rank)
+
+def _broadcast_propagate(
+    edges, nodes_arr, max_iters: int, checkpoint_dir: Optional[str]
+):
+    """Broadcast path: integer-encoded min-label propagation.
+
+    Nodes are ranked by lexicographic order ONCE (so integer min == string
+    min and the output is bit-identical to the string algorithm); edges are
+    encoded to int32 rank pairs ONCE via a vectorized ``pc.index_in``
+    against the broadcast sorted node array; then each round is a numpy
+    ``minimum.at`` scatter per edge block against a broadcast label array
+    (no shuffle) with a tiny sparse driver combine, followed by driver-side
+    pointer compression (``labels = labels[labels]``), which keeps label
+    chains flat so rounds stay O(1)-ish instead of O(component diameter).
+    Edges stay distributed at ANY count — only per-NODE arrays live on the
+    driver; the distributed round covers node counts beyond that."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from uk_address_matcher_ray.util import get_broadcast
+
+    n_nodes = len(nodes_arr)
+
+    # --- one-time int32 edge encoding (rank = position in sorted array) ---
+    nodes_ref = ray.put(nodes_arr)
 
     int_edge_schema = pa.schema([pa.field("s", pa.int32()), pa.field("d", pa.int32())])
 
     def encode(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return int_edge_schema.empty_table()
-        rk = get_broadcast(rank_ref)
-        s = np.fromiter(
-            (rk[x] for x in batch.column("src").to_pylist()),
-            dtype=np.int32,
-            count=batch.num_rows,
-        )
-        d = np.fromiter(
-            (rk[x] for x in batch.column("dst").to_pylist()),
-            dtype=np.int32,
-            count=batch.num_rows,
-        )
-        return pa.table({"s": pa.array(s), "d": pa.array(d)})
+        nodes = get_broadcast(nodes_ref)
+        s = pc.index_in(batch.column("src"), value_set=nodes).cast(pa.int32())
+        d = pc.index_in(batch.column("dst"), value_set=nodes).cast(pa.int32())
+        return pa.table({"s": s, "d": d})
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     int_edges = (
@@ -270,6 +272,10 @@ def propagate_labels(
 ):
     """-> Dataset(node, label) of connected components.
 
+    ``broadcast_threshold`` bounds the NODE count of the broadcast path —
+    only per-node arrays ever live on the driver; edges stay distributed as
+    int32 blocks at any edge count.
+
     ``checkpoint_dir``: when set, labels are written per round
     (``{dir}/round={k}/``) so a failed run resumes from the last round.
     """
@@ -277,9 +283,11 @@ def propagate_labels(
 
     edges = edges_ds.materialize()
 
-    # node count ≤ edge rows, so edge rows bound the broadcast decision
-    if edges.count() <= broadcast_threshold:
-        return _broadcast_propagate(edges, max_iters, checkpoint_dir)
+    nodes_arr = _discover_nodes(edges)
+    if nodes_arr is None:
+        return ray.data.from_arrow(LABEL_SCHEMA.empty_table())
+    if len(nodes_arr) <= broadcast_threshold:
+        return _broadcast_propagate(edges, nodes_arr, max_iters, checkpoint_dir)
 
     # distributed rounds consume the edges every round: compact the block
     # layout once (partition count ∝ edge volume, clamped to cluster CPUs)

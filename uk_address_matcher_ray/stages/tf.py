@@ -111,16 +111,51 @@ def collect_corpus_stats(
 
     The aggregated table is vocabulary-sized (≪ corpus) so collecting it to
     the driver is bounded; at 100 TB scale the vocabulary still fits in
-    memory after the count aggregation.
+    memory after the count aggregation. Partial per-batch counts merge in a
+    fan-in-8 TREE of Ray tasks (each level re-aggregates, so every
+    intermediate stays vocabulary-bounded) — no all-to-all shuffle, and
+    integer-sum merges are order-independent so the result is exact at any
+    tree shape.
     """
-    agg = corpus_stats_dataset(ds).to_arrow_refs()
     import ray
 
-    tables = ray.get(agg)
-    tbl = pa.concat_tables([t for t in tables if t.num_rows])
+    partials = ds.map_batches(
+        _partial_counts_batch, batch_format="pyarrow", batch_size=8192
+    )
+    refs = list(partials.to_arrow_refs())
+
+    @ray.remote
+    def merge(*tbls):
+        live = [
+            t for t in tbls if "token" in t.schema.names and t.num_rows > 0
+        ]
+        if not live:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "kind": pa.array([], pa.int8()),
+                    "count": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.concat_tables(live)
+        agg = t.group_by(["token", "kind"]).aggregate([("count", "sum")])
+        return agg.rename_columns(["token", "kind", "count"])
+
+    if not refs:
+        tbl = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "kind": pa.array([], pa.int8()),
+                "count": pa.array([], pa.int64()),
+            }
+        )
+    else:
+        while len(refs) > 1:
+            refs = [merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+        tbl = ray.get(refs[0])
     toks = tbl.column("token").to_pylist()
     kinds = tbl.column("kind").to_pylist()
-    cnts = tbl.column("sum(count)").to_pylist()
+    cnts = tbl.column("count").to_pylist()
     tok_counts: Counter = Counter()
     num_counts: Counter = Counter()
     end_counts: Counter = Counter()
