@@ -206,12 +206,10 @@ def _broadcast_propagate(
         d = pc.index_in(batch.column("dst"), value_set=nodes).cast(pa.int32())
         return pa.table({"s": s, "d": d})
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    int_edges = (
-        edges.map_batches(encode, batch_format="pyarrow")
-        .repartition(max(8, cpus))
-        .materialize()
-    )
+    # edges arrive pre-repartitioned (propagate_labels) — ~one block per
+    # CPU, so index_in builds its value-set hash table once per block, not
+    # once per tiny upstream block
+    int_edges = edges.map_batches(encode, batch_format="pyarrow").materialize()
 
     int_max = np.iinfo(np.int64).max
     labels = np.arange(n_nodes, dtype=np.int64)
@@ -283,19 +281,22 @@ def propagate_labels(
 
     edges = edges_ds.materialize()
 
+    # compact the block layout once (~one block per CPU): node discovery,
+    # int encoding (one index_in hash build per block) and every propagation
+    # round all reread the edges
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = min(
+            max(1, edges.count() // 65536), max(8, cpus)
+        )
+        num_partitions = max(num_partitions, 1)
+    edges = edges.repartition(num_partitions).materialize()
+
     nodes_arr = _discover_nodes(edges)
     if nodes_arr is None:
         return ray.data.from_arrow(LABEL_SCHEMA.empty_table())
     if len(nodes_arr) <= broadcast_threshold:
         return _broadcast_propagate(edges, nodes_arr, max_iters, checkpoint_dir)
-
-    # distributed rounds consume the edges every round: compact the block
-    # layout once (partition count ∝ edge volume, clamped to cluster CPUs)
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = min(max(1, edges.count() // 65536), max(8, cpus))
-        num_partitions = max(num_partitions, 1)
-    edges = edges.repartition(num_partitions).materialize()
     labels = _init_labels(edges).materialize()
     prev_sum = None
     for it in range(max_iters):
