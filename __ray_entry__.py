@@ -436,16 +436,17 @@ def _q_events_hourly(sf_dir: str):
     import pyarrow as pa
     import ray
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
 
-    def add_window(batch: pa.Table) -> pa.Table:
+    def add_window_partial(batch: pa.Table) -> pa.Table:
         """Arrow-native window key + exact integer cents (round-half-even,
-        same as Python round()) so the distributed integer sum is
-        order-independent and matches the DuckDB oracle bit-for-bit."""
+        same as Python round()), PRE-AGGREGATED per batch (integer sums are
+        associative, so the partial/final split is exact) — only the
+        per-batch distinct (user, hour) rows ride the groupby shuffle."""
         import numpy as np
         import pyarrow.compute as pc
 
@@ -453,18 +454,22 @@ def _q_events_hourly(sf_dir: str):
         hours = pc.divide(ts_us, 3_600_000_000)
         vals = batch.column("value").to_numpy(zero_copy_only=False)
         cents = np.rint(vals * 100.0).astype(np.int64)
-        return pa.table(
+        t = pa.table(
             {
                 "user_id": batch.column("user_id"),
                 "hour_window": hours,
                 "cents": pa.array(cents, pa.int64()),
             }
         )
+        part = t.group_by(["user_id", "hour_window"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return part.rename_columns(["user_id", "hour_window", "cents", "n"])
 
     agg = (
-        ds.map_batches(add_window, batch_format="pyarrow")
+        ds.map_batches(add_window_partial, batch_format="pyarrow")
         .groupby(["user_id", "hour_window"])
-        .aggregate(Count(), Sum("cents"))
+        .aggregate(Sum("n"), Sum("cents"))
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -472,7 +477,7 @@ def _q_events_hourly(sf_dir: str):
             {
                 "user_id": batch.column("user_id").cast(pa.int64()),
                 "hour_window": batch.column("hour_window").cast(pa.int64()),
-                "n_events": batch.column("count()").cast(pa.int64()),
+                "n_events": batch.column("sum(n)").cast(pa.int64()),
                 "sum_value_cents": batch.column("sum(cents)").cast(pa.int64()),
             }
         )

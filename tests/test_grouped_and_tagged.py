@@ -157,6 +157,46 @@ def test_tagged_union_blocking_equals_two_sided():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_distributed_label_propagation_matches_broadcast():
+    """The >threshold distributed fallback must produce the identical label
+    table as the broadcast path (chains, stars, cross-block components)."""
+    import ray
+
+    from uk_address_matcher_ray.stages.cluster import propagate_labels
+
+    # chain 0-1-2-...-9, star around h0, some singleton pairs
+    edges = []
+    for i in range(9):
+        edges.append((f"n{i}", f"n{i+1}"))
+    for i in range(12):
+        edges.append(("h0", f"s{i:02d}"))
+    edges.append(("z1", "z2"))
+    src = [a for a, b in edges] + [b for a, b in edges]
+    dst = [b for a, b in edges] + [a for a, b in edges]
+    tbl = pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+    slices = [tbl.slice(i, 7) for i in range(0, tbl.num_rows, 7)]
+
+    broadcast = (
+        propagate_labels(ray.data.from_arrow(slices))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    distributed = (
+        propagate_labels(ray.data.from_arrow(slices), broadcast_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert broadcast.equals(distributed)
+    # spot-check semantics: lexicographic min of each component
+    lab = dict(zip(broadcast["node"], broadcast["label"]))
+    assert lab["n9"] == "n0"
+    assert lab["h0"] == "h0" and lab["s11"] == "h0"
+    assert lab["z2"] == "z1"
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_district_synth_scales_size_not_density():
     """Scaled bench corpora: district-offset keys must not share block keys
     (cross-pair work stays linear in the input)."""

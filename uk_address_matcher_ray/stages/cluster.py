@@ -325,6 +325,8 @@ import ray as _ray
 def _crc_block(tbl: pa.Table) -> int:
     import zlib
 
+    if "node" not in tbl.schema.names:  # empty passthrough block
+        return 0
     s = 0
     for n, l in zip(tbl.column("node").to_pylist(), tbl.column("label").to_pylist()):
         s = (s + zlib.crc32(f"{n}\x1f{l}".encode())) % (1 << 61)
