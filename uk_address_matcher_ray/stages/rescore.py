@@ -91,6 +91,7 @@ def rescore_group(
     BIGRAM_PUNISHMENT_MULTIPLIER: float = 1.5,
     MISSING_TOKEN_PENALTY: float = 0.1,
     cet_hist_fn=None,
+    raw_maps: bool = False,
 ) -> List[dict]:
     """Rescore the (already match_key-deduped) pairs of ONE messy record.
 
@@ -170,8 +171,16 @@ def rescore_group(
             "mw_adjustment": None,  # filled below
             "match_weight_original": r["match_weight"],
             "match_weight": None,
-            "overlapping_tokens_this_l_and_r": _map_cols(overlapping, False),
-            "tokens_elsewhere_in_block_but_not_this": _map_cols(elsewhere, False),
+            "overlapping_tokens_this_l_and_r": (
+                sorted(overlapping.items())
+                if raw_maps
+                else _map_cols(overlapping, False)
+            ),
+            "tokens_elsewhere_in_block_but_not_this": (
+                sorted(elsewhere.items())
+                if raw_maps
+                else _map_cols(elsewhere, False)
+            ),
             "missing_tokens": missing_tokens,
             "original_address_concat_l": r["original_address_concat_l"],
             "postcode_l": r.get("postcode_l"),
@@ -217,21 +226,120 @@ def rescore_group(
                 )
             )
             adj -= BIGRAM_PUNISHMENT_MULTIPLIER * len(elsewhere_bg_f)
-            rec["overlapping_bigrams_this_l_and_r"] = _map_cols(overlapping_bg, True)
-            rec["bigrams_elsewhere_in_block_but_not_this"] = _map_cols(
-                elsewhere_bg, True
-            )
-            rec["overlapping_bigrams_this_l_and_r_filtered"] = _map_cols(
-                overlapping_bg_f, True
-            )
-            rec["bigrams_elsewhere_in_block_but_not_this_filtered"] = _map_cols(
-                elsewhere_bg_f, True
-            )
+            if raw_maps:
+                rec["overlapping_bigrams_this_l_and_r"] = sorted(
+                    overlapping_bg.items()
+                )
+                rec["bigrams_elsewhere_in_block_but_not_this"] = sorted(
+                    elsewhere_bg.items()
+                )
+                rec["overlapping_bigrams_this_l_and_r_filtered"] = sorted(
+                    overlapping_bg_f.items()
+                )
+                rec["bigrams_elsewhere_in_block_but_not_this_filtered"] = sorted(
+                    elsewhere_bg_f.items()
+                )
+            else:
+                rec["overlapping_bigrams_this_l_and_r"] = _map_cols(
+                    overlapping_bg, True
+                )
+                rec["bigrams_elsewhere_in_block_but_not_this"] = _map_cols(
+                    elsewhere_bg, True
+                )
+                rec["overlapping_bigrams_this_l_and_r_filtered"] = _map_cols(
+                    overlapping_bg_f, True
+                )
+                rec["bigrams_elsewhere_in_block_but_not_this_filtered"] = _map_cols(
+                    elsewhere_bg_f, True
+                )
 
         rec["mw_adjustment"] = adj
         rec["match_weight"] = r["match_weight"] + adj
         out.append(rec)
     return out
+
+
+_STR_MAP_COLS = frozenset(
+    {"overlapping_tokens_this_l_and_r", "tokens_elsewhere_in_block_but_not_this"}
+)
+_BG_MAP_COLS = frozenset(
+    {
+        "overlapping_bigrams_this_l_and_r",
+        "bigrams_elsewhere_in_block_but_not_this",
+        "overlapping_bigrams_this_l_and_r_filtered",
+        "bigrams_elsewhere_in_block_but_not_this_filtered",
+    }
+)
+
+
+def _build_str_map_col(col_items: List[list]) -> pa.Array:
+    """Per-row sorted (key, value) item lists -> list<struct<key,value>>."""
+    offs = [0]
+    ks: List[str] = []
+    vs: List[int] = []
+    for items in col_items:
+        for k, v in items:
+            ks.append(k)
+            vs.append(v)
+        offs.append(len(ks))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(ks, pa.string()), pa.array(vs, pa.int64())], ["key", "value"]
+    )
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), struct)
+
+
+def _build_bg_map_col(col_items: List[list]) -> pa.Array:
+    """Per-row sorted ((a, b), value) item lists ->
+    list<struct<key: list<string>, value>>."""
+    offs = [0]
+    koffs = [0]
+    ktoks: List[str] = []
+    vs: List[int] = []
+    for items in col_items:
+        for (a, b), v in items:
+            ktoks.append(a)
+            ktoks.append(b)
+            koffs.append(len(ktoks))
+            vs.append(v)
+        offs.append(len(vs))
+    keys_list = pa.ListArray.from_arrays(
+        pa.array(koffs, pa.int32()), pa.array(ktoks, pa.string())
+    )
+    struct = pa.StructArray.from_arrays(
+        [keys_list, pa.array(vs, pa.int64())], ["key", "value"]
+    )
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), struct)
+
+
+def _build_str_list_col(col_items: List[list]) -> pa.Array:
+    offs = [0]
+    toks: List[str] = []
+    for items in col_items:
+        toks.extend(items)
+        offs.append(len(toks))
+    return pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), pa.array(toks, pa.string())
+    )
+
+
+def _assemble_improved(out: List[dict], schema: pa.Schema) -> pa.Table:
+    """Flat-builder Arrow assembly of raw_maps rescore rows (measured ~26%
+    of the rescore kernel when done per-entry via dicts + from_pylist)."""
+    if not out:
+        return schema.empty_table()
+    arrays: List[pa.Array] = []
+    for fld in schema:
+        nm = fld.name
+        col = [r[nm] for r in out]
+        if nm in _STR_MAP_COLS:
+            arrays.append(_build_str_map_col(col))
+        elif nm in _BG_MAP_COLS:
+            arrays.append(_build_bg_map_col(col))
+        elif nm == "missing_tokens":
+            arrays.append(_build_str_list_col(col))
+        else:
+            arrays.append(pa.array(col, fld.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
 
 
 _STR_MAP = pa.list_(
@@ -365,6 +473,7 @@ class ImproveStage:
         n = tbl.num_rows
         params = dict(self.params)
         params["cet_hist_fn"] = cet_of
+        params["raw_maps"] = True
         out: List[dict] = []
         gs = 0
         for i in range(1, n + 1):
@@ -387,7 +496,7 @@ class ImproveStage:
                             rec[f"{col}{suffix}"] = None if v is None else str(v)
             out.extend(recs)
             gs = i
-        return pa.Table.from_pylist(out, schema=self.schema)
+        return _assemble_improved(out, self.schema)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         return pa.Table.from_pylist(
