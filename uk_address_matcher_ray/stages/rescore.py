@@ -92,6 +92,7 @@ def rescore_group(
     MISSING_TOKEN_PENALTY: float = 0.1,
     cet_hist_fn=None,
     raw_maps: bool = False,
+    l_memo: Optional[dict] = None,
 ) -> List[dict]:
     """Rescore the (already match_key-deduped) pairs of ONE messy record.
 
@@ -121,10 +122,40 @@ def rescore_group(
 
     tokens_r = _concat_tokens(stripped_r, top[0].get("postcode_r"))
     tokens_r_set = set(tokens_r)
-    tokens_l_list = [
-        _concat_tokens(r["original_address_concat_l"], r.get("postcode_l"))
-        for r in top
-    ]
+    if l_memo is None:
+        tokens_l_list = [
+            _concat_tokens(r["original_address_concat_l"], r.get("postcode_l"))
+            for r in top
+        ]
+        l_sets = [set(tl) for tl in tokens_l_list]
+        if use_bigrams:
+            l_bigrams = []
+            for tl in tokens_l_list:
+                bg = _bigrams(tl)
+                l_bigrams.append((bg, set(bg)))
+        else:
+            l_bigrams = None
+    else:
+        # canonical rows recur across many messy groups in one task — memoize
+        # their derived tokens/bigrams by (address, postcode)
+        tokens_l_list = []
+        l_sets = []
+        l_bigrams = [] if use_bigrams else None
+        for r in top:
+            mk = (r["original_address_concat_l"], r.get("postcode_l"))
+            ent = l_memo.get(mk)
+            if ent is None:
+                tl = _concat_tokens(mk[0], mk[1])
+                if use_bigrams:
+                    bg = _bigrams(tl)
+                    ent = (tl, set(tl), bg, set(bg))
+                else:
+                    ent = (tl, set(tl), None, None)
+                l_memo[mk] = ent
+            tokens_l_list.append(ent[0])
+            l_sets.append(ent[1])
+            if use_bigrams:
+                l_bigrams.append((ent[2], ent[3]))
 
     flat: List[str] = [t for tl in tokens_l_list for t in tl]
     hist_all_tokens: Dict[str, int] = {}
@@ -146,8 +177,8 @@ def rescore_group(
         }
 
     out: List[dict] = []
-    for r, tokens_l in zip(top, tokens_l_list):
-        tokens_l_set = set(tokens_l)
+    for idx_t, (r, tokens_l) in enumerate(zip(top, tokens_l_list)):
+        tokens_l_set = l_sets[idx_t]
         overlapping = {
             t: c for t, c in hist_overlap_r_block.items() if t in tokens_l_set
         }
@@ -189,8 +220,7 @@ def rescore_group(
         }
 
         if use_bigrams:
-            bigrams_l = _bigrams(tokens_l)
-            bigrams_l_set = set(bigrams_l)
+            bigrams_l, bigrams_l_set = l_bigrams[idx_t]
             overlapping_bg = {
                 bg: c
                 for bg, c in hist_overlap_bigrams_r_block.items()
@@ -474,6 +504,7 @@ class ImproveStage:
         params = dict(self.params)
         params["cet_hist_fn"] = cet_of
         params["raw_maps"] = True
+        params["l_memo"] = {}
         out: List[dict] = []
         gs = 0
         for i in range(1, n + 1):
