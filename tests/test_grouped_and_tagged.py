@@ -157,6 +157,66 @@ def test_tagged_union_blocking_equals_two_sided():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_tagged_hot_keys_match_two_sided():
+    """compute_hot_keys over a tagged union (raw-task path) must find the
+    same hot keys / salt grids as the classic two-sided counting pass."""
+    import ray
+
+    from tests.test_checkpoint_and_salting import _cleaned_rows
+    from uk_address_matcher_ray.stages.block import SIDE_COL, compute_hot_keys
+    from uk_address_matcher_ray.state.model import MatchModel
+
+    keys = list(range(1, 40))
+    cleaned = _cleaned_rows(keys)
+    model = MatchModel()
+    l_tbl = cleaned.filter(
+        pa.compute.match_substring_regex(cleaned.column("unique_id"), "^c")
+    )
+    r_tbl = cleaned.filter(
+        pa.compute.match_substring_regex(cleaned.column("unique_id"), "^m")
+    )
+    two_sided = compute_hot_keys(
+        ray.data.from_arrow(l_tbl),
+        model,
+        salt_threshold=2,
+        cleaned_r=ray.data.from_arrow(r_tbl),
+    )
+    tagged_tbl = pa.concat_tables(
+        [
+            l_tbl.append_column(
+                SIDE_COL, pa.array([0] * l_tbl.num_rows, pa.int8())
+            ),
+            r_tbl.append_column(
+                SIDE_COL, pa.array([1] * r_tbl.num_rows, pa.int8())
+            ),
+        ]
+    )
+    # single block: counting floors coincide -> exact grid parity
+    tagged_one = compute_hot_keys(
+        ray.data.from_arrow(tagged_tbl).materialize(),
+        model,
+        salt_threshold=2,
+        tagged=True,
+    )
+    assert tagged_one == two_sided
+
+    # multi-block: the pigeonhole floor may UNDERCOUNT keys spread thinly
+    # across blocks (salting is a performance hint — results are identical
+    # at any grid, asserted by the salting-coverage tests); the found keys
+    # must be a subset with grids no larger than the exact ones
+    slices = [tagged_tbl.slice(i, 16) for i in range(0, tagged_tbl.num_rows, 16)]
+    tagged_many = compute_hot_keys(
+        ray.data.from_arrow(slices).materialize(),
+        model,
+        salt_threshold=2,
+        tagged=True,
+    )
+    assert set(tagged_many) <= set(two_sided)
+    for k, (kl, kr) in tagged_many.items():
+        assert kl <= two_sided[k][0] and kr <= two_sided[k][1]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_distributed_label_propagation_matches_broadcast():
     """The >threshold distributed fallback must produce the identical label
     table as the broadcast path (chains, stars, cross-block components)."""

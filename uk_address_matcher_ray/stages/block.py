@@ -283,12 +283,14 @@ def compute_hot_keys(
     # No shuffle: per-batch Counter + pigeonhole floor filter + tiny driver
     # combine. A key with global count >= T has per-batch count >= T/nb in at
     # least one batch (nb = batch count), so emitting only per-batch counts
-    # >= floor(T/nb) guarantees every hot key reaches the driver while the
-    # cold tail (the overwhelming majority) never leaves the tasks. The
-    # collected sum may undercount a hot key by < T (its sub-floor batches);
-    # that only shrinks the salt grid by <= 1 — salting is a performance
-    # hint, results are bit-identical at any grid size and oversized blocks
-    # score in bounded tiles.
+    # >= T//nb finds every hot key while the cold tail (the overwhelming
+    # majority) never leaves the tasks. The floor is clamped to >= 2 so the
+    # emission stays tiny even when nb >= T, which bounds the blind spot: a
+    # key spread at < floor occurrences in EVERY batch (total < 2*nb) can be
+    # missed, and a found key's collected sum may undercount by < floor*nb.
+    # Both only shrink/skip the salt grid — salting is a performance hint:
+    # results are bit-identical at any grid (salting-coverage tests) and
+    # oversized blocks still score in bounded-memory tiles.
     BATCH = 16384
 
     def batches_of(ds) -> int:
