@@ -85,6 +85,43 @@ def test_grouped_map_hot_key_spans_many_blocks(hot_fraction):
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("hot_fraction", [0.0, 0.6])
+def test_hash_and_sort_exchanges_agree(hot_fraction):
+    """grouped_map's hash exchange (default) and sort exchange (fallback)
+    must produce the same group results."""
+    import ray
+
+    from uk_address_matcher_ray.stages import grouped
+
+    n = 8_000
+    n_hot = int(n * hot_fraction)
+    keys = ["HOT"] * n_hot + [f"k{i % 499:03d}" for i in range(n - n_hot)]
+    vals = list(range(n))
+    tbl = pa.table({"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())})
+    slices = [tbl.slice(i, 300) for i in range(0, n, 300)]
+
+    fn = _make_group_sum_fn()
+    via_hash = (
+        grouped.grouped_map(
+            ray.data.from_arrow(slices), "k", None, OUT_SCHEMA, fn_table=fn
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    run_complete = grouped._make_run_complete("k", None, fn, OUT_SCHEMA)
+    via_sort = (
+        grouped._grouped_map_sort(
+            ray.data.from_arrow(slices).materialize(), "k", run_complete, OUT_SCHEMA
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert via_hash.equals(via_sort)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_tagged_union_blocking_equals_two_sided():
     """scored_pairs_raw over a tagged union must produce the identical pair
     multiset as the classic two-sided call."""

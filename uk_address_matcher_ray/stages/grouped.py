@@ -2,20 +2,21 @@
 
 ``Dataset.groupby(k).map_groups(fn)`` invokes ``fn`` once per group — at
 millions of tiny groups the per-call Python/Arrow overhead dominates wall
-time. ``grouped_map`` provides the same semantics with per-BLOCK calls:
+time. ``grouped_map`` provides the same semantics with per-BLOCK calls, via
+one of two exchanges:
 
-1. sort by the key (one range shuffle — map_groups does the same
-   internally);
-2. every sorted block processes all its COMPLETE groups in one task;
-   leading/trailing rows whose key may straddle a block boundary are split
-   off per block;
-3. straddler repair exploits the sort's range partitioning: a key can only
-   span ADJACENT blocks, so boundary tables are chained into runs (block i
-   joins block i+1 iff i's trailing key == i+1's leading key) and each run's
-   groups are complete within the run — processed by small independent tasks
-   (batched to bound scheduling), with NO shuffle. This replaces the former
-   ``groupby(key).map_groups`` repair pass, which cost a full all-to-all job
-   for a handful of straddler rows.
+* **hash** (default): a raw-task map-reduce exchange. Every materialized
+  block splits into P hash partitions (deterministic ``crc32(key) % P``);
+  each partition task concatenates its pieces, sorts locally by the key and
+  processes ALL its groups — complete by construction, so there is no
+  boundary repair, no global sample pass, and no Dataset all-to-all job.
+  (Ray Data has no hash-partition primitive: the experimental HASH_SHUFFLE
+  context reserves aggregator actors that starve small sessions — measured,
+  see NOTES.md — so this drops to raw tasks deliberately.)
+* **sort** (fallback, used when B×P would create too many intermediate
+  objects): global ``Dataset.sort`` + per-block processing of complete
+  groups + adjacency-chained straddler repair (a key can only span ADJACENT
+  blocks of a range-partitioned sort).
 
 Two callable modes:
 
@@ -36,19 +37,12 @@ import pyarrow as pa
 # without bounding data (a run is as big as its hottest straddling key)
 _RUNS_PER_REPAIR_TASK = 32
 
+# hash exchange creates B×P intermediate objects; beyond this, fall back to
+# the sort exchange (object-count pressure on the raylet)
+_MAX_EXCHANGE_OBJECTS = 65536
 
-def grouped_map(
-    ds,
-    key: str,
-    fn_rows: Optional[Callable[[List[dict]], List[dict]]],
-    out_schema: pa.Schema,
-    fn_table: Optional[Callable[[pa.Table], pa.Table]] = None,
-):
-    import ray
 
-    sorted_ds = ds.sort(key).materialize()
-    refs = sorted_ds.to_arrow_refs()
-
+def _make_run_complete(key, fn_rows, fn_table, out_schema):
     def run_complete(tbl: pa.Table) -> pa.Table:
         if fn_table is not None:
             return fn_table(tbl)
@@ -64,6 +58,77 @@ def grouped_map(
         if group:
             out_rows.extend(fn_rows(group))
         return pa.Table.from_pylist(out_rows, schema=out_schema)
+
+    return run_complete
+
+
+def grouped_map(
+    ds,
+    key: str,
+    fn_rows: Optional[Callable[[List[dict]], List[dict]]],
+    out_schema: pa.Schema,
+    fn_table: Optional[Callable[[pa.Table], pa.Table]] = None,
+    num_partitions: Optional[int] = None,
+):
+    import ray
+
+    run_complete = _make_run_complete(key, fn_rows, fn_table, out_schema)
+
+    materialized = ds.materialize()
+    refs = materialized.to_arrow_refs()
+    B = len(refs)
+    if B == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    P = num_partitions if num_partitions is not None else max(8, cpus)
+
+    if B * P > _MAX_EXCHANGE_OBJECTS:
+        return _grouped_map_sort(materialized, key, run_complete, out_schema)
+
+    @ray.remote
+    def split(tbl: pa.Table):
+        if tbl.num_rows == 0 or key not in tbl.schema.names:
+            return tuple([None] * P)
+        import zlib
+
+        import numpy as np
+
+        ks = tbl.column(key).to_pylist()
+        buckets = np.fromiter(
+            (zlib.crc32(k.encode()) % P for k in ks),
+            dtype=np.int64,
+            count=len(ks),
+        )
+        out = []
+        for p in range(P):
+            idx = np.nonzero(buckets == p)[0]
+            out.append(tbl.take(pa.array(idx)) if len(idx) else None)
+        return tuple(out)
+
+    parts = [split.options(num_returns=P).remote(r) for r in refs]
+
+    @ray.remote
+    def process(*tbls):
+        live = [t for t in tbls if t is not None and t.num_rows > 0]
+        if not live:
+            return out_schema.empty_table()
+        tbl = pa.concat_tables(live).combine_chunks()
+        return run_complete(tbl.sort_by(key))
+
+    proc_refs = [
+        process.remote(*[parts[b][p] for b in range(B)]) for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(proc_refs)
+
+
+def _grouped_map_sort(materialized, key: str, run_complete, out_schema: pa.Schema):
+    """Sort-exchange fallback: global range sort + complete-group blocks +
+    adjacency-chained straddler repair."""
+    import ray
+
+    sorted_ds = materialized.sort(key).materialize()
+    refs = sorted_ds.to_arrow_refs()
 
     @ray.remote(num_returns=3)
     def split_block(tbl: pa.Table):
