@@ -5,18 +5,20 @@ millions of tiny groups the per-call Python/Arrow overhead dominates wall
 time. ``grouped_map`` provides the same semantics with per-BLOCK calls, via
 one of two exchanges:
 
-* **hash** (default): a raw-task map-reduce exchange. Every materialized
-  block splits into P hash partitions (deterministic ``crc32(key) % P``);
-  each partition task concatenates its pieces, sorts locally by the key and
-  processes ALL its groups — complete by construction, so there is no
-  boundary repair, no global sample pass, and no Dataset all-to-all job.
-  (Ray Data has no hash-partition primitive: the experimental HASH_SHUFFLE
-  context reserves aggregator actors that starve small sessions — measured,
-  see NOTES.md — so this drops to raw tasks deliberately.)
-* **sort** (fallback, used when B×P would create too many intermediate
-  objects): global ``Dataset.sort`` + per-block processing of complete
-  groups + adjacency-chained straddler repair (a key can only span ADJACENT
-  blocks of a range-partitioned sort).
+* **hash** (small inputs): a raw-task map-reduce exchange. Every
+  materialized block splits into P hash partitions (deterministic
+  ``crc32(key) % P``); each partition task concatenates its pieces, sorts
+  locally by the key and processes ALL its groups — complete by
+  construction, so there is no boundary repair, no global sample pass, and
+  no Dataset all-to-all job. Wins while per-job fixed cost dominates; its
+  all-splits-before-any-process barrier loses to the sort's pipelining on
+  big inputs, so it is row-count-gated. (Ray Data has no hash-partition
+  primitive: the experimental HASH_SHUFFLE context reserves aggregator
+  actors that starve small sessions — measured, see NOTES.md — so this
+  drops to raw tasks deliberately.)
+* **sort** (big inputs): global ``Dataset.sort`` + per-block processing of
+  complete groups + adjacency-chained straddler repair (a key can only span
+  ADJACENT blocks of a range-partitioned sort).
 
 Two callable modes:
 
@@ -40,6 +42,13 @@ _RUNS_PER_REPAIR_TASK = 32
 # hash exchange creates B×P intermediate objects; beyond this, fall back to
 # the sort exchange (object-count pressure on the raylet)
 _MAX_EXCHANGE_OBJECTS = 65536
+
+# the hash exchange wins when per-job fixed cost dominates (small inputs: it
+# replaces sample+map+reduce sort jobs with two raw task waves) but its
+# all-splits-before-any-process barrier forfeits the sort's pipelining on
+# big inputs — measured 1.6x SLOWER at 4M rows, ~1.2x faster at 130k.
+# Default: hash below this row count, Dataset sort above.
+_HASH_EXCHANGE_MAX_ROWS = 400_000
 
 
 def _make_run_complete(key, fn_rows, fn_table, out_schema):
@@ -81,9 +90,17 @@ def grouped_map(
         return ray.data.from_arrow(out_schema.empty_table())
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    P = num_partitions if num_partitions is not None else max(8, cpus)
+    if num_partitions is not None:
+        P = num_partitions
+    else:
+        # partition granularity ≈ input block granularity (same task sizes
+        # as the sort exchange, good balance), capped by the object budget
+        P = min(max(8, cpus, B), max(8, cpus, _MAX_EXCHANGE_OBJECTS // max(B, 1)))
 
-    if B * P > _MAX_EXCHANGE_OBJECTS:
+    if (
+        B * P > _MAX_EXCHANGE_OBJECTS
+        or materialized.count() > _HASH_EXCHANGE_MAX_ROWS
+    ):
         return _grouped_map_sort(materialized, key, run_complete, out_schema)
 
     @ray.remote
