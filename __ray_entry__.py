@@ -290,6 +290,40 @@ def _q_improve_pairs(sf_dir: str):
     )
 
 
+def _q_match_one(sf_dir: str):
+    """Single-record convenience surface (reference examples/match_one.py):
+    clean one messy address driver-side, run the standard block/score/improve
+    pipeline against the cleaned canonical side. Oracle = the improve oracle
+    restricted to that unique_id_r (same tf/end-token assets)."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.pipelines.match import match_one
+    from uk_address_matcher_ray.sources import synth
+    from uk_address_matcher_ray.stages.clean import clean_dataset
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    keys = _custkeys(sf_dir)
+    k0 = min(k for k in keys if k % 3 != 0)
+    canon, messy = _synth_tables(sf_dir)
+    union = pa.concat_tables([canon, messy])
+    tf, num_tf, end_tokens = _corpus_assets(union)
+    numeric_tf = {f"numeric_token_{i}": num_tf for i in (1, 2, 3)}
+    cl = clean_dataset(dataset_from_table(canon), tf, end_tokens)
+    addr, pc = synth._messy_parts(k0)
+    out = match_one(
+        addr, pc, cl, tf, end_tokens, numeric_tf, unique_id=f"m{k0}"
+    )
+    return out.select_columns(
+        [
+            "unique_id_r",
+            "unique_id_l",
+            "mw_adjustment",
+            "match_weight_original",
+            "match_weight",
+        ]
+    )
+
+
 def _q_best_matches(sf_dir: str):
     import ray
 
@@ -613,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predict_pairs": _q_predict_pairs,
         "match_clusters": _q_match_clusters,
         "improve_pairs": _q_improve_pairs,
+        "match_one": _q_match_one,
         "best_matches": _q_best_matches,
         "best_matches_summary": _q_best_matches_summary,
         "extract_pages": _q_extract_pages,
@@ -666,6 +701,14 @@ def oracle_sql() -> dict[str, str]:
         "label_accuracy": oracle_extras.label_accuracy_sql(pairs_sql),
         "improve_pairs": oracle_extras.improve_pairs_sql(
             pairs_sql, oracle.cleaned_features_sql(_union_input_sql())
+        ),
+        "match_one": (
+            "SELECT * FROM ("
+            + oracle_extras.improve_pairs_sql(
+                pairs_sql, oracle.cleaned_features_sql(_union_input_sql())
+            )
+            + ") WHERE unique_id_r = 'm' || CAST((SELECT min(c_custkey) "
+            "FROM customer WHERE c_custkey % 3 <> 0) AS VARCHAR)"
         ),
         "train_em": oracle_train.em_sql(
             oracle.cleaned_features_sql(_union_input_sql()), iterations=2
