@@ -184,7 +184,22 @@ def derive_adjacent_distinguishing_tokens(ds, bucket: int = BUCKET):
             r["common_adj_start_tokens"] = common
             r["distinguishing_adj_token_aliases"] = generalise_tokens(uniq)
             keep.append(r)
-        return pa.Table.from_pylist(keep)
+        # explicit schema: all-empty list columns must stay list<string>,
+        # not the null type from_pylist would infer
+        base = [
+            f
+            for f in group.schema
+            if f.name not in ("__bucket", "__gidx", "__core", "__rev")
+        ]
+        out_schema = pa.schema(
+            base
+            + [
+                pa.field("distinguishing_adj_start_tokens", pa.list_(pa.string())),
+                pa.field("common_adj_start_tokens", pa.list_(pa.string())),
+                pa.field("distinguishing_adj_token_aliases", pa.list_(pa.string())),
+            ]
+        )
+        return pa.Table.from_pylist(keep, schema=out_schema)
 
     return emitted.groupby("__bucket").map_groups(
         window_group, batch_format="pyarrow"
