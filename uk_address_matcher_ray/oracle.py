@@ -188,7 +188,13 @@ def cleaned_features_sql(
 WITH
 {clean_core_ctes(input_sql)},
 __tf AS ({tf_sql}),
-__end_tokens AS (SELECT array_agg(token) AS toks FROM ({end_tokens_sql})),
+__end_tokens AS (
+    -- COALESCE: with no qualifying tokens array_agg yields NULL, and
+    -- list_contains(NULL, x) would NULL the filter predicate and empty
+    -- every token array; the engine's semantics are "move nothing"
+    SELECT COALESCE(array_agg(token), CAST([] AS VARCHAR[])) AS toks
+    FROM ({end_tokens_sql})
+),
 __exploded AS (
     SELECT unique_id, unnest(address_without_numbers_tokenised) AS token,
         generate_subscripts(address_without_numbers_tokenised, 1) AS token_order
