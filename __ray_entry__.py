@@ -470,8 +470,6 @@ def _q_events_hourly(sf_dir: str):
     import pyarrow as pa
     import ray
 
-    from ray.data.aggregate import Sum
-
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
@@ -500,23 +498,48 @@ def _q_events_hourly(sf_dir: str):
         )
         return part.rename_columns(["user_id", "hour_window", "cents", "n"])
 
-    agg = (
-        ds.map_batches(add_window_partial, batch_format="pyarrow")
-        .groupby(["user_id", "hour_window"])
-        .aggregate(Sum("n"), Sum("cents"))
+    # fan-in-8 tree of Arrow group_by merges (exact: integer sums are
+    # associative) — no all-to-all; every intermediate is bounded by the
+    # distinct (user, hour) group count
+    partials = ds.map_batches(add_window_partial, batch_format="pyarrow")
+    refs = list(partials.to_arrow_refs())
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "hour_window": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
     )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": batch.column("user_id").cast(pa.int64()),
-                "hour_window": batch.column("hour_window").cast(pa.int64()),
-                "n_events": batch.column("sum(n)").cast(pa.int64()),
-                "sum_value_cents": batch.column("sum(cents)").cast(pa.int64()),
-            }
+    @ray.remote
+    def merge(*tbls):
+        live = [
+            t for t in tbls if "user_id" in t.schema.names and t.num_rows > 0
+        ]
+        if not live:
+            return empty
+        t = pa.concat_tables(
+            [x.cast(empty.schema) for x in live]
         )
+        agg = t.group_by(["user_id", "hour_window"]).aggregate(
+            [("cents", "sum"), ("n", "sum")]
+        )
+        return agg.rename_columns(["user_id", "hour_window", "cents", "n"])
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    tbl = ray.get(refs[0]) if refs else empty
+    out = pa.table(
+        {
+            "user_id": tbl.column("user_id").cast(pa.int64()),
+            "hour_window": tbl.column("hour_window").cast(pa.int64()),
+            "n_events": tbl.column("n").cast(pa.int64()),
+            "sum_value_cents": tbl.column("cents").cast(pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
 
 
 def _q_label_accuracy(sf_dir: str):
