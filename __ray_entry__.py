@@ -500,8 +500,30 @@ def _q_events_hourly(sf_dir: str):
 
     # fan-in-8 tree of Arrow group_by merges (exact: integer sums are
     # associative) — no all-to-all; every intermediate is bounded by the
-    # distinct (user, hour) group count
-    partials = ds.map_batches(add_window_partial, batch_format="pyarrow")
+    # distinct (user, hour) group count. Unlike a token vocabulary that
+    # cardinality is NOT corpus-bounded, so beyond the gate the distributed
+    # groupby takes over (the tree root must stay driver-sized).
+    partials = ds.map_batches(
+        add_window_partial, batch_format="pyarrow"
+    ).materialize()
+    if partials.count() > 2_000_000:
+        from ray.data.aggregate import Sum
+
+        agg = partials.groupby(["user_id", "hour_window"]).aggregate(
+            Sum("n"), Sum("cents")
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": batch.column("user_id").cast(pa.int64()),
+                    "hour_window": batch.column("hour_window").cast(pa.int64()),
+                    "n_events": batch.column("sum(n)").cast(pa.int64()),
+                    "sum_value_cents": batch.column("sum(cents)").cast(pa.int64()),
+                }
+            )
+
+        return agg.map_batches(finish, batch_format="pyarrow")
     refs = list(partials.to_arrow_refs())
 
     empty = pa.table(
