@@ -11,14 +11,17 @@ iterated to fixed point; rounds converge in O(component diameter) — tiny for
 entity-resolution clusters (star-shaped around canonical records; measured 3
 rounds on the duplicate-heavy synth corpus).
 
-Per-round join strategy: the label table is orders of magnitude smaller than
-the corpus (one row per node that appears in a thresholded pair), so while it
-fits ``broadcast_threshold`` it is broadcast via ``ray.put`` and each round
-is ONE edge ``map_batches`` + ONE ``groupby(node).min(label)`` shuffle.
-Beyond the threshold the round falls back to a fully-distributed tagged-union
-join (labels ∪ edges sorted by key) — same semantics, two shuffles. Both
-paths were measured; the broadcast round is ~4x faster at 10^5-node scale
-and the fallback keeps the operator correct at any scale.
+Two execution strategies, chosen by NODE count:
+
+* ``broadcast`` (≤ threshold nodes): nodes int-ranked once, edges int32-
+  encoded once; each round is a shuffle-free numpy ``minimum.at`` scatter
+  per edge block + a sparse driver combine + pointer compression.
+* ``sharded`` (beyond): hash-sharded map-reduce rounds over raw Ray tasks —
+  edges statically partitioned by ``crc32(src) % P``, labels co-sharded, a
+  round = vectorized join wave + group-min reduce wave. No driver-side
+  label state, no Dataset sort jobs, scales with shard count.
+
+Both produce bit-identical labels (asserted by parity + property tests).
 
 Labels are the lexicographic min of member unique_ids (deterministic).
 """
@@ -70,75 +73,6 @@ def edges_from_pairs(pairs_ds, threshold: float, l_prefix: str = "c_", r_prefix:
         ).combine_chunks()
 
     return pairs_ds.map_batches(emit, batch_format="pyarrow")
-
-
-def _init_labels(edges_ds):
-    def emit(batch: pa.Table) -> pa.Table:
-        nodes = batch.column("src")
-        return pa.table({"node": nodes, "label": nodes})
-
-    return (
-        edges_ds.map_batches(emit, batch_format="pyarrow")
-        .groupby("node")
-        .min("label")
-        .map_batches(
-            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
-        )
-    )
-
-
-def _distributed_round(labels, edges):
-    """Tagged-union join round (scale fallback): union labels (kind=l) with
-    edges keyed by src (kind=e), group by key, emit candidate labels
-    (dst, label_of_src) + own labels, then groupby-min."""
-
-    def tag_labels(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": batch.column("node"),
-                "kind": pa.array(["l"] * batch.num_rows, pa.string()),
-                "val": batch.column("label"),
-            }
-        )
-
-    def tag_edges(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": batch.column("src"),
-                "kind": pa.array(["e"] * batch.num_rows, pa.string()),
-                "val": batch.column("dst"),
-            }
-        )
-
-    both = labels.map_batches(tag_labels, batch_format="pyarrow").union(
-        edges.map_batches(tag_edges, batch_format="pyarrow")
-    )
-
-    def emit_candidates(rows: List[dict]) -> List[dict]:
-        lab = None
-        dsts = []
-        for r in rows:
-            if r["kind"] == "l":
-                lab = r["val"]
-            else:
-                dsts.append(r["val"])
-        node = rows[0]["key"]
-        out = [{"node": node, "label": lab if lab is not None else node}]
-        if lab is not None:
-            out.extend({"node": d, "label": lab} for d in dsts)
-        return out
-
-    from uk_address_matcher_ray.stages.grouped import grouped_map
-
-    return (
-        grouped_map(both, "key", emit_candidates, LABEL_SCHEMA)
-        .groupby("node")
-        .min("label")
-        .map_batches(
-            lambda t: t.rename_columns(["node", "label"]),
-            batch_format="pyarrow",
-        )
-    )
 
 
 def _discover_nodes(edges):
@@ -297,37 +231,142 @@ def propagate_labels(
         return ray.data.from_arrow(LABEL_SCHEMA.empty_table())
     if len(nodes_arr) <= broadcast_threshold:
         return _broadcast_propagate(edges, nodes_arr, max_iters, checkpoint_dir)
-    labels = _init_labels(edges).materialize()
-    prev_sum = None
-    for it in range(max_iters):
-        new_labels = _distributed_round(labels, edges)
-        if checkpoint_dir is not None:
-            new_labels.write_parquet(f"{checkpoint_dir}/round={it}")
-            new_labels = ray.data.read_parquet(f"{checkpoint_dir}/round={it}")
-        else:
-            new_labels = new_labels.materialize()
-        # convergence check: order-independent checksum computed by one tiny
-        # task per already-materialized block (no extra Dataset job/shuffle)
-        new_sum = sum(
-            ray.get([_crc_block.remote(r) for r in new_labels.to_arrow_refs()])
+    return _sharded_propagate(edges, max_iters, checkpoint_dir, num_partitions)
+
+
+def _sharded_propagate(edges, max_iters: int, checkpoint_dir, P: int):
+    """Beyond-broadcast fallback: hash-sharded map-reduce label propagation
+    with raw Ray tasks. Edges are partitioned ONCE by ``crc32(src) % P``
+    (the static side); each round is two task waves:
+
+    * wave A (per src-shard): vectorized ``pc.index_in`` join of the shard's
+      edges against the shard's labels, candidate ``(dst, label)`` rows
+      re-sharded by ``crc32(dst) % P`` on the way out;
+    * wave B (per dst-shard): concat candidates + own labels, one Arrow
+      ``group_by(node).min(label)``; emits a changed flag for convergence.
+
+    No driver-side label state (each shard's labels stay in the object
+    store), no Dataset sort jobs, O(diameter) rounds. Labels are the
+    lexicographic min of component members — identical to the broadcast
+    path (asserted by tests)."""
+    import ray
+
+    P = max(8, int(P or 8))
+
+    def shard_of_col(col):
+        import zlib
+
+        import numpy as np
+
+        vals = col.to_pylist()
+        return np.fromiter(
+            (zlib.crc32(v.encode()) % P for v in vals),
+            dtype=np.int64,
+            count=len(vals),
         )
-        labels = new_labels
-        if prev_sum is not None and prev_sum == new_sum:
+
+    @ray.remote
+    def split_edges(tbl: pa.Table):
+        import numpy as np
+
+        if tbl.num_rows == 0 or "src" not in tbl.schema.names:
+            return tuple([None] * P)
+        sh = shard_of_col(tbl.column("src"))
+        return tuple(
+            tbl.take(pa.array(np.nonzero(sh == p)[0])) if (sh == p).any() else None
+            for p in range(P)
+        )
+
+    in_refs = edges.to_arrow_refs()
+    split_refs = [split_edges.options(num_returns=P).remote(r) for r in in_refs]
+
+    @ray.remote
+    def build_shard(*parts):
+        import pyarrow.compute as pc
+
+        live = [t for t in parts if t is not None and t.num_rows > 0]
+        if not live:
+            empty = EDGE_SCHEMA.empty_table()
+            return empty, pa.table(
+                {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
+            )
+        t = pa.concat_tables(live).combine_chunks()
+        nodes = pc.unique(t.column("src"))
+        nodes = nodes.take(pc.sort_indices(nodes))
+        return t, pa.table({"node": nodes, "label": nodes})
+
+    edge_shard = []
+    label_shard = []
+    for p in range(P):
+        e, l = build_shard.options(num_returns=2).remote(
+            *[split_refs[b][p] for b in range(len(in_refs))]
+        )
+        edge_shard.append(e)
+        label_shard.append(l)
+
+    @ray.remote
+    def emit_candidates(edge_tbl: pa.Table, label_tbl: pa.Table):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if edge_tbl.num_rows == 0:
+            return tuple([None] * P)
+        # label lookup for this shard's srcs (all srcs are in this shard)
+        idx = pc.index_in(
+            edge_tbl.column("src"), value_set=label_tbl.column("node")
+        )
+        labs = label_tbl.column("label").take(idx)
+        dst = edge_tbl.column("dst")
+        sh = shard_of_col(dst)
+        out = []
+        for q in range(P):
+            mask = np.nonzero(sh == q)[0]
+            if len(mask) == 0:
+                out.append(None)
+                continue
+            ind = pa.array(mask)
+            out.append(
+                pa.table({"node": dst.take(ind), "label": labs.take(ind)})
+            )
+        return tuple(out)
+
+    @ray.remote
+    def reduce_shard(label_tbl: pa.Table, *cand_tbls):
+        live = [t for t in cand_tbls if t is not None and t.num_rows > 0]
+        t = pa.concat_tables([label_tbl] + live).combine_chunks()
+        agg = t.group_by("node").aggregate([("label", "min")])
+        agg = agg.rename_columns(["node", "label"])
+        # stable order so equality checks and outputs are deterministic
+        import pyarrow.compute as pc
+
+        agg = agg.take(pc.sort_indices(agg.column("node")))
+        changed = not agg.equals(
+            label_tbl.take(pc.sort_indices(label_tbl.column("node")))
+        )
+        return agg, changed
+
+    for it in range(max_iters):
+        cand = [
+            emit_candidates.options(num_returns=P).remote(
+                edge_shard[p], label_shard[p]
+            )
+            for p in range(P)
+        ]
+        new_labels = []
+        flags = []
+        for q in range(P):
+            l, c = reduce_shard.options(num_returns=2).remote(
+                label_shard[q], *[cand[p][q] for p in range(P)]
+            )
+            new_labels.append(l)
+            flags.append(c)
+        label_shard = new_labels
+        if checkpoint_dir is not None:
+            import ray as _r
+
+            _r.data.from_arrow_refs(list(label_shard)).write_parquet(
+                f"{checkpoint_dir}/round={it}"
+            )
+        if not any(ray.get(flags)):
             break
-        prev_sum = new_sum
-    return labels
-
-
-import ray as _ray
-
-
-@_ray.remote
-def _crc_block(tbl: pa.Table) -> int:
-    import zlib
-
-    if "node" not in tbl.schema.names:  # empty passthrough block
-        return 0
-    s = 0
-    for n, l in zip(tbl.column("node").to_pylist(), tbl.column("label").to_pylist()):
-        s = (s + zlib.crc32(f"{n}\x1f{l}".encode())) % (1 << 61)
-    return s
+    return ray.data.from_arrow_refs(list(label_shard))
