@@ -80,11 +80,14 @@ def _bench_queries(sf_dir: str) -> dict:
     for name in [
         "exact_dedup_docs",
         "minhash_pairs",
+        "simhash_pairs",
         "text_stats",
         "embedding_near_dup",
         "ann_topk",
         "events_hourly",
         "predict_pairs",
+        "match_clusters",
+        "train_em",
     ]:
         t0 = time.monotonic()
         res = qs[name](sf_dir)
