@@ -161,6 +161,9 @@ def rescore_group(
     hist_all_tokens: Dict[str, int] = {}
     for t in flat:
         hist_all_tokens[t] = hist_all_tokens.get(t, 0) + 1
+    # sort ONCE per group: every dict derived below preserves this insertion
+    # order, so the per-candidate sorted() calls collapse to .items()
+    hist_all_tokens = dict(sorted(hist_all_tokens.items()))
     hist_overlap_r_block = {
         t: c for t, c in hist_all_tokens.items() if t in tokens_r_set
     }
@@ -170,6 +173,9 @@ def rescore_group(
         hist_all_bigrams: Dict[Tuple[str, str], int] = {}
         for bg in flat_bigrams:
             hist_all_bigrams[bg] = hist_all_bigrams.get(bg, 0) + 1
+        # tuple sort == the oracle's '\x1f'-joined sort (separator sorts
+        # below every token character)
+        hist_all_bigrams = dict(sorted(hist_all_bigrams.items()))
         bigrams_r = _bigrams(tokens_r)
         bigrams_r_set = set(bigrams_r)
         hist_overlap_bigrams_r_block = {
@@ -188,10 +194,11 @@ def rescore_group(
             t: c for t, c in hist_all_tokens.items() if t in tokens_r_not_in_l
         }
 
-        # sums iterate keys in sorted order so the DuckDB oracle
-        # (list_sort + list_aggregate 'sum') reproduces identical doubles
+        # sums iterate keys in sorted order (inherited from the pre-sorted
+        # group hist) so the DuckDB oracle (list_sort + list_aggregate
+        # 'sum') reproduces identical doubles
         adj = REWARD_MULTIPLIER * sum(
-            1.0 / (c * c) for _t, c in sorted(overlapping.items())
+            1.0 / (c * c) for _t, c in overlapping.items()
         )
         adj -= PUNISHMENT_MULTIPLIER * len(elsewhere)
         adj -= MISSING_TOKEN_PENALTY * len(missing_tokens)
@@ -203,12 +210,12 @@ def rescore_group(
             "match_weight_original": r["match_weight"],
             "match_weight": None,
             "overlapping_tokens_this_l_and_r": (
-                sorted(overlapping.items())
+                list(overlapping.items())
                 if raw_maps
                 else _map_cols(overlapping, False)
             ),
             "tokens_elsewhere_in_block_but_not_this": (
-                sorted(elsewhere.items())
+                list(elsewhere.items())
                 if raw_maps
                 else _map_cols(elsewhere, False)
             ),
@@ -250,23 +257,20 @@ def rescore_group(
                 if not _covered(bg, v, elsewhere)
             }
             adj += BIGRAM_REWARD_MULTIPLIER * sum(
-                1.0 / (c * c)
-                for _bg, c in sorted(
-                    overlapping_bg_f.items(), key=lambda kv: "\x1f".join(kv[0])
-                )
+                1.0 / (c * c) for _bg, c in overlapping_bg_f.items()
             )
             adj -= BIGRAM_PUNISHMENT_MULTIPLIER * len(elsewhere_bg_f)
             if raw_maps:
-                rec["overlapping_bigrams_this_l_and_r"] = sorted(
+                rec["overlapping_bigrams_this_l_and_r"] = list(
                     overlapping_bg.items()
                 )
-                rec["bigrams_elsewhere_in_block_but_not_this"] = sorted(
+                rec["bigrams_elsewhere_in_block_but_not_this"] = list(
                     elsewhere_bg.items()
                 )
-                rec["overlapping_bigrams_this_l_and_r_filtered"] = sorted(
+                rec["overlapping_bigrams_this_l_and_r_filtered"] = list(
                     overlapping_bg_f.items()
                 )
-                rec["bigrams_elsewhere_in_block_but_not_this_filtered"] = sorted(
+                rec["bigrams_elsewhere_in_block_but_not_this_filtered"] = list(
                     elsewhere_bg_f.items()
                 )
             else:
