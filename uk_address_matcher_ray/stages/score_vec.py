@@ -42,6 +42,17 @@ def _single_array(col) -> pa.Array:
     return col
 
 
+def _as_array(col) -> pa.Array:
+    """ChunkedArray/Array -> plain Array (combine_chunks may stay chunked)."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            return col.chunk(0)
+        if col.num_chunks == 0:
+            return pa.array([], type=col.type)
+        return pa.concat_arrays(col.chunks)
+    return col
+
+
 def _codes(col) -> np.ndarray:
     """Dictionary-encode a string column -> int codes, -1 for NULL."""
     import pyarrow.compute as pc
@@ -129,31 +140,32 @@ class _RowFeatures:
                 [pa.nulls(n, pa.string())]
             )
 
-        pc_obj = col("postcode").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        pc_col = _as_array(col("postcode"))
+        pc_obj = pc_col.to_numpy(zero_copy_only=False)
         self.postcode_str = pc_obj
+        # outward = p.split(' ')[0]; inward = p.split(' ')[1] ('' when there
+        # is no second part). Arrow split + per-row pick over the tiny list
+        # column replaces the per-row str.split loop.
+        sp = _as_array(pc.split_pattern(pc_col, " "))
         outward = np.empty(n, dtype=object)
         inward = np.empty(n, dtype=object)
-        for i, p in enumerate(pc_obj):
-            if p is None:
+        for i, parts in enumerate(sp.to_pylist()):
+            if parts is None:
                 outward[i] = None
                 inward[i] = None
             else:
-                parts = p.split(" ")
-                outward[i] = parts[0] if p else ""
+                outward[i] = parts[0]
                 inward[i] = parts[1] if len(parts) > 1 else ""
 
         nt1_col = col("numeric_token_1")
-        nt1_obj = nt1_col.to_numpy(zero_copy_only=False)
-        import re
-
-        digit_run = re.compile(r"\d+", re.ASCII)
-        nt1_digits = np.empty(n, dtype=object)
-        for i, v in enumerate(nt1_obj):
-            if v is None:
-                nt1_digits[i] = None
-            else:
-                m = digit_run.search(v)
-                nt1_digits[i] = m.group(0) if m else None
+        nt1_arr = _as_array(nt1_col)
+        nt1_obj = nt1_arr.to_numpy(zero_copy_only=False)
+        # first digit run, NULL when none (mirror of re.search(r'\d+'))
+        nt1_digits_arr = _as_array(
+            pc.extract_regex(nt1_arr, r"(?P<d>[0-9]+)")
+        ).field("d")
 
         # shared dictionary for cross-compared token columns
         self.nt1, self.nt2, self.nt3, self.flat_letter = _shared_codes(
@@ -162,7 +174,7 @@ class _RowFeatures:
         self.original = _codes(col("original_address_concat"))
         self.postcode = _codes(col("postcode"))
         self.flat_positional = _codes(col("flat_positional"))
-        self.nt1_digits = _codes(pa.chunked_array([pa.array(nt1_digits, pa.string())]))
+        self.nt1_digits = _codes(nt1_digits_arr)
         self.outward = _codes(pa.chunked_array([pa.array(outward, pa.string())]))
         self.inward = _codes(pa.chunked_array([pa.array(inward, pa.string())]))
 
