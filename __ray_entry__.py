@@ -483,7 +483,11 @@ def _q_events_hourly(sf_dir: str):
         import pyarrow.compute as pc
 
         ts_us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
-        hours = pc.divide(ts_us, 3_600_000_000)
+        # numpy // floors (pc.divide truncates toward zero, which would
+        # bucket pre-1970 timestamps into the wrong hour)
+        hours = pa.array(
+            ts_us.to_numpy(zero_copy_only=False) // 3_600_000_000, pa.int64()
+        )
         vals = batch.column("value").to_numpy(zero_copy_only=False)
         cents = np.rint(vals * 100.0).astype(np.int64)
         t = pa.table(

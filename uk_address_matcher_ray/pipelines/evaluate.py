@@ -36,19 +36,50 @@ def top1_per_messy(pairs_ds):
 
 def accuracy_vs_labels(pairs_ds, labels: Dict[str, str]) -> Dict[str, int]:
     """labels: messy unique_id -> correct canonical unique_id (F6 shape).
-    Returns counts {correct, incorrect, missing}."""
-    top = top1_per_messy(pairs_ds).take_all()
-    got = {r["unique_id_r"]: r["unique_id_l"] for r in top}
-    correct = incorrect = missing = 0
-    for mid, truth in labels.items():
-        pred = got.get(mid)
-        if pred is None:
-            missing += 1
-        elif pred == truth:
-            correct += 1
-        else:
-            incorrect += 1
-    return {"correct": correct, "incorrect": incorrect, "missing": missing}
+    Returns counts {correct, incorrect, missing}.
+
+    The label dict is broadcast and per-batch partial counts are summed —
+    the (input-sized) top-1 table never collects to the driver; a label
+    with no top-1 row is ``missing`` (len(labels) - matched)."""
+    import ray
+
+    labels_ref = ray.put(dict(labels))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        from uk_address_matcher_ray.util import get_broadcast
+
+        lab = get_broadcast(labels_ref)
+        correct = incorrect = 0
+        for rid, lid in zip(
+            batch.column("unique_id_r").to_pylist(),
+            batch.column("unique_id_l").to_pylist(),
+        ):
+            truth = lab.get(rid)
+            if truth is None:
+                continue
+            if lid == truth:
+                correct += 1
+            else:
+                incorrect += 1
+        return pa.table(
+            {
+                "correct": pa.array([correct], pa.int64()),
+                "incorrect": pa.array([incorrect], pa.int64()),
+            }
+        )
+
+    parts = (
+        top1_per_messy(pairs_ds)
+        .map_batches(counts, batch_format="pyarrow")
+        .take_all()
+    )
+    correct = sum(r["correct"] for r in parts)
+    incorrect = sum(r["incorrect"] for r in parts)
+    return {
+        "correct": correct,
+        "incorrect": incorrect,
+        "missing": len(labels) - correct - incorrect,
+    }
 
 
 def pairwise_f1(
@@ -88,26 +119,59 @@ def pairwise_f1(
 def uprn_agreement(best_ds, messy_uprn: Dict[str, str]) -> Dict[str, int]:
     """E4 (examples/match_epc_to_os.py:149-186): agreement between the
     engine's best match (unique_id_l = gazetteer UPRN) and a messy-side
-    provided UPRN column. ``messy_uprn``: messy unique_id -> claimed UPRN
-    (small; broadcast implicitly via closure capture)."""
-    agree = disagree = no_claim = unmatched = 0
-    for row in best_ds.select_columns(["unique_id_r", "unique_id_l"]).take_all():
-        claimed = messy_uprn.get(row["unique_id_r"])
-        got = row["unique_id_l"]
-        if got is None:
-            unmatched += 1
-        elif claimed is None:
-            no_claim += 1
-        elif str(claimed) == str(got):
-            agree += 1
-        else:
-            disagree += 1
-    return {
-        "agree": agree,
-        "disagree": disagree,
-        "no_claim": no_claim,
-        "unmatched": unmatched,
-    }
+    provided UPRN column. ``messy_uprn``: messy unique_id -> claimed UPRN,
+    broadcast via ``ray.put``; per-batch partial counts are summed so the
+    (input-sized) best-match table never collects to the driver."""
+    import ray
+
+    claim_ref = ray.put(dict(messy_uprn))
+    keys = ("agree", "disagree", "no_claim", "unmatched")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        from uk_address_matcher_ray.util import get_broadcast
+
+        claims = get_broadcast(claim_ref)
+        c = dict.fromkeys(keys, 0)
+        for rid, got in zip(
+            batch.column("unique_id_r").to_pylist(),
+            batch.column("unique_id_l").to_pylist(),
+        ):
+            claimed = claims.get(rid)
+            if got is None:
+                c["unmatched"] += 1
+            elif claimed is None:
+                c["no_claim"] += 1
+            elif str(claimed) == str(got):
+                c["agree"] += 1
+            else:
+                c["disagree"] += 1
+        return pa.table({k: pa.array([c[k]], pa.int64()) for k in keys})
+
+    parts = (
+        best_ds.select_columns(["unique_id_r", "unique_id_l"])
+        .map_batches(counts, batch_format="pyarrow")
+        .take_all()
+    )
+    return {k: sum(r[k] for r in parts) for k in keys}
+
+
+def _filter_eq(ds, conditions: Dict[str, str]):
+    """Equality filter via an Arrow compute mask — ids come from external
+    data, so they are never interpolated into a filter-expression string
+    (a quote or operator in an id would break the expression or select the
+    wrong rows)."""
+
+    def mask(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = None
+        for col, val in conditions.items():
+            eq = pc.equal(batch.column(col), pa.scalar(val, pa.string()))
+            eq = pc.fill_null(eq, False)
+            m = eq if m is None else pc.and_(m, eq)
+        return batch.filter(m)
+
+    return ds.map_batches(mask, batch_format="pyarrow")
 
 
 def inspect_match_results(
@@ -152,14 +216,12 @@ def inspect_match_results(
 
     correct_id = labels.get(target)
 
-    best_rows = best_ds.filter(
-        expr=f'unique_id_r == "{target}"'
-    ).take_all()
+    best_rows = _filter_eq(best_ds, {"unique_id_r": target}).take_all()
     if not best_rows:
         return None
     best = best_rows[0]
 
-    cand_rows = improved_ds.filter(expr=f'unique_id_r == "{target}"').take_all()
+    cand_rows = _filter_eq(improved_ds, {"unique_id_r": target}).take_all()
     cand_rows.sort(key=lambda r: (-r["match_weight"], r["unique_id_l"]))
     cand_rows = cand_rows[:10]
 
@@ -167,8 +229,8 @@ def inspect_match_results(
         (r for r in cand_rows if r["unique_id_l"] == correct_id), None
     )
     if true_row is None and correct_id is not None:
-        found = improved_ds.filter(
-            expr=f'unique_id_r == "{target}" and unique_id_l == "{correct_id}"'
+        found = _filter_eq(
+            improved_ds, {"unique_id_r": target, "unique_id_l": correct_id}
         ).take_all()
         true_row = found[0] if found else None
 
@@ -217,15 +279,13 @@ def inspect_match_results(
 
     cleaned = {}
     if cleaned_messy_ds is not None:
-        got = cleaned_messy_ds.filter(expr=f'unique_id == "{target}"').take_all()
+        got = _filter_eq(cleaned_messy_ds, {"unique_id": target}).take_all()
         if got:
             cleaned["messy"] = got[0]
     if cleaned_canonical_ds is not None:
         for role, uid in (("best_match", best.get("unique_id_l")), ("true_match", correct_id)):
             if uid:
-                got = cleaned_canonical_ds.filter(
-                    expr=f'unique_id == "{uid}"'
-                ).take_all()
+                got = _filter_eq(cleaned_canonical_ds, {"unique_id": uid}).take_all()
                 if got:
                     cleaned[role] = got[0]
 

@@ -209,7 +209,11 @@ def propagate_labels(
     int32 blocks at any edge count.
 
     ``checkpoint_dir``: when set, labels are written per round
-    (``{dir}/round={k}/``) so a failed run resumes from the last round.
+    (``{dir}/round={k}/``) for external inspection and recovery — a
+    restarted run recomputes from round 0 (rounds are cheap relative to
+    edge extraction; whole-stage resume is the checkpoint_run surface in
+    state/checkpoint.py, which skips clustering entirely when its output
+    manifest is present).
     """
     import ray
 

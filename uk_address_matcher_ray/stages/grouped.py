@@ -185,12 +185,25 @@ def _grouped_map_sort(materialized, key: str, run_complete, out_schema: pa.Schem
     chained = [
         (b, m) for b, m in zip(boundary_refs, metas) if m[0] is not None
     ]
-    runs: List[List] = []
-    for i, (b, m) in enumerate(chained):
-        if runs and chained[i - 1][1][1] == m[0]:
-            runs[-1].append(b)
-        else:
-            runs.append([b])
+    # Adjacency chaining relies on to_arrow_refs() returning the range-sorted
+    # blocks in global key order — a documented-nowhere Ray Data invariant.
+    # Verify it: block key ranges must be non-decreasing in ref order. If it
+    # ever breaks, fragments of a straddling key could land in separate runs
+    # and be silently processed as two complete groups — so fall back to ONE
+    # global repair task over every boundary table (correct for any order,
+    # since ranges from a range-partition sort are disjoint).
+    monotonic = all(
+        chained[i - 1][1][1] <= chained[i][1][0] for i in range(1, len(chained))
+    )
+    if monotonic:
+        runs: List[List] = []
+        for i, (b, m) in enumerate(chained):
+            if runs and chained[i - 1][1][1] == m[0]:
+                runs[-1].append(b)
+            else:
+                runs.append([b])
+    else:
+        runs = [[b for b, _m in chained]] if chained else []
 
     @ray.remote
     def repair(*tbls):

@@ -21,11 +21,12 @@ data ever returns to the driver.
 Determinism at scale: float sums over distributed batches are
 order-dependent, so per-pair probabilities are quantized to a fixed-point
 grid (pq = floor(p·2^40 + 0.5), complement 2^40 − pq) and ALL aggregation
-happens in int64 — associative, bit-exact at any partitioning, and mirrored
-verbatim by the DuckDB oracle (oracle_train.py). At 10^12-pair scale the
-int64 head-room bound is pq·N ≤ 2^63 → N ≤ 2^23 per partial; the combiner
-re-quantizes per partition before the global add (documented, not needed at
-test scale).
+happens in integers — associative, bit-exact at any partitioning, and
+mirrored verbatim by the DuckDB oracle (oracle_train.py). The int64
+head-room bound (pq·N ≤ 2^63 → N ≤ 2^23 rows per numpy sum) is ENFORCED by
+``_exact_sum``: per-batch sums run in ≤2^22-row numpy chunks (each ≤2^62)
+and combine in arbitrary-precision Python ints, so partials of any size are
+overflow-free; the driver combine is Python ints throughout.
 
 TF adjustments are predict-time only (Splink trains m/u without them); the
 histogram-ladder comparison (34 data-authored rungs) stays fixed during EM,
@@ -50,6 +51,19 @@ QUANT = 1 << QUANT_BITS
 M_U_FLOOR = 1e-12  # Splink-style clamp so empty levels never produce log2(0)
 
 DEFAULT_FIXED = ("token_rel_freq_arr_hist",)
+
+# numpy int64 sums of 2^40-scale fixed-point values overflow beyond ~2^23
+# rows; chunks of 2^22 keep every partial sum ≤ 2^62 < 2^63
+_SUM_CHUNK = 1 << 22
+
+
+def _exact_sum(arr) -> int:
+    """Overflow-free sum of an int64 array of values ≤ 2^40: numpy sums over
+    bounded chunks, combined in arbitrary-precision Python ints."""
+    n = len(arr)
+    if n <= _SUM_CHUNK:
+        return int(arr.sum())
+    return sum(int(arr[o : o + _SUM_CHUNK].sum()) for o in range(0, n, _SUM_CHUNK))
 
 
 def gamma_levels(comp: Comparison) -> List[int]:
@@ -142,12 +156,12 @@ class _EMPartial:
                 mask = g == gv
                 names.append(name)
                 gammas.append(gv)
-                sum_pq.append(int(pq[mask].sum()))
-                sum_uq.append(int(uq[mask].sum()))
+                sum_pq.append(_exact_sum(pq[mask]))
+                sum_uq.append(_exact_sum(uq[mask]))
         # λ / N accumulator row
         names.append("")
         gammas.append(-1)
-        sum_pq.append(int(pq.sum()))
+        sum_pq.append(_exact_sum(pq))
         sum_uq.append(n)
         return pa.table(
             {
