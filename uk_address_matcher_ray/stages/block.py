@@ -29,9 +29,43 @@ from uk_address_matcher_ray.functions.text import inward_code, outward_code
 from uk_address_matcher_ray.state.model import MatchModel
 
 SEP = "\x1f"
+# The (rule_id, key values, salt cell) key string never rides the shuffle:
+# it is hashed to TWO uint64 columns at emission (primary sort/partition key
+# + disambiguation), so the all-to-all carries 16 fixed bytes per row instead
+# of a 20-60 byte salted string, and every downstream comparison (sort
+# sampling, range partition, group-boundary detection) is an integer compare.
+# Group identity is the 128-bit pair — a spurious group merge needs a
+# simultaneous collision in two independently-seeded 64-bit hashes
+# (P ≈ n²/2^129; ~10^-14 even at 10^12 distinct keys).
 BLOCK_KEY_COL = "__block_key"
+BLOCK_KEY2_COL = "__block_key2"
+BLOCK_KEYS = [BLOCK_KEY_COL, BLOCK_KEY2_COL]
 SIDE_COL = "__side"
 RULE_COL = "__rule"
+
+
+def hash_block_keys(keys: List[str]) -> Tuple[pa.Array, pa.Array]:
+    """Key strings -> (primary, disambiguation) uint64 hash arrays.
+
+    Vectorized via polars' 64-bit hash (two seeds); only equality/grouping
+    semantics are relied on, never cross-process stability — the hot-key
+    pre-pass matches keys as STRINGS before hashing, and no hash value
+    persists beyond one pipeline run."""
+    try:
+        import polars as pl
+
+        s = pl.Series("k", keys, dtype=pl.Utf8)
+        return (
+            pa.array(s.hash(seed=1).to_numpy(), pa.uint64()),
+            pa.array(s.hash(seed=2).to_numpy(), pa.uint64()),
+        )
+    except ImportError:  # pragma: no cover - polars is baked into the image
+        h1, h2 = [], []
+        for k in keys:
+            d = hashlib.md5(k.encode()).digest()
+            h1.append(int.from_bytes(d[:8], "little"))
+            h2.append(int.from_bytes(d[8:], "little"))
+        return pa.array(h1, pa.uint64()), pa.array(h2, pa.uint64())
 
 _KEY_SOURCE_COLS = (
     "unique_id",
@@ -227,8 +261,11 @@ class BlockKeyEmitter:
                         keys.append(f"{key}{SEP}#{li}|{rj}")
                         rules.append(rule_id)
         taken = batch.take(pa.array(take_idx, type=pa.int64()))
+        k1, k2 = hash_block_keys(keys)
         return taken.append_column(
-            BLOCK_KEY_COL, pa.array(keys, type=pa.string())
+            BLOCK_KEY_COL, k1
+        ).append_column(
+            BLOCK_KEY2_COL, k2
         ).append_column(
             RULE_COL, pa.array(rules, type=pa.int32())
         ).append_column(

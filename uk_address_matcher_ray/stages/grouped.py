@@ -31,9 +31,43 @@ Two callable modes:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, List, Optional, Sequence, Union
 
 import pyarrow as pa
+
+KeyArg = Union[str, Sequence[str]]
+
+
+def _key_list(key: KeyArg) -> List[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _bucket_codes(tbl: pa.Table, keys: List[str], P: int):
+    """Deterministic partition id per row. String keys hash via polars'
+    vectorized 64-bit hash; integer (pre-hashed) keys are already uniform,
+    so the primary key modulo P suffices — all rows of a composite key share
+    the primary, hence the partition."""
+    import numpy as np
+
+    col = tbl.column(keys[0])
+    if pa.types.is_integer(col.type):
+        return (
+            col.to_numpy(zero_copy_only=False).astype(np.uint64) % P
+        ).astype(np.int64)
+    try:
+        import polars as pl
+
+        s = pl.Series("k", col.to_pylist(), dtype=pl.Utf8)
+        return (s.hash(seed=0).to_numpy() % P).astype(np.int64)
+    except ImportError:  # pragma: no cover
+        import zlib
+
+        ks = col.to_pylist()
+        return np.fromiter(
+            (zlib.crc32(str(k).encode()) % P for k in ks),
+            dtype=np.int64,
+            count=len(ks),
+        )
 
 # repair tasks process this many chained runs each — bounds task count
 # without bounding data (a run is as big as its hottest straddling key)
@@ -51,7 +85,7 @@ _MAX_EXCHANGE_OBJECTS = 65536
 _HASH_EXCHANGE_MAX_ROWS = 400_000
 
 
-def _make_run_complete(key, fn_rows, fn_table, out_schema):
+def _make_run_complete(keys: List[str], fn_rows, fn_table, out_schema):
     def run_complete(tbl: pa.Table) -> pa.Table:
         if fn_table is not None:
             return fn_table(tbl)
@@ -59,10 +93,11 @@ def _make_run_complete(key, fn_rows, fn_table, out_schema):
         group: List[dict] = []
         gkey = None
         for r in tbl.to_pylist():
-            if gkey is not None and r[key] != gkey:
+            rkey = tuple(r[k] for k in keys)
+            if gkey is not None and rkey != gkey:
                 out_rows.extend(fn_rows(group))
                 group = []
-            gkey = r[key]
+            gkey = rkey
             group.append(r)
         if group:
             out_rows.extend(fn_rows(group))
@@ -73,7 +108,7 @@ def _make_run_complete(key, fn_rows, fn_table, out_schema):
 
 def grouped_map(
     ds,
-    key: str,
+    key: KeyArg,
     fn_rows: Optional[Callable[[List[dict]], List[dict]]],
     out_schema: pa.Schema,
     fn_table: Optional[Callable[[pa.Table], pa.Table]] = None,
@@ -81,7 +116,8 @@ def grouped_map(
 ):
     import ray
 
-    run_complete = _make_run_complete(key, fn_rows, fn_table, out_schema)
+    keys = _key_list(key)
+    run_complete = _make_run_complete(keys, fn_rows, fn_table, out_schema)
 
     materialized = ds.materialize()
     refs = materialized.to_arrow_refs()
@@ -101,22 +137,17 @@ def grouped_map(
         B * P > _MAX_EXCHANGE_OBJECTS
         or materialized.count() > _HASH_EXCHANGE_MAX_ROWS
     ):
-        return _grouped_map_sort(materialized, key, run_complete, out_schema)
+        return _grouped_map_sort(materialized, keys, run_complete, out_schema)
+
+    sort_spec = [(k, "ascending") for k in keys]
 
     @ray.remote
     def split(tbl: pa.Table):
-        if tbl.num_rows == 0 or key not in tbl.schema.names:
+        if tbl.num_rows == 0 or keys[0] not in tbl.schema.names:
             return tuple([None] * P)
-        import zlib
-
         import numpy as np
 
-        ks = tbl.column(key).to_pylist()
-        buckets = np.fromiter(
-            (zlib.crc32(k.encode()) % P for k in ks),
-            dtype=np.int64,
-            count=len(ks),
-        )
+        buckets = _bucket_codes(tbl, keys, P)
         out = []
         for p in range(P):
             idx = np.nonzero(buckets == p)[0]
@@ -131,7 +162,7 @@ def grouped_map(
         if not live:
             return out_schema.empty_table()
         tbl = pa.concat_tables(live).combine_chunks()
-        return run_complete(tbl.sort_by(key))
+        return run_complete(tbl.sort_by(sort_spec))
 
     proc_refs = [
         process.remote(*[parts[b][p] for b in range(B)]) for p in range(P)
@@ -139,27 +170,38 @@ def grouped_map(
     return ray.data.from_arrow_refs(proc_refs)
 
 
-def _grouped_map_sort(materialized, key: str, run_complete, out_schema: pa.Schema):
+def _grouped_map_sort(
+    materialized, keys: List[str], run_complete, out_schema: pa.Schema
+):
     """Sort-exchange fallback: global range sort + complete-group blocks +
     adjacency-chained straddler repair."""
     import ray
 
-    sorted_ds = materialized.sort(key).materialize()
+    sorted_ds = materialized.sort(keys if len(keys) > 1 else keys[0]).materialize()
     refs = sorted_ds.to_arrow_refs()
+    sort_spec = [(k, "ascending") for k in keys]
 
     @ray.remote(num_returns=3)
     def split_block(tbl: pa.Table):
         if tbl.num_rows == 0:
             return out_schema.empty_table(), tbl, (None, None)
-        keys = tbl.column(key).to_pylist()
-        first_key, last_key = keys[0], keys[-1]
-        n = len(keys)
-        lead_end = 0
-        while lead_end < n and keys[lead_end] == first_key:
-            lead_end += 1
-        trail_start = n
-        while trail_start > 0 and keys[trail_start - 1] == last_key:
-            trail_start -= 1
+        import numpy as np
+
+        arrs = [
+            tbl.column(k).to_numpy(zero_copy_only=False) for k in keys
+        ]
+        n = tbl.num_rows
+        first_key = tuple(a[0] for a in arrs)
+        last_key = tuple(a[-1] for a in arrs)
+        neq_first = arrs[0] != first_key[0]
+        neq_last = arrs[0] != last_key[0]
+        for a, f, l in zip(arrs[1:], first_key[1:], last_key[1:]):
+            neq_first |= a != f
+            neq_last |= a != l
+        lead_end = int(neq_first.argmax()) if neq_first.any() else n
+        trail_start = (
+            n - int(neq_last[::-1].argmax()) if neq_last.any() else 0
+        )
         if trail_start < lead_end:  # whole block is one key -> all boundary
             return out_schema.empty_table(), tbl, (first_key, last_key)
         done = run_complete(tbl.slice(lead_end, trail_start - lead_end))
@@ -211,7 +253,7 @@ def _grouped_map_sort(materialized, key: str, run_complete, out_schema: pa.Schem
         if not live:
             return out_schema.empty_table()
         tbl = pa.concat_tables(live).combine_chunks()
-        return run_complete(tbl.sort_by(key))
+        return run_complete(tbl.sort_by(sort_spec))
 
     repair_refs = []
     for start in range(0, len(runs), _RUNS_PER_REPAIR_TASK):

@@ -18,6 +18,7 @@ from uk_address_matcher_ray import schema as sch
 from uk_address_matcher_ray.functions.compare import prepare_row, score_pair
 from uk_address_matcher_ray.stages.block import (
     BLOCK_KEY_COL,
+    BLOCK_KEYS,
     BlockKeyEmitter,
     RULE_COL,
     SIDE_COL,
@@ -216,7 +217,7 @@ def scored_pairs_raw(
     # the unusual-token arrays / address_without_numbers exist solely for
     # key extraction and are projected out before the sort.
     payload_cols = [
-        BLOCK_KEY_COL, RULE_COL, SIDE_COL,
+        *BLOCK_KEYS, RULE_COL, SIDE_COL,
         "unique_id", "original_address_concat", "postcode",
         "flat_positional", "flat_letter",
         "numeric_token_1", "numeric_token_2", "numeric_token_3",
@@ -231,7 +232,7 @@ def scored_pairs_raw(
             return BlockKeyEmitter(model, side, get_broadcast(hot_ref))(batch)
 
         emitted = ds.map_batches(emit, batch_format="pyarrow")
-        names = ds.schema().names + [BLOCK_KEY_COL, RULE_COL, SIDE_COL]
+        names = ds.schema().names + [*BLOCK_KEYS, RULE_COL, SIDE_COL]
         keep = [c for c in payload_cols if c in names]
         return emitted.select_columns(keep)
 
@@ -242,7 +243,7 @@ def scored_pairs_raw(
             return TaggedBlockKeyEmitter(model, get_broadcast(hot_ref))(batch)
 
         emitted = cleaned_l.map_batches(emit_tagged, batch_format="pyarrow")
-        names = cleaned_l.schema().names + [BLOCK_KEY_COL, RULE_COL]
+        names = cleaned_l.schema().names + [*BLOCK_KEYS, RULE_COL]
         keep = [c for c in payload_cols if c in names]
         both = emitted.select_columns(keep)
     else:
@@ -272,7 +273,7 @@ def scored_pairs_raw(
 
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
-    return grouped_map(both, BLOCK_KEY_COL, None, out_schema, fn_table=score_table)
+    return grouped_map(both, BLOCK_KEYS, None, out_schema, fn_table=score_table)
 
 
 def _dataset_schema(ds) -> pa.Schema:

@@ -31,7 +31,12 @@ import pyarrow as pa
 
 from uk_address_matcher_ray.functions.text import levenshtein
 from uk_address_matcher_ray.state.model import Level, MatchModel
-from uk_address_matcher_ray.stages.block import BLOCK_KEY_COL, RULE_COL, SIDE_COL
+from uk_address_matcher_ray.stages.block import (
+    BLOCK_KEY2_COL,
+    BLOCK_KEY_COL,
+    RULE_COL,
+    SIDE_COL,
+)
 
 _TF_ATTR = {"numeric_token_1": "nt1", "numeric_token_2": "nt2", "numeric_token_3": "nt3"}
 
@@ -450,7 +455,13 @@ def score_pairs_vectorized(
 
     keys = tbl.column(BLOCK_KEY_COL).to_numpy(zero_copy_only=False)
     side = tbl.column(SIDE_COL).to_numpy(zero_copy_only=False).astype(np.int8)
-    starts = np.concatenate(([0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [n]))
+    # group identity is the (hash1, hash2) uint64 pair — a boundary is a
+    # change in EITHER column (rows arrive sorted by both)
+    change = keys[1:] != keys[:-1]
+    if BLOCK_KEY2_COL in tbl.schema.names:
+        k2 = tbl.column(BLOCK_KEY2_COL).to_numpy(zero_copy_only=False)
+        change = change | (k2[1:] != k2[:-1])
+    starts = np.concatenate(([0], np.nonzero(change)[0] + 1, [n]))
 
     LI_parts: List[np.ndarray] = []
     RI_parts: List[np.ndarray] = []
