@@ -66,21 +66,157 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
+# Shared LSH plumbing (minhash + simhash)
+# ---------------------------------------------------------------------------
+
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over a uint64 numpy array."""
+    import numpy as np
+
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _group_offsets(keys):
+    """Start offsets (incl. 0 and n) of equal-key runs in a sorted array."""
+    import numpy as np
+
+    n = len(keys)
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    idx = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    return np.concatenate([[0], idx, [n]]).astype(np.int64)
+
+
+def _id_hash_u64(col: pa.Array):
+    """Per-row uint64 hash of an id column (integers pass through)."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    import polars as pl
+
+    return pl.Series("k", col.to_pylist(), dtype=pl.Utf8).hash(seed=0).to_numpy()
+
+
+def _count_hot_buckets(refs, bkeys_of, hot_threshold: int):
+    """Pigeonhole bucket-size pre-pass with NO shuffle (same pattern as
+    stages/block.compute_hot_keys): per-block ``np.unique`` counts filtered
+    to >= hot_threshold // n_blocks, tiny driver combine. A bucket with a
+    global count >= T has a per-block count >= T/nb in at least one block;
+    missing a bucket only skips its salt grid — results stay identical
+    because grid salting preserves the exact pair set (it is a straggler
+    bound, not a filter)."""
+    import ray
+    from collections import Counter
+
+    nb = max(1, len(refs))
+    floor_n = max(2, hot_threshold // nb)
+
+    @ray.remote
+    def count(tbl: pa.Table):
+        import numpy as np
+
+        if tbl.num_rows == 0 or tbl.num_columns == 0:
+            return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+        k = bkeys_of(tbl).ravel()
+        u, c = np.unique(k, return_counts=True)
+        keep = c >= floor_n
+        return u[keep], c[keep].astype(np.int64)
+
+    tot: Counter = Counter()
+    for u, c in ray.get([count.remote(r) for r in refs]):
+        for k, n in zip(u.tolist(), c.tolist()):
+            tot[k] += n
+    return {k: n for k, n in tot.items() if n >= hot_threshold}
+
+
+def _expand_lsh_rows(bflat, idh_flat, hot_map, cap):
+    """Grid-salt hot buckets, keeping the exact pair set.
+
+    ``bflat``/``idh_flat``: uint64 bucket key and id-hash per band row.
+    Cold rows pass through (cs=ct=salt=0). A bucket with n >= cap rows gets a
+    g = ceil(n/cap) salt grid: each row draws salt s = mix(idh ^ bkey) % g
+    and is emitted to the g cells {(min(s,t), max(s,t)) : t < g}, so every
+    unordered row pair meets in EXACTLY one cell (the pair kernel pairs
+    same-salt rows only when cs == ct, cross-salt rows only when cs != ct).
+    Per-cell row count is ~2·cap, bounding any single task regardless of how
+    hot the bucket is.
+
+    Returns (sel, bkey, cs, ct, salt): ``sel`` indexes back into band rows.
+    """
+    import numpy as np
+
+    n = len(bflat)
+    if not hot_map:
+        z = np.zeros(n, dtype=np.int32)
+        return np.arange(n), bflat, z, z, z
+    hot_keys = np.array(sorted(hot_map), dtype=np.uint64)
+    gs = np.array(
+        [-(-hot_map[int(k)] // cap) for k in hot_keys], dtype=np.int64
+    )
+    pos = np.searchsorted(hot_keys, bflat)
+    posc = np.minimum(pos, len(hot_keys) - 1)
+    is_hot = hot_keys[posc] == bflat
+    cold = np.flatnonzero(~is_hot)
+    hi = np.flatnonzero(is_hot)
+    g = gs[pos[hi]]
+    salt = (_splitmix64(idh_flat[hi] ^ bflat[hi]) % g.astype(np.uint64)).astype(
+        np.int64
+    )
+    rep = np.repeat(hi, g)
+    tot = int(g.sum())
+    starts = np.concatenate([[0], np.cumsum(g)[:-1]])
+    t = np.arange(tot, dtype=np.int64) - np.repeat(starts, g)
+    salt_rep = np.repeat(salt, g)
+    cs = np.minimum(salt_rep, t)
+    ct = np.maximum(salt_rep, t)
+    cell = (cs.astype(np.uint64) << np.uint64(21)) | (
+        ct.astype(np.uint64) + np.uint64(1)
+    )
+    bkey_hot = _splitmix64(np.repeat(bflat[hi], g) ^ cell)
+    z = np.zeros(len(cold), dtype=np.int32)
+    sel = np.concatenate([cold, rep])
+    bkey = np.concatenate([bflat[cold], bkey_hot])
+    cs_o = np.concatenate([z, cs.astype(np.int32)])
+    ct_o = np.concatenate([z, ct.astype(np.int32)])
+    salt_o = np.concatenate([z, salt_rep.astype(np.int32)])
+    return sel, bkey, cs_o, ct_o, salt_o
+
+
+def _cell_pair_indices(salts, cs: int, ct: int):
+    """Row-index pairs within one bucket cell such that each unordered row
+    pair of the original bucket appears exactly once across cells."""
+    import numpy as np
+
+    n = len(salts)
+    if cs == ct:
+        return np.triu_indices(n, 1)
+    li = np.flatnonzero(salts == cs)
+    ri = np.flatnonzero(salts == ct)
+    return np.repeat(li, len(ri)), np.tile(ri, len(li))
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs
 # ---------------------------------------------------------------------------
 
-class MinHashStage:
-    """map_batches: (id, text) -> one row per LSH band bucket.
+class MinHashDocs:
+    """map_batches: (id, text) -> ONE row per document:
+    (id, hashes: sorted unique int64 shingle hashes, bkeys: list<uint64>
+    LSH band bucket keys).
 
     Each shingle is md5-hashed ONCE (h60); the ``num_perm`` permutation
     values derive from the universal hash (a_i*h + b_i) mod (2^31-1) —
     vectorized over the whole batch with one ``minimum.reduceat`` per
-    permutation instead of num_perm md5 calls per shingle. The shuffle
-    payload is the int64 shingle-hash list (for the exact-Jaccard verify
-    inside the bucket group), ~15× smaller than the shingle strings the
-    previous version shipped; at extreme scale swap the verify to a
-    candidate-pair keyed fetch so only (bucket, id) rides the bucket
-    shuffle (documented tradeoff)."""
+    permutation instead of num_perm md5 calls per shingle. Band bucket keys
+    fold each band's signature slice through splitmix64 (vectorized over
+    docs), so buckets have the same equivalence classes as the oracle's
+    per-band signature-tuple join (modulo a ~2^-64 fold collision)."""
 
     def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int, shingle_k: int):
         self.id_col = id_col
@@ -95,45 +231,200 @@ class MinHashStage:
 
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        doc_ids, doc_hashes, offsets = [], [], [0]
-        for i, t in zip(ids, texts):
+        doc_idx, doc_hashes, offsets = [], [], [0]
+        for d, t in enumerate(texts):
             toks = _tokens(t)
             if not toks:
                 continue
             sh = sorted({H.h60(s) for s in H.shingles(toks, self.shingle_k)})
-            doc_ids.append(i)
+            doc_idx.append(d)
             doc_hashes.extend(sh)
             offsets.append(len(doc_hashes))
-        if not doc_ids:
+        id_type = batch.schema.field(self.id_col).type
+        if not doc_idx:
             return pa.table(
                 {
-                    "bucket": pa.array([], pa.string()),
-                    self.id_col: pa.array([], batch.schema.field(self.id_col).type),
+                    self.id_col: pa.array([], id_type),
                     "hashes": pa.array([], pa.list_(pa.int64())),
+                    "bkeys": pa.array([], pa.list_(pa.uint64())),
                 }
             )
         Hh = np.asarray(doc_hashes, dtype=np.uint64) % np.uint64(H.MINHASH_P)
         starts = np.asarray(offsets[:-1])
-        sigs = np.empty((len(doc_ids), self.num_perm), dtype=np.int64)
+        sigs = np.empty((len(doc_idx), self.num_perm), dtype=np.uint64)
         for p in range(self.num_perm):
             v = (np.uint64(self.A[p]) * Hh + np.uint64(self.B[p])) % np.uint64(
                 H.MINHASH_P
             )
-            sigs[:, p] = np.minimum.reduceat(v, starts).astype(np.int64)
-        out_id, out_bucket, out_h = [], [], []
-        for d, i in enumerate(doc_ids):
-            hs = doc_hashes[offsets[d] : offsets[d + 1]]
-            for bk in H.band_keys(sigs[d].tolist(), self.bands):
-                out_id.append(i)
-                out_bucket.append(bk)
-                out_h.append(hs)
+            sigs[:, p] = np.minimum.reduceat(v, starts)
+        rows = self.num_perm // self.bands
+        n = len(doc_idx)
+        bmat = np.empty((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            h = _splitmix64(np.full(n, b, dtype=np.uint64))
+            for r in range(rows):
+                h = _splitmix64(h ^ sigs[:, b * rows + r])
+            bmat[:, b] = h
+        off_arr = np.asarray(offsets, dtype=np.int64)
+        hashes = pa.ListArray.from_arrays(
+            pa.array(off_arr, pa.int32()).cast(pa.int32()),
+            pa.array(np.asarray(doc_hashes, dtype=np.int64), pa.int64()),
+        )
+        bkeys = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int64) * self.bands, pa.int32()).cast(pa.int32()),
+            pa.array(bmat.ravel(), pa.uint64()),
+        )
         return pa.table(
             {
-                "bucket": pa.array(out_bucket, pa.string()),
-                self.id_col: pa.array(out_id, batch.schema.field(self.id_col).type),
-                "hashes": pa.array(out_h, pa.list_(pa.int64())),
+                self.id_col: pa.array([ids[d] for d in doc_idx], id_type),
+                "hashes": hashes,
+                "bkeys": bkeys,
             }
         )
+
+
+def _flat_list(col):
+    """ChunkedArray/Array list column -> single contiguous ListArray."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.offset != 0:
+        col = pa.concat_arrays([col])
+    return col
+
+
+def _hash_attach(cands, docs_h, id_col: str, id_type, step_b: bool, jaccard_threshold: float):
+    """One gather round of the pair-keyed verify fetch.
+
+    Tagged union of candidate rows (keyed on one end of the pair) with the
+    doc hash table (keyed on id), then a grouped_map per key: the doc row
+    contributes its hash set ONCE per key; step A dedups the other-end ids
+    (cross-band duplicates collapse here — the group holds every candidate
+    with this id_a, so the dedup is complete) and re-keys each candidate on
+    id_b carrying hashes_a; step B computes exact Jaccard against hashes_b
+    and filters. Hash sets therefore ride each exchange once per doc plus
+    once per surviving candidate — independent of the band count, unlike the
+    previous design that shipped every doc's hash list bands× through the
+    bucket shuffle."""
+    import numpy as np
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    union_schema = pa.schema(
+        [
+            pa.field("key", id_type),
+            pa.field("tag", pa.int8()),
+            pa.field("other", id_type),
+            pa.field("hashes", pa.list_(pa.int64())),
+        ]
+    )
+    tagged = docs_h.map_batches(
+        lambda t: pa.table(
+            {
+                "key": t.column(id_col),
+                "tag": pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8()),
+                "other": pa.nulls(t.num_rows, id_type),
+                "hashes": t.column("hashes"),
+            }
+        ).cast(union_schema),
+        batch_format="pyarrow",
+    ).union(cands)
+
+    if not step_b:
+        out_schema = union_schema
+
+        def kernel(tbl: pa.Table) -> pa.Table:
+            keys = tbl.column("key").to_numpy(zero_copy_only=False)
+            tags = tbl.column("tag").to_numpy(zero_copy_only=False)
+            others = tbl.column("other").to_numpy(zero_copy_only=False)
+            hl = _flat_list(tbl.column("hashes"))
+            hoff = hl.offsets.to_numpy(zero_copy_only=False)
+            hval = hl.values.to_numpy(zero_copy_only=False)
+            offs = _group_offsets(keys)
+            out_keys, out_other, val_parts, lengths = [], [], [], []
+            for gi in range(len(offs) - 1):
+                s, e = offs[gi], offs[gi + 1]
+                t = tags[s:e]
+                cand_mask = t == 1
+                if not cand_mask.any():
+                    continue
+                doc_pos = np.flatnonzero(t == 0)
+                if len(doc_pos) == 0:
+                    continue
+                di = s + doc_pos[0]
+                hv = hval[hoff[di] : hoff[di + 1]]
+                uniq = np.unique(others[s:e][cand_mask])
+                k = len(uniq)
+                out_keys.append(uniq)
+                out_other.extend([keys[s]] * k)
+                val_parts.append(np.tile(hv, k))
+                lengths.extend([len(hv)] * k)
+            if not out_keys:
+                return out_schema.empty_table()
+            offsets = np.concatenate([[0], np.cumsum(lengths)])
+            return pa.table(
+                {
+                    "key": pa.array(np.concatenate(out_keys), id_type),
+                    "tag": pa.array(
+                        np.ones(len(offsets) - 1, dtype=np.int8), pa.int8()
+                    ),
+                    "other": pa.array(out_other, id_type),
+                    "hashes": pa.ListArray.from_arrays(
+                        pa.array(offsets, pa.int32()).cast(pa.int32()),
+                        pa.array(np.concatenate(val_parts), pa.int64()),
+                    ),
+                }
+            ).cast(out_schema)
+
+        return grouped_map(tagged, "key", None, out_schema, fn_table=kernel)
+
+    out_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("jaccard", pa.float64()),
+        ]
+    )
+
+    def kernel_b(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column("key").to_numpy(zero_copy_only=False)
+        tags = tbl.column("tag").to_numpy(zero_copy_only=False)
+        others = tbl.column("other").to_numpy(zero_copy_only=False)
+        hl = _flat_list(tbl.column("hashes"))
+        hoff = hl.offsets.to_numpy(zero_copy_only=False)
+        hval = hl.values.to_numpy(zero_copy_only=False)
+        offs = _group_offsets(keys)
+        out_a, out_b, out_j = [], [], []
+        for gi in range(len(offs) - 1):
+            s, e = offs[gi], offs[gi + 1]
+            t = tags[s:e]
+            cand_pos = np.flatnonzero(t == 1)
+            if len(cand_pos) == 0:
+                continue
+            doc_pos = np.flatnonzero(t == 0)
+            if len(doc_pos) == 0:
+                continue
+            di = s + doc_pos[0]
+            hb = hval[hoff[di] : hoff[di + 1]]
+            lb = len(hb)
+            for ci in cand_pos:
+                ri = s + ci
+                ha = hval[hoff[ri] : hoff[ri + 1]]
+                inter = np.intersect1d(ha, hb, assume_unique=True).size
+                union = len(ha) + lb - inter
+                j = inter / union if union else 0.0
+                if j >= jaccard_threshold:
+                    out_a.append(others[ri])
+                    out_b.append(keys[ri])
+                    out_j.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, id_type),
+                "id_b": pa.array(out_b, id_type),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return grouped_map(tagged, "key", None, out_schema, fn_table=kernel_b)
 
 
 def minhash_lsh_pairs(
@@ -144,71 +435,128 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
+    hot_bucket_rows: int = 4096,
 ):
-    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+    """Near-duplicate pairs (id_a < id_b, exact Jaccard >= threshold),
+    candidates = pairs sharing at least one LSH band bucket.
 
-    Candidates surface in any shared LSH bucket; exact shingle-set Jaccard
-    verifies inside the bucket group; cross-bucket duplicates collapse in a
-    final pair-keyed groupby.
+    Scale shape (the three shuffles are each payload-minimal):
+
+    1. one pass computes per-doc (hashes, signature band keys), materialized;
+    2. the bucket exchange carries (bucket:uint64, id) ONLY — 16-24 bytes per
+       band row, independent of document length; hot buckets (>=
+       ``hot_bucket_rows``) are grid-salted via a shuffle-free pigeonhole
+       count so no task exceeds ~2·cap rows while the pair set stays exactly
+       identical (each unordered pair meets in exactly one grid cell);
+    3. exact-Jaccard verification is a pair-keyed fetch: two grouped_map
+       gather rounds against the doc hash table (union-by-key), so each
+       doc's hash set rides an exchange once per round plus once per
+       candidate — NOT once per band. Cross-band duplicate candidates
+       collapse inside round one (the id_a group sees all of them).
     """
-    import ray
+    import numpy as np
 
-    stage = MinHashStage(
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    stage = MinHashDocs(
         id_col=id_col,
         text_col=text_col,
         num_perm=num_perm,
         bands=bands,
         shingle_k=shingle_k,
     )
-    keyed = ds.map_batches(stage, batch_format="pyarrow")
+    docs = ds.map_batches(stage, batch_format="pyarrow").materialize()
+    sch = docs.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        rows.sort(key=lambda r: r[id_col])
-        sets = [set(r["hashes"]) for r in rows]
-        out_a, out_b, out_j = [], [], []
-        for x in range(len(rows)):
-            sx = sets[x]
-            for y in range(x + 1, len(rows)):
-                if rows[x][id_col] == rows[y][id_col]:
-                    continue
-                sy = sets[y]
-                inter = len(sx & sy)
-                union = len(sx) + len(sy) - inter
-                j = inter / union if union else 0.0
-                if j >= jaccard_threshold:
-                    out_a.append(rows[x][id_col])
-                    out_b.append(rows[y][id_col])
-                    out_j.append(j)
-        t = group.schema.field(id_col).type
+    def bkeys_of(tbl: pa.Table):
+        return _flat_list(tbl.column("bkeys")).values.to_numpy(
+            zero_copy_only=False
+        )
+
+    hot = _count_hot_buckets(
+        docs.to_arrow_refs(), bkeys_of, hot_bucket_rows
+    )
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        bl = _flat_list(batch.column("bkeys"))
+        boff = bl.offsets.to_numpy(zero_copy_only=False)
+        bflat = bl.values.to_numpy(zero_copy_only=False)
+        counts = np.diff(boff)
+        idh = np.repeat(_id_hash_u64(batch.column(id_col)), counts)
+        row_of = np.repeat(np.arange(batch.num_rows), counts)
+        sel, bkey, cs, ct, salt = _expand_lsh_rows(bflat, idh, hot, hot_bucket_rows)
+        ids = batch.column(id_col).take(pa.array(row_of[sel]))
         return pa.table(
             {
-                "id_a": pa.array(out_a, t),
-                "id_b": pa.array(out_b, t),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "bkey": pa.array(bkey, pa.uint64()),
+                id_col: ids,
+                "cs": pa.array(cs, pa.int32()),
+                "ct": pa.array(ct, pa.int32()),
+                "salt": pa.array(salt, pa.int32()),
             }
         )
 
-    raw_pairs = keyed.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
+    bands_ds = docs.select_columns([id_col, "bkeys"]).map_batches(
+        emit_bands, batch_format="pyarrow"
     )
 
-    def dedup_pair_group(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        return batch.append_column(
-            "__pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)], pa.string())
-        )
-
-    return (
-        raw_pairs.map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("__pair")
-        .map_groups(dedup_pair_group, batch_format="pyarrow")
-        .drop_columns(["__pair"])
+    cand_schema = pa.schema(
+        [
+            pa.field("key", id_type),
+            pa.field("tag", pa.int8()),
+            pa.field("other", id_type),
+            pa.field("hashes", pa.list_(pa.int64())),
+        ]
     )
+
+    def cand_kernel(tbl: pa.Table) -> pa.Table:
+        bk = tbl.column("bkey").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        css = tbl.column("cs").to_numpy(zero_copy_only=False)
+        cts = tbl.column("ct").to_numpy(zero_copy_only=False)
+        salts = tbl.column("salt").to_numpy(zero_copy_only=False)
+        offs = _group_offsets(bk)
+        parts_a, parts_b = [], []
+        for gi in range(len(offs) - 1):
+            s, e = offs[gi], offs[gi + 1]
+            if e - s < 2:
+                continue
+            xi, yi = _cell_pair_indices(salts[s:e], int(css[s]), int(cts[s]))
+            if len(xi) == 0:
+                continue
+            ia, ib = ids[s:e][xi], ids[s:e][yi]
+            neq = ia != ib
+            ia, ib = ia[neq], ib[neq]
+            swap = ia > ib
+            lo = np.where(swap, ib, ia)
+            hi = np.where(swap, ia, ib)
+            parts_a.append(lo)
+            parts_b.append(hi)
+        if not parts_a:
+            return cand_schema.empty_table()
+        a = np.concatenate(parts_a)
+        b = np.concatenate(parts_b)
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(a, id_type),
+                "tag": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                "other": pa.array(b, id_type),
+                "hashes": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n + 1, dtype=np.int64), pa.int32()).cast(
+                        pa.int32()
+                    ),
+                    pa.array([], pa.int64()),
+                ),
+            }
+        ).cast(cand_schema)
+
+    cands = grouped_map(bands_ds, "bkey", None, cand_schema, fn_table=cand_kernel)
+
+    docs_h = docs.select_columns([id_col, "hashes"])
+    step_a = _hash_attach(cands, docs_h, id_col, id_type, False, jaccard_threshold)
+    return _hash_attach(step_a, docs_h, id_col, id_type, True, jaccard_threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -266,76 +614,146 @@ def simhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(sig_batch, batch_format="pyarrow")
 
 
+_POP16 = None
+
+
+def _popcount64(x):
+    """Vectorized popcount of a uint64 numpy array (16-bit LUT)."""
+    import numpy as np
+
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+        )
+    m = np.uint64(0xFFFF)
+    return (
+        _POP16[(x & m).astype(np.int64)].astype(np.int64)
+        + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)]
+    )
+
+
 def simhash_pairs(
     ds,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    hot_bucket_rows: int = 4096,
 ):
     """Pairs with Hamming(simhash) <= max_hamming, via banded bucketing
     (a pair within distance d shares at least one of ``bands`` bands when
-    d < bands)."""
-    sigs = simhash_signatures(ds, id_col, text_col)
+    d < bands).
+
+    The bucket exchange carries (bucket:uint64, id, simhash:8B) per band row
+    — fixed-size, so no payload amplification; buckets with >=
+    ``hot_bucket_rows`` rows (boilerplate pages at web scale) are grid-salted
+    from a shuffle-free pigeonhole count, bounding every pair task at ~2·cap
+    rows with an exactly identical pair set. The in-bucket kernel is
+    vectorized (numpy XOR + 16-bit-LUT popcount over the pair index arrays);
+    cross-band duplicate pairs collapse in a composite-key grouped_map."""
+    import numpy as np
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    sigs = simhash_signatures(ds, id_col, text_col).materialize()
+    ssch = sigs.schema()
+    id_type = dict(zip(ssch.names, ssch.types))[id_col]
     width = 64 // bands
+    wmask = np.uint64((1 << width) - 1)
+    # band chunks are low-entropy (similar docs cluster); mix so the bucket
+    # key partitions uniformly in the hash exchange
+    band_seeds = _splitmix64(np.arange(bands, dtype=np.uint64) << np.uint64(32))
+
+    def bkeys_of(tbl: pa.Table):
+        s = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cols = [
+            _splitmix64(band_seeds[b] ^ ((s >> np.uint64(b * width)) & wmask))
+            for b in range(bands)
+        ]
+        return np.stack(cols, axis=1).ravel()
+
+    hot = _count_hot_buckets(sigs.to_arrow_refs(), bkeys_of, hot_bucket_rows)
 
     def emit_bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        ss = batch.column("simhash").to_pylist()
-        out_id, out_sig, out_bucket = [], [], []
-        for i, s in zip(ids, ss):
-            u = s & ((1 << 64) - 1)
-            for b in range(bands):
-                chunk = (u >> (b * width)) & ((1 << width) - 1)
-                out_id.append(i)
-                out_sig.append(s)
-                out_bucket.append(f"{b}|{chunk:x}")
+        n = batch.num_rows
+        bflat = bkeys_of(batch)
+        idh = np.repeat(_id_hash_u64(batch.column(id_col)), bands)
+        row_of = np.repeat(np.arange(n), bands)
+        sel, bkey, cs, ct, salt = _expand_lsh_rows(bflat, idh, hot, hot_bucket_rows)
+        take = pa.array(row_of[sel])
         return pa.table(
             {
-                "bucket": pa.array(out_bucket, pa.string()),
-                id_col: pa.array(out_id, batch.schema.field(id_col).type),
-                "simhash": pa.array(out_sig, pa.int64()),
+                "bkey": pa.array(bkey, pa.uint64()),
+                id_col: batch.column(id_col).take(take),
+                "simhash": batch.column("simhash").take(take),
+                "cs": pa.array(cs, pa.int32()),
+                "ct": pa.array(ct, pa.int32()),
+                "salt": pa.array(salt, pa.int32()),
             }
         )
 
     keyed = sigs.map_batches(emit_bands, batch_format="pyarrow")
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        rows.sort(key=lambda r: r[id_col])
-        out_a, out_b, out_d = [], [], []
-        for x in range(len(rows)):
-            for y in range(x + 1, len(rows)):
-                if rows[x][id_col] == rows[y][id_col]:
-                    continue
-                d = bin((rows[x]["simhash"] ^ rows[y]["simhash"]) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    out_a.append(rows[x][id_col])
-                    out_b.append(rows[y][id_col])
-                    out_d.append(d)
-        t = group.schema.field(id_col).type
+    pair_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("hamming", pa.int32()),
+        ]
+    )
+
+    def pair_kernel(tbl: pa.Table) -> pa.Table:
+        bk = tbl.column("bkey").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        ss = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        css = tbl.column("cs").to_numpy(zero_copy_only=False)
+        cts = tbl.column("ct").to_numpy(zero_copy_only=False)
+        salts = tbl.column("salt").to_numpy(zero_copy_only=False)
+        offs = _group_offsets(bk)
+        parts_a, parts_b, parts_d = [], [], []
+        for gi in range(len(offs) - 1):
+            s, e = offs[gi], offs[gi + 1]
+            if e - s < 2:
+                continue
+            xi, yi = _cell_pair_indices(salts[s:e], int(css[s]), int(cts[s]))
+            if len(xi) == 0:
+                continue
+            d = _popcount64(ss[s:e][xi] ^ ss[s:e][yi])
+            ok = d <= max_hamming
+            ia, ib = ids[s:e][xi][ok], ids[s:e][yi][ok]
+            neq = ia != ib
+            ia, ib, d = ia[neq], ib[neq], d[ok][neq]
+            swap = ia > ib
+            parts_a.append(np.where(swap, ib, ia))
+            parts_b.append(np.where(swap, ia, ib))
+            parts_d.append(d)
+        if not parts_a:
+            return pair_schema.empty_table()
         return pa.table(
             {
-                "id_a": pa.array(out_a, t),
-                "id_b": pa.array(out_b, t),
-                "hamming": pa.array(out_d, pa.int32()),
+                "id_a": pa.array(np.concatenate(parts_a), id_type),
+                "id_b": pa.array(np.concatenate(parts_b), id_type),
+                "hamming": pa.array(
+                    np.concatenate(parts_d).astype(np.int32), pa.int32()
+                ),
             }
         )
 
-    raw = keyed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    raw = grouped_map(keyed, "bkey", None, pair_schema, fn_table=pair_kernel)
 
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        return batch.append_column(
-            "__pair", pa.array([f"{x}|{y}" for x, y in zip(a, b)], pa.string())
-        )
+    def first_per_pair(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("id_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("id_b").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(a), dtype=bool)
+        if len(a):
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return tbl.filter(pa.array(keep))
 
-    return (
-        raw.map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("__pair")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .drop_columns(["__pair"])
+    return grouped_map(
+        raw, ("id_a", "id_b"), None, pair_schema, fn_table=first_per_pair
     )
 
 
