@@ -79,10 +79,11 @@ _MAX_EXCHANGE_OBJECTS = 65536
 
 # the hash exchange wins when per-job fixed cost dominates (small inputs: it
 # replaces sample+map+reduce sort jobs with two raw task waves) but its
-# all-splits-before-any-process barrier forfeits the sort's pipelining on
-# big inputs — measured 1.6x SLOWER at 4M rows, ~1.2x faster at 130k.
+# all-splits-before-any-process barrier and B×P tiny split objects forfeit
+# the sort's pipelining on big inputs — measured (32 cpus, rescore payload)
+# 1.5x FASTER at 0.7M rows, 3x SLOWER at 2.7M rows.
 # Default: hash below this row count, Dataset sort above.
-_HASH_EXCHANGE_MAX_ROWS = 400_000
+_HASH_EXCHANGE_MAX_ROWS = 1_000_000
 
 
 def _make_run_complete(keys: List[str], fn_rows, fn_table, out_schema):
@@ -174,22 +175,33 @@ def _grouped_map_sort(
     materialized, keys: List[str], run_complete, out_schema: pa.Schema
 ):
     """Sort-exchange fallback: global range sort + complete-group blocks +
-    adjacency-chained straddler repair."""
+    adjacency-chained straddler repair.
+
+    Ray's sample-based range sort produces UNEVEN blocks (measured up to
+    ~4x the mean), and the kernel runs per block — one oversized block
+    pins the whole stage's wall time. So the kernel is decoupled from the
+    block granularity: a cheap probe wave finds key-aligned cut points in
+    each sorted block, then one kernel task per SLICE reads the shared
+    block from the object store zero-copy and processes its complete-group
+    range. Slices are sized so roughly 4 waves of tasks cover the cluster,
+    bounding the straggler at ~1/(4·cpus) of the stage."""
     import ray
 
     sorted_ds = materialized.sort(keys if len(keys) > 1 else keys[0]).materialize()
     refs = sorted_ds.to_arrow_refs()
     sort_spec = [(k, "ascending") for k in keys]
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    total_rows = materialized.count()
+    target = max(2048, total_rows // max(1, 4 * cpus))
 
-    @ray.remote(num_returns=3)
-    def split_block(tbl: pa.Table):
+    @ray.remote
+    def probe(tbl: pa.Table):
+        """(n, first_key, last_key, interior key-aligned cut offsets)."""
         if tbl.num_rows == 0:
-            return out_schema.empty_table(), tbl, (None, None)
+            return 0, None, None, []
         import numpy as np
 
-        arrs = [
-            tbl.column(k).to_numpy(zero_copy_only=False) for k in keys
-        ]
+        arrs = [tbl.column(k).to_numpy(zero_copy_only=False) for k in keys]
         n = tbl.num_rows
         first_key = tuple(a[0] for a in arrs)
         last_key = tuple(a[-1] for a in arrs)
@@ -199,34 +211,64 @@ def _grouped_map_sort(
             neq_first |= a != f
             neq_last |= a != l
         lead_end = int(neq_first.argmax()) if neq_first.any() else n
-        trail_start = (
-            n - int(neq_last[::-1].argmax()) if neq_last.any() else 0
-        )
+        trail_start = n - int(neq_last[::-1].argmax()) if neq_last.any() else 0
         if trail_start < lead_end:  # whole block is one key -> all boundary
-            return out_schema.empty_table(), tbl, (first_key, last_key)
-        done = run_complete(tbl.slice(lead_end, trail_start - lead_end))
-        boundary = pa.concat_tables(
+            return n, first_key, last_key, []
+        # key-change positions inside the interior; cut at the first key
+        # boundary at or after each multiple of target
+        neq_prev = arrs[0][1:] != arrs[0][:-1]
+        for a in arrs[1:]:
+            neq_prev |= a[1:] != a[:-1]
+        bounds = np.flatnonzero(neq_prev) + 1
+        bounds = bounds[(bounds > lead_end) & (bounds < trail_start)]
+        cuts = [lead_end]
+        if len(bounds):
+            idx = np.searchsorted(
+                bounds, np.arange(lead_end + target, trail_start, target)
+            )
+            for pos in bounds[idx[idx < len(bounds)]]:
+                p = int(pos)
+                if p > cuts[-1]:
+                    cuts.append(p)
+        cuts.append(trail_start)
+        return n, first_key, last_key, cuts
+
+    metas = ray.get([probe.remote(r) for r in refs])
+
+    @ray.remote
+    def process_slice(tbl: pa.Table, start: int, end: int):
+        return run_complete(tbl.slice(start, end - start))
+
+    @ray.remote
+    def boundary_slice(tbl: pa.Table, lead_end: int, trail_start: int):
+        n = tbl.num_rows
+        return pa.concat_tables(
             [tbl.slice(0, lead_end), tbl.slice(trail_start, n - trail_start)]
         )
-        return done, boundary, (first_key, last_key)
 
     done_refs = []
     boundary_refs = []
-    meta_refs = []
-    for ref in refs:
-        d, b, m = split_block.remote(ref)
-        done_refs.append(d)
-        boundary_refs.append(b)
-        meta_refs.append(m)
+    block_metas = []
+    for ref, (n, first_key, last_key, cuts) in zip(refs, metas):
+        if n == 0:
+            continue
+        block_metas.append((first_key, last_key))
+        if not cuts:  # whole block is one key
+            boundary_refs.append(ref)
+            continue
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            if e > s:
+                done_refs.append(process_slice.remote(ref, s, e))
+        boundary_refs.append(boundary_slice.remote(ref, cuts[0], cuts[-1]))
 
-    done_ds = ray.data.from_arrow_refs(done_refs)
+    if not done_refs:
+        done_ds = ray.data.from_arrow(out_schema.empty_table())
+    else:
+        done_ds = ray.data.from_arrow_refs(done_refs)
 
     # chain adjacent boundary tables whose edge keys connect; every group is
     # complete within its run, so runs process independently
-    metas = ray.get(meta_refs)
-    chained = [
-        (b, m) for b, m in zip(boundary_refs, metas) if m[0] is not None
-    ]
+    chained = list(zip(boundary_refs, block_metas))
     # Adjacency chaining relies on to_arrow_refs() returning the range-sorted
     # blocks in global key order — a documented-nowhere Ray Data invariant.
     # Verify it: block key ranges must be non-decreasing in ref order. If it
