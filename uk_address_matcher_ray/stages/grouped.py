@@ -73,9 +73,9 @@ def _bucket_codes(tbl: pa.Table, keys: List[str], P: int):
 # without bounding data (a run is as big as its hottest straddling key)
 _RUNS_PER_REPAIR_TASK = 32
 
-# hash exchange creates B×P intermediate objects; beyond this, fall back to
-# the sort exchange (object-count pressure on the raylet)
-_MAX_EXCHANGE_OBJECTS = 65536
+# hash exchange creates B_eff×P intermediate objects; input-block bundling
+# (B_eff <= ~2 tasks/CPU) and row-scaled P keep this bounded at a few
+# thousand regardless of upstream block count
 
 # the hash exchange wins when per-job fixed cost dominates (small inputs: it
 # replaces sample+map+reduce sort jobs with two raw task waves) but its
@@ -127,27 +127,39 @@ def grouped_map(
         return ray.data.from_arrow(out_schema.empty_table())
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_rows = materialized.count()
     if num_partitions is not None:
         P = num_partitions
     else:
-        # partition granularity ≈ input block granularity (same task sizes
-        # as the sort exchange, good balance), capped by the object budget
-        P = min(max(8, cpus, B), max(8, cpus, _MAX_EXCHANGE_OBJECTS // max(B, 1)))
+        # partition granularity ≈ ~4k rows per process task (kernel-slice
+        # sized), at least one task wave across the cluster
+        P = max(8, cpus, min(-(-n_rows // 4096), 4 * cpus))
 
-    if (
-        B * P > _MAX_EXCHANGE_OBJECTS
-        or materialized.count() > _HASH_EXCHANGE_MAX_ROWS
-    ):
+    if n_rows > _HASH_EXCHANGE_MAX_ROWS:
         return _grouped_map_sort(materialized, keys, run_complete, out_schema)
 
     sort_spec = [(k, "ascending") for k in keys]
 
+    # bundle input blocks so the split wave stays ~2 tasks/CPU: the exchange
+    # creates B_eff x P intermediate objects, and many small upstream blocks
+    # (e.g. slice-level outputs of a previous grouped_map) would otherwise
+    # explode the object count and raylet overhead
+    bundle_n = max(1, -(-B // max(8, 2 * cpus)))
+    bundles = [refs[i : i + bundle_n] for i in range(0, B, bundle_n)]
+    B_eff = len(bundles)
+
     @ray.remote
-    def split(tbl: pa.Table):
-        if tbl.num_rows == 0 or keys[0] not in tbl.schema.names:
+    def split(*tbls):
+        live = [
+            t
+            for t in tbls
+            if t.num_rows > 0 and keys[0] in t.schema.names
+        ]
+        if not live:
             return tuple([None] * P)
         import numpy as np
 
+        tbl = live[0] if len(live) == 1 else pa.concat_tables(live)
         buckets = _bucket_codes(tbl, keys, P)
         out = []
         for p in range(P):
@@ -155,7 +167,7 @@ def grouped_map(
             out.append(tbl.take(pa.array(idx)) if len(idx) else None)
         return tuple(out)
 
-    parts = [split.options(num_returns=P).remote(r) for r in refs]
+    parts = [split.options(num_returns=P).remote(*b) for b in bundles]
 
     @ray.remote
     def process(*tbls):
@@ -166,7 +178,7 @@ def grouped_map(
         return run_complete(tbl.sort_by(sort_spec))
 
     proc_refs = [
-        process.remote(*[parts[b][p] for b in range(B)]) for p in range(P)
+        process.remote(*[parts[b][p] for b in range(B_eff)]) for p in range(P)
     ]
     return ray.data.from_arrow_refs(proc_refs)
 

@@ -47,9 +47,14 @@ def corpus_token_stats(
     return tok_counts, num_counts, end_counts, nt123_counts
 
 
-def rel_freq_table(counts: Counter) -> Dict[str, float]:
-    """count/total as double division (matches DuckDB count(*)/sum(count(*)))."""
-    total = sum(counts.values())
+def rel_freq_table(counts: Counter, total: Optional[int] = None) -> Dict[str, float]:
+    """count/total as double division (matches DuckDB count(*)/sum(count(*))).
+
+    ``total`` overrides the denominator — used when rare tokens were floored
+    out of ``counts`` but must still weigh in the relative frequencies so
+    the surviving entries stay bit-identical to the unfloored table."""
+    if total is None:
+        total = sum(counts.values())
     if total == 0:
         return {}
     return {t: c / total for t, c in counts.items()}
@@ -105,17 +110,28 @@ def corpus_stats_dataset(ds):
 
 
 def collect_corpus_stats(
-    ds, end_token_min_count: int = DEFAULT_END_TOKEN_MIN_COUNT
+    ds,
+    end_token_min_count: int = DEFAULT_END_TOKEN_MIN_COUNT,
+    min_token_count: int = 0,
 ) -> Tuple[Dict[str, float], Dict[str, float], FrozenSet[str]]:
     """Full distributed pass -> (tf_dict, numeric_tf_dict, end_tokens).
 
-    The aggregated table is vocabulary-sized (≪ corpus) so collecting it to
-    the driver is bounded; at 100 TB scale the vocabulary still fits in
-    memory after the count aggregation. Partial per-batch counts merge in a
-    fan-in-8 TREE of Ray tasks (each level re-aggregates, so every
-    intermediate stays vocabulary-bounded) — no all-to-all shuffle, and
-    integer-sum merges are order-independent so the result is exact at any
-    tree shape.
+    Partial per-batch counts merge in a fan-in-8 TREE of Ray tasks (each
+    level re-aggregates, so every intermediate stays vocabulary-bounded) —
+    no all-to-all shuffle, and integer-sum merges are order-independent so
+    the result is exact at any tree shape.
+
+    ``min_token_count`` bounds the DRIVER's vocabulary: tokens with a global
+    count below the floor are dropped (in the final tree task, before
+    anything reaches the driver) while the relative-frequency denominators
+    still include them, so every surviving entry is bit-identical to the
+    unfloored table. At 100 TB of web text the raw distinct-token count
+    grows into the billions (URLs, noise); a floor of even 2-5 collapses
+    that tail. Semantic delta: a dropped token scores with the attach-time
+    rare-token default (5e-5, mirroring the reference's COALESCE fallback in
+    cleaning_steps.py:339) instead of its true sub-floor frequency — the
+    reference itself applies that default to tokens absent from its TF
+    table. Default 0 = off (bit-exact oracle parity).
     """
     import ray
 
@@ -149,10 +165,33 @@ def collect_corpus_stats(
                 "count": pa.array([], pa.int64()),
             }
         )
+        totals = {0: 0, 1: 0, 2: 0, 3: 0}
     else:
         while len(refs) > 1:
             refs = [merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
-        tbl = ray.get(refs[0])
+
+        @ray.remote(num_returns=2)
+        def finalize(t: pa.Table):
+            """Per-kind totals (pre-floor denominators) + floored table, so
+            the driver never holds the sub-floor vocabulary tail."""
+            import pyarrow.compute as pc
+
+            totals = {}
+            kind_arr = t.column("kind")
+            cnt_arr = t.column("count")
+            for k in (0, 1, 2, 3):
+                s = pc.sum(pc.if_else(pc.equal(kind_arr, k), cnt_arr, 0))
+                totals[k] = s.as_py() or 0
+            if min_token_count > 1:
+                keep = pc.or_(
+                    pc.greater_equal(cnt_arr, min_token_count),
+                    pc.equal(kind_arr, 2),  # end tokens have their own floor
+                )
+                t = t.filter(keep)
+            return totals, t
+
+        totals_ref, tbl_ref = finalize.remote(refs[0])
+        totals, tbl = ray.get(totals_ref), ray.get(tbl_ref)
     toks = tbl.column("token").to_pylist()
     kinds = tbl.column("kind").to_pylist()
     cnts = tbl.column("count").to_pylist()
@@ -164,8 +203,8 @@ def collect_corpus_stats(
     for t, k, c in zip(toks, kinds, cnts):
         by_kind[k][t] += c
     return (
-        rel_freq_table(tok_counts),
-        rel_freq_table(num_counts),
+        rel_freq_table(tok_counts, totals[0]),
+        rel_freq_table(num_counts, totals[1]),
         end_token_set(end_counts, end_token_min_count),
     )
 
