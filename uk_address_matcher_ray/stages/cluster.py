@@ -258,16 +258,28 @@ def _sharded_propagate(edges, max_iters: int, checkpoint_dir, P: int):
     P = max(8, int(P or 8))
 
     def shard_of_col(col):
-        import zlib
-
+        """Vectorized node -> shard hash. Any deterministic hash works (the
+        invariant is run-internal consistency: a node's label shard and its
+        edges' src shard agree by construction); polars' 64-bit hash avoids
+        the per-row crc32 loop."""
         import numpy as np
 
-        vals = col.to_pylist()
-        return np.fromiter(
-            (zlib.crc32(v.encode()) % P for v in vals),
-            dtype=np.int64,
-            count=len(vals),
-        )
+        try:
+            import polars as pl
+
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            s = pl.from_arrow(col)
+            return (s.hash(seed=0).to_numpy() % P).astype(np.int64)
+        except ImportError:  # pragma: no cover
+            import zlib
+
+            vals = col.to_pylist()
+            return np.fromiter(
+                (zlib.crc32(v.encode()) % P for v in vals),
+                dtype=np.int64,
+                count=len(vals),
+            )
 
     @ray.remote
     def split_edges(tbl: pa.Table):

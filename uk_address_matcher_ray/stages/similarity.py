@@ -26,6 +26,15 @@ def _normalized(mat):
     return m / n[:, None]
 
 
+def _normalized_batch(batch: pa.Table, vec_col: str):
+    """L2-normalized (n, d) float64 from a list<float> column via the flat
+    values buffer — no per-row Python list materialization (same doubles as
+    the to_pylist path: float32 -> float64 widening is exact)."""
+    from uk_address_matcher_ray.stages.dedup import _vectors_from_table
+
+    return _normalized(_vectors_from_table(batch, vec_col))
+
+
 def _fetch_rows_by_id(ds, id_col: str, ids) -> list:
     """Rows whose id is in ``ids`` — vectorized is_in mask per batch (no
     per-row Python filter), sorted by id."""
@@ -63,7 +72,7 @@ def brute_force_topk(
     def partial(batch: pa.Table) -> pa.Table:
         qi, qm = ray.get(ref)
         ids = batch.column(id_col).to_pylist()
-        mat = _normalized([list(v) for v in batch.column(vec_col).to_pylist()])
+        mat = _normalized_batch(batch, vec_col)
         sims = qm @ mat.T  # (nq, nb)
         out_q, out_v, out_s = [], [], []
         for a, qid in enumerate(qi):
@@ -124,9 +133,7 @@ def train_centroids(
 
         def partial_sums(batch: pa.Table) -> pa.Table:
             c = ray.get(ref)
-            mat = _normalized(
-                [list(v) for v in batch.column(vec_col).to_pylist()]
-            )
+            mat = _normalized_batch(batch, vec_col)
             assign = np.argmax(mat @ c.T, axis=1)
             sums = np.zeros_like(c)
             counts = np.zeros(len(c), dtype=np.int64)
@@ -176,7 +183,7 @@ def ivf_topk(
 
     def bucketize(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
-        mat = _normalized([list(v) for v in batch.column(vec_col).to_pylist()])
+        mat = _normalized_batch(batch, vec_col)
         assign = np.argmax(mat @ c.T, axis=1)
         return batch.append_column("__bucket", pa.array(assign, pa.int32()))
 
@@ -207,7 +214,7 @@ def ivf_topk(
         q_rows_, q_mat_, probes = ray.get(pref)
         ids = batch.column(id_col).to_pylist()
         buckets = batch.column("__bucket").to_pylist()
-        mat = _normalized([list(v) for v in batch.column(vec_col).to_pylist()])
+        mat = _normalized_batch(batch, vec_col)
         out_q, out_v, out_s = [], [], []
         for (qr, qv) in zip(q_rows_, q_mat_):
             qid = qr[id_col]
