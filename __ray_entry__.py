@@ -435,6 +435,7 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ivf_topk(sf_dir: str):
+    import pyarrow as pa
     import ray
 
     from uk_address_matcher_ray.stages.similarity import ivf_topk
@@ -444,7 +445,18 @@ def _q_ivf_topk(sf_dir: str):
         r["vec_id"]
         for r in ds.select_columns(["vec_id"]).sort("vec_id").limit(5).take_all()
     ]
-    return ivf_topk(ds, qids, k=ANN_K)
+    out = ivf_topk(ds, qids, k=ANN_K)
+
+    def round_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("cosine"),
+            "cosine",
+            pc.round(batch.column("cosine"), ndigits=6),
+        )
+
+    return out.map_batches(round_batch, batch_format="pyarrow")
 
 
 def _q_text_stats(sf_dir: str):
@@ -744,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dup": oracle_extras.embedding_near_dup_sql(NEAR_DUP_COS),
         "ann_topk": oracle_extras.ann_topk_sql(k=ANN_K),
+        "ivf_topk": oracle_extras.ivf_topk_sql(k=ANN_K),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "events_hourly": oracle_extras.events_hourly_sql(),

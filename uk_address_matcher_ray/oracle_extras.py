@@ -413,6 +413,104 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"(({dot}) / (({na}) * ({nb})))"
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential list_reduce dot product (both operands pre-normalized)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (p, q) -> p + q)"
+    )
+
+
+def _normalize_sql(x: str) -> str:
+    """L2-normalize with the engine's zero-norm guard (norm 0 -> divide by 1)."""
+    nrm = (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({x}, t -> t * t)), (p, q) -> p + q))"
+    )
+    return (
+        f"list_transform({x}, t -> t / "
+        f"(CASE WHEN ({nrm}) = 0 THEN 1.0 ELSE ({nrm}) END))"
+    )
+
+
+def ivf_topk_sql(
+    k: int,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    dim: int = 64,
+    n_queries: int = 5,
+) -> str:
+    """Exact mirror of stages/similarity.ivf_topk: Lloyd iterations unrolled
+    as CTE chains (assignment = ROW_NUMBER over dot DESC / cid ASC, matching
+    numpy argmax's first-max tie break; empty clusters keep their previous
+    centroid via LEFT JOIN), final top-k restricted to each query's nprobe
+    probed buckets. Float-sum orders differ from numpy at ~1e-15 — hidden by
+    the 6-digit rounding both sides apply (same tolerance as ann_topk); the
+    discrete argmax/probe choices only flip on sub-1e-12 dot ties, absent in
+    the synth embeddings."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings)",
+        f"norm AS MATERIALIZED (SELECT vec_id, {_normalize_sql('v0')} AS v FROM e)",
+        f"idx AS (SELECT unnest(range(1, {dim + 1})) AS i)",
+        (
+            "c0 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS cv "
+            f"FROM (SELECT * FROM norm ORDER BY vec_id LIMIT {num_centroids}))"
+        ),
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        dot = _dot_sql("n.v", "c.cv")
+        ctes.append(
+            f"a{it} AS MATERIALIZED (SELECT vec_id, v, cid FROM ("
+            f"SELECT n.vec_id, n.v, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY n.vec_id ORDER BY {dot} DESC, c.cid) AS rn "
+            f"FROM norm n CROSS JOIN {prev} c) t WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT cid, list(s / n ORDER BY i) AS mv FROM ("
+            f"SELECT a.cid, i.i AS i, sum(a.v[i.i]) AS s, count(*) AS n "
+            f"FROM a{it} a CROSS JOIN idx i GROUP BY a.cid, i.i) t GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{it} AS MATERIALIZED (SELECT c.cid, CASE WHEN m.mv IS NULL "
+            f"THEN c.cv ELSE {_normalize_sql('m.mv')} END AS cv "
+            f"FROM {prev} c LEFT JOIN m{it} m USING (cid))"
+        )
+    cf = f"c{iters}"
+    dot_a = _dot_sql("n.v", "c.cv")
+    ctes.append(
+        f"af AS MATERIALIZED (SELECT vec_id, v, cid FROM ("
+        f"SELECT n.vec_id, n.v, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY n.vec_id ORDER BY {dot_a} DESC, c.cid) AS rn "
+        f"FROM norm n CROSS JOIN {cf} c) t WHERE rn = 1)"
+    )
+    ctes.append(f"q AS (SELECT * FROM norm ORDER BY vec_id LIMIT {n_queries})")
+    dot_q = _dot_sql("q.v", "c.cv")
+    ctes.append(
+        f"qp AS (SELECT query_id, cid FROM ("
+        f"SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.vec_id ORDER BY {dot_q} DESC, c.cid) AS rn "
+        f"FROM q CROSS JOIN {cf} c) t WHERE rn <= {nprobe})"
+    )
+    dot_s = _dot_sql("q.v", "a.v")
+    ctes.append(
+        f"scored AS (SELECT qp.query_id, a.vec_id, {dot_s} AS cosine "
+        f"FROM qp JOIN af a USING (cid) JOIN q ON q.vec_id = qp.query_id "
+        f"WHERE a.vec_id != qp.query_id)"
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+    CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+    ) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def ann_topk_sql(k: int, n_queries: int = 5) -> str:
     cos = _cosine_sql("q.v", "e.v")
     return f"""

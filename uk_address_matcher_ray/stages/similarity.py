@@ -122,10 +122,14 @@ def train_centroids(
     import numpy as np
     import ray
 
-    seed_rows = sorted(
-        ds.select_columns([id_col, vec_col]).take(num_centroids * 4),
-        key=lambda r: r[id_col],
-    )[:num_centroids]
+    # init = normalized vectors of the num_centroids GLOBALLY smallest ids
+    # (well-defined at any block order; SQL-mirrorable: ORDER BY id LIMIT n)
+    seed_rows = (
+        ds.select_columns([id_col, vec_col])
+        .sort(id_col)
+        .limit(num_centroids)
+        .take_all()
+    )
     cents = _normalized([r[vec_col] for r in seed_rows])
 
     for _ in range(iters):
