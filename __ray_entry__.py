@@ -324,6 +324,20 @@ def _q_match_one(sf_dir: str):
     )
 
 
+def _q_tune_rewards(sf_dir: str):
+    """Reward objective for the second-pass multiplier tuner
+    (pipelines/tune.py; reference
+    scripts/improve_parameters_using_gradient_descent.py:383-470): per
+    labelled messy record, min-max-normalized best-vs-true reward over the
+    improved pairs. The SPSA loop itself is iterative/stochastic (covered by
+    tests/test_tune.py); this checks its objective bit-exactly."""
+    from uk_address_matcher_ray.pipelines.tune import record_rewards
+    from uk_address_matcher_ray.sources import synth
+
+    labels = synth.truth_labels(_custkeys(sf_dir))
+    return record_rewards(_q_improve_pairs(sf_dir), labels)
+
+
 def _q_best_matches(sf_dir: str):
     import ray
 
@@ -708,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "predict_pairs": _q_predict_pairs,
         "match_clusters": _q_match_clusters,
         "improve_pairs": _q_improve_pairs,
+        "tune_rewards": _q_tune_rewards,
         "match_one": _q_match_one,
         "best_matches": _q_best_matches,
         "best_matches_summary": _q_best_matches_summary,
@@ -772,6 +787,11 @@ def oracle_sql() -> dict[str, str]:
             + ") WHERE unique_id_r = 'm' || CAST((SELECT min(c_custkey) "
             "FROM customer WHERE c_custkey % 3 <> 0) AS VARCHAR)"
         ),
+        "tune_rewards": oracle_extras.tune_rewards_sql(
+            oracle_extras.improve_pairs_sql(
+                pairs_sql, oracle.cleaned_features_sql(_union_input_sql())
+            )
+        ),
         "train_em": oracle_train.em_sql(
             oracle.cleaned_features_sql(_union_input_sql()), iterations=2
         ),
@@ -786,7 +806,5 @@ def oracle_sql() -> dict[str, str]:
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
             f"SELECT unique_id, address_concat FROM ({_union_input_sql()})"
         ),
-        # ivf_topk: approximate index — no SQL equivalent by construction;
-        # its recall vs brute force is asserted in tests/test_similarity_recall.py.
     }
     return out

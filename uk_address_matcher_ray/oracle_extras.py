@@ -763,3 +763,61 @@ SELECT unique_id_r, unique_id_l,
     match_weight_original + mw_adjustment AS match_weight
 FROM calc
 """
+
+
+# ---------------------------------------------------------------------------
+# Tuning reward objective (pipelines/tune.py mirror; reference
+# scripts/improve_parameters_using_gradient_descent.py:383-470)
+# ---------------------------------------------------------------------------
+
+def tune_rewards_sql(
+    improve_sql: str,
+    indeterminate_cap: float = 0.2,
+    no_true_penalty: float = -0.2,
+) -> str:
+    """Per-labelled-record reward over min-max-normalized improved match
+    weights: the objective the SPSA multiplier tuner maximizes. Mirrors
+    tune.record_rewards expression-for-expression (same normalization
+    doubles, same DESC-weight/ASC-id tie-break as the Python sort key)."""
+    return f"""
+WITH improved AS MATERIALIZED ({improve_sql}),
+bounds AS (SELECT min(match_weight) AS mn, max(match_weight) AS mx FROM improved),
+labels AS (
+    SELECT 'm' || CAST(c_custkey AS VARCHAR) AS unique_id,
+           'c' || CAST(c_custkey AS VARCHAR) AS correct_unique_id
+    FROM customer WHERE c_custkey % 3 != 0
+),
+norm AS (
+    SELECT i.unique_id_r, i.unique_id_l,
+        CASE WHEN b.mx <> b.mn THEN (i.match_weight - b.mn) / (b.mx - b.mn)
+             ELSE 0.0 END AS w
+    FROM improved i CROSS JOIN bounds b
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY unique_id_r ORDER BY w DESC, unique_id_l ASC) AS rn
+    FROM norm
+),
+per AS (
+    SELECT l.unique_id AS unique_id_r, l.correct_unique_id,
+        max(CASE WHEN r.rn = 1 THEN r.w END) AS best_w,
+        max(CASE WHEN r.rn = 1 THEN r.unique_id_l END) AS best_id,
+        max(CASE WHEN r.rn = 2 THEN r.w END) AS second_w,
+        max(CASE WHEN r.unique_id_l = l.correct_unique_id THEN r.w END) AS true_w
+    FROM labels l JOIN ranked r ON r.unique_id_r = l.unique_id
+    GROUP BY l.unique_id, l.correct_unique_id
+),
+rew AS (
+    SELECT unique_id_r,
+        CASE WHEN true_w IS NULL THEN {no_true_penalty!r}
+             WHEN best_id <> correct_unique_id THEN true_w - best_w
+             WHEN second_w IS NULL THEN {indeterminate_cap!r}
+             ELSE least(best_w - second_w, {indeterminate_cap!r}) END AS reward
+    FROM per
+)
+SELECT unique_id_r, reward,
+    CASE WHEN reward = 0 THEN 'indistinguishable true positive'
+         WHEN reward > 0 THEN 'true positive'
+         ELSE 'false positive' END AS truth_status
+FROM rew
+"""

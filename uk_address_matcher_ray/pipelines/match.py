@@ -61,18 +61,21 @@ def match_pipeline(
         top_n_matches=top_n_matches,
         use_bigrams=use_bigrams,
     )
-    from uk_address_matcher_ray.stages.grouped import grouped_map
+    return improve_raw_pairs(raw, stage, model)
 
-    # only the columns the rescore kernel reads ride the unique_id_r shuffle
-    # (drops match_probability + the 8 gamma_* columns the output never
-    # uses), and the heavy common_end_tokens histogram is slimmed to the
-    # token list — the kernel reads only the token SET and the improved
-    # output carries no histogram at all
+
+def slim_for_improve(raw, stage, model: MatchModel):
+    """Project raw scored pairs to the columns the rescore kernel reads.
+
+    Drops match_probability + the 8 gamma_* columns the output never uses,
+    and slims the heavy common_end_tokens histogram to the token list — the
+    kernel reads only the token SET and the improved output carries no
+    histogram at all."""
     import pyarrow as pa
 
     from uk_address_matcher_ray.stages.score import pair_schema
 
-    raw_schema = pair_schema(model, retain_columns)
+    raw_schema = pair_schema(model, stage.retain_columns)
     keep_light = [
         c
         for c in stage.input_columns()
@@ -102,8 +105,24 @@ def match_pipeline(
         cols[stage.CET_TOKS_COL] = toks
         return pa.table(cols).cast(slim_schema)
 
+    return raw.map_batches(slim, batch_format="pyarrow")
+
+
+def improve_raw_pairs(raw_slimmed_or_raw, stage, model: MatchModel, *, pre_slimmed: bool = False):
+    """Second-pass rescoring of raw scored pairs: slim projection + ONE
+    unique_id_r grouped_map running the (dedup + top-n + rescore) kernel.
+    ``pre_slimmed=True`` skips the projection (used by the multiplier tuning
+    loop, which re-runs this on one materialized slimmed dataset per
+    evaluation)."""
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    slimmed = (
+        raw_slimmed_or_raw
+        if pre_slimmed
+        else slim_for_improve(raw_slimmed_or_raw, stage, model)
+    )
     return grouped_map(
-        raw.map_batches(slim, batch_format="pyarrow"),
+        slimmed,
         "unique_id_r",
         None,
         stage.schema,
