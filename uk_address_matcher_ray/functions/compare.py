@@ -269,6 +269,68 @@ def _compile_model(model: MatchModel):
 _COMPILED_CACHE: Dict[int, tuple] = {}
 
 
+def _compiled_for(model: MatchModel):
+    entry = _COMPILED_CACHE.get(id(model))
+    if entry is None or entry[0] is not model:
+        entry = (model, _compile_model(model))
+        _COMPILED_CACHE[id(model)] = entry
+    return entry[1]
+
+
+def score_pair_detail(
+    l: ScoreRow,
+    r: ScoreRow,
+    model: MatchModel,
+    numeric_tf: Dict[str, Dict[str, float]],
+) -> Tuple[float, float, List[dict]]:
+    """``score_pair`` with a per-comparison decomposition, for waterfall
+    rendering (reference accuracy_from_labels.py:222-283 displays Splink's
+    waterfall_chart per pair).
+
+    Returns (match_weight, match_probability, details); details has one dict
+    per comparison: {comparison, gamma, condition, bayes_factor (incl. TF
+    adjustment), tf_adjustment, log2_bayes_factor}. Contributions are summed
+    in model order with Python float addition, so
+    prior + Σ log2_bayes_factor == score_pair's match_weight BIT-EXACTLY."""
+    compiled = _compiled_for(model)
+    log2_bf_total = model.prior_weight
+    details: List[dict] = []
+    for comp, levels in zip(model.comparisons, compiled):
+        gamma = -1
+        matched = None
+        cond = None
+        for fn, lv, g in levels:
+            if fn(l, r):
+                cond = lv.condition
+                if not lv.is_null:
+                    matched = lv
+                    gamma = g
+                break
+        bf = 1.0
+        tf_adj = 1.0
+        contrib = 0.0
+        if matched is not None:
+            bf = matched.bayes_factor
+            if matched.tf_column:
+                tf_adj = _tf_adjustment(matched, l, r, numeric_tf)
+                bf *= tf_adj
+            contrib = math.log2(bf)
+            log2_bf_total += contrib
+        details.append(
+            {
+                "comparison": comp.name,
+                "gamma": gamma,
+                "condition": cond,
+                "bayes_factor": bf,
+                "tf_adjustment": tf_adj,
+                "log2_bayes_factor": contrib,
+            }
+        )
+    mw = log2_bf_total
+    prob = 1.0 / (1.0 + 2.0 ** (-mw))
+    return mw, prob, details
+
+
 def score_pair(
     l: ScoreRow,
     r: ScoreRow,
@@ -280,11 +342,7 @@ def score_pair(
     gamma follows Splink numbering: -1 for the null level, then the first
     non-null level gets the highest value counting down to 0 for ELSE.
     """
-    entry = _COMPILED_CACHE.get(id(model))
-    if entry is None or entry[0] is not model:
-        entry = (model, _compile_model(model))
-        _COMPILED_CACHE[id(model)] = entry
-    compiled = entry[1]
+    compiled = _compiled_for(model)
     log2_bf_total = model.prior_weight
     gammas: List[int] = []
     for levels in compiled:
