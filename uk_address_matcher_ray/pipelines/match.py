@@ -41,6 +41,18 @@ def match_pipeline(
 
     Two shuffles total: (rule_id, key) blocking and unique_id_r grouping.
     """
+    pairs_hint = None
+    if salt_threshold and salt_threshold > 0:
+        # salting materializes the cleaned sides anyway; the counts give
+        # both grouped_maps a size estimate so big inputs stream straight
+        # into their sorts (raw pairs ≈ 1.7 × cleaned rows measured; 2 is
+        # a safe over-estimate — only the exchange choice depends on it)
+        cleaned_l = cleaned_l.materialize()
+        n = cleaned_l.count()
+        if cleaned_r is not None:
+            cleaned_r = cleaned_r.materialize()
+            n += cleaned_r.count()
+        pairs_hint = 2 * n
     raw = scored_pairs_raw(
         cleaned_l,
         cleaned_r,
@@ -53,6 +65,7 @@ def match_pipeline(
         # threshold per messy record, so tasks drop the rest before the
         # unique_id_r all-to-all (identical results, fraction of the bytes)
         local_prune=(top_n_matches, improve_threshold),
+        rows_hint=(3 * n) if pairs_hint is not None else None,
     )
     stage = ImproveStage(
         dedup_first=True,
@@ -61,7 +74,7 @@ def match_pipeline(
         top_n_matches=top_n_matches,
         use_bigrams=use_bigrams,
     )
-    return improve_raw_pairs(raw, stage, model)
+    return improve_raw_pairs(raw, stage, model, rows_hint=pairs_hint)
 
 
 def slim_for_improve(raw, stage, model: MatchModel):
@@ -108,12 +121,21 @@ def slim_for_improve(raw, stage, model: MatchModel):
     return raw.map_batches(slim, batch_format="pyarrow")
 
 
-def improve_raw_pairs(raw_slimmed_or_raw, stage, model: MatchModel, *, pre_slimmed: bool = False):
+def improve_raw_pairs(
+    raw_slimmed_or_raw,
+    stage,
+    model: MatchModel,
+    *,
+    pre_slimmed: bool = False,
+    rows_hint=None,
+):
     """Second-pass rescoring of raw scored pairs: slim projection + ONE
     unique_id_r grouped_map running the (dedup + top-n + rescore) kernel.
     ``pre_slimmed=True`` skips the projection (used by the multiplier tuning
     loop, which re-runs this on one materialized slimmed dataset per
-    evaluation)."""
+    evaluation). ``rows_hint``: pair-count estimate letting big inputs
+    stream the slim projection straight into the unique_id_r sort (no
+    materialize of the slimmed table)."""
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
     slimmed = (
@@ -127,6 +149,7 @@ def improve_raw_pairs(raw_slimmed_or_raw, stage, model: MatchModel, *, pre_slimm
         None,
         stage.schema,
         fn_table=stage.process_table,
+        rows_hint=rows_hint,
     )
 
 

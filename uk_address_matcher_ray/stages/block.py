@@ -40,6 +40,17 @@ SEP = "\x1f"
 BLOCK_KEY_COL = "__block_key"
 BLOCK_KEY2_COL = "__block_key2"
 BLOCK_KEYS = [BLOCK_KEY_COL, BLOCK_KEY2_COL]
+
+
+def active_block_keys() -> List[str]:
+    """A/B diagnosis knob: GRAFT_STRING_KEYS=1 reverts to the raw key string
+    as a single sort/partition column (pre-hash behavior) for perf bisection.
+    Default: the two-uint64 hashed key columns."""
+    import os
+
+    if os.environ.get("GRAFT_STRING_KEYS") == "1":
+        return [BLOCK_KEY_COL]
+    return BLOCK_KEYS
 SIDE_COL = "__side"
 RULE_COL = "__rule"
 
@@ -261,6 +272,16 @@ class BlockKeyEmitter:
                         keys.append(f"{key}{SEP}#{li}|{rj}")
                         rules.append(rule_id)
         taken = batch.take(pa.array(take_idx, type=pa.int64()))
+        import os
+
+        if os.environ.get("GRAFT_STRING_KEYS") == "1":
+            return taken.append_column(
+                BLOCK_KEY_COL, pa.array(keys, pa.string())
+            ).append_column(
+                RULE_COL, pa.array(rules, type=pa.int32())
+            ).append_column(
+                SIDE_COL, pa.array([self.side] * len(keys), type=pa.int8())
+            )
         k1, k2 = hash_block_keys(keys)
         return taken.append_column(
             BLOCK_KEY_COL, k1

@@ -114,11 +114,21 @@ def grouped_map(
     out_schema: pa.Schema,
     fn_table: Optional[Callable[[pa.Table], pa.Table]] = None,
     num_partitions: Optional[int] = None,
+    rows_hint: Optional[int] = None,
 ):
     import ray
 
     keys = _key_list(key)
     run_complete = _make_run_complete(keys, fn_rows, fn_table, out_schema)
+
+    # ``rows_hint``: callers that can bound the input size up front (e.g.
+    # blocking knows rows ≈ cleaned_count × avg emissions) let big inputs
+    # stream STRAIGHT into the Dataset sort — the input materialize below
+    # exists only to choose the exchange and feed the raw-task hash path,
+    # and for sort-path inputs it is a pure pessimization (a barrier plus
+    # one extra full write+read of the input through the object store).
+    if rows_hint is not None and rows_hint > _HASH_EXCHANGE_MAX_ROWS:
+        return _grouped_map_sort(ds, keys, run_complete, out_schema)
 
     materialized = ds.materialize()
     refs = materialized.to_arrow_refs()
@@ -184,7 +194,7 @@ def grouped_map(
 
 
 def _grouped_map_sort(
-    materialized, keys: List[str], run_complete, out_schema: pa.Schema
+    ds_in, keys: List[str], run_complete, out_schema: pa.Schema
 ):
     """Sort-exchange fallback: global range sort + complete-group blocks +
     adjacency-chained straddler repair.
@@ -199,12 +209,19 @@ def _grouped_map_sort(
     bounding the straggler at ~1/(4·cpus) of the stage."""
     import ray
 
-    sorted_ds = materialized.sort(keys if len(keys) > 1 else keys[0]).materialize()
+    # ``ds_in`` may be LAZY (rows_hint fast path): the sort then pipelines
+    # with the upstream map stage; row count reads from the sorted result's
+    # metadata rather than re-executing the input.
+    sorted_ds = ds_in.sort(keys if len(keys) > 1 else keys[0]).materialize()
     refs = sorted_ds.to_arrow_refs()
     sort_spec = [(k, "ascending") for k in keys]
+    import os
+
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    total_rows = materialized.count()
+    total_rows = sorted_ds.count()
     target = max(2048, total_rows // max(1, 4 * cpus))
+    if os.environ.get("GRAFT_NO_SLICE") == "1":  # A/B diagnosis knob
+        target = 1 << 62
 
     @ray.remote
     def probe(tbl: pa.Table):

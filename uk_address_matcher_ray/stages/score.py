@@ -19,6 +19,7 @@ from uk_address_matcher_ray.functions.compare import prepare_row, score_pair
 from uk_address_matcher_ray.stages.block import (
     BLOCK_KEY_COL,
     BLOCK_KEYS,
+    active_block_keys,
     BlockKeyEmitter,
     RULE_COL,
     SIDE_COL,
@@ -172,6 +173,7 @@ def scored_pairs_raw(
     retain_columns: Sequence[str] = (),
     salt_threshold: int = 0,
     local_prune: Optional[Tuple[int, float]] = None,
+    rows_hint: Optional[int] = None,
 ):
     """Blocking + in-block scoring. Output may contain one row per
     (pair, matching rule); use ``predict`` for match_key-deduped pairs.
@@ -211,13 +213,22 @@ def scored_pairs_raw(
             hot_keys = compute_hot_keys(
                 cleaned_l, model, salt_threshold, cleaned_r=cleaned_r
             )
+        if rows_hint is None:
+            # emitted rows ≈ cleaned rows × rules firing per row (~2.6
+            # measured on the synth corpus; 3 is a safe over-estimate).
+            # Only the hash-vs-sort exchange choice depends on this: big
+            # inputs stream straight into the sort with no input
+            # materialize barrier.
+            n = cleaned_l.count() + (cleaned_r.count() if cleaned_r is not None else 0)
+            rows_hint = 3 * n
     hot_ref = ray.put(hot_keys)
 
     # After key emission, only the scoring payload rides the shuffle —
     # the unusual-token arrays / address_without_numbers exist solely for
     # key extraction and are projected out before the sort.
+    block_keys = active_block_keys()
     payload_cols = [
-        *BLOCK_KEYS, RULE_COL, SIDE_COL,
+        *block_keys, RULE_COL, SIDE_COL,
         "unique_id", "original_address_concat", "postcode",
         "flat_positional", "flat_letter",
         "numeric_token_1", "numeric_token_2", "numeric_token_3",
@@ -232,7 +243,7 @@ def scored_pairs_raw(
             return BlockKeyEmitter(model, side, get_broadcast(hot_ref))(batch)
 
         emitted = ds.map_batches(emit, batch_format="pyarrow")
-        names = ds.schema().names + [*BLOCK_KEYS, RULE_COL, SIDE_COL]
+        names = ds.schema().names + [*block_keys, RULE_COL, SIDE_COL]
         keep = [c for c in payload_cols if c in names]
         return emitted.select_columns(keep)
 
@@ -243,7 +254,7 @@ def scored_pairs_raw(
             return TaggedBlockKeyEmitter(model, get_broadcast(hot_ref))(batch)
 
         emitted = cleaned_l.map_batches(emit_tagged, batch_format="pyarrow")
-        names = cleaned_l.schema().names + [*BLOCK_KEYS, RULE_COL]
+        names = cleaned_l.schema().names + [*block_keys, RULE_COL]
         keep = [c for c in payload_cols if c in names]
         both = emitted.select_columns(keep)
     else:
@@ -273,7 +284,10 @@ def scored_pairs_raw(
 
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
-    return grouped_map(both, BLOCK_KEYS, None, out_schema, fn_table=score_table)
+    return grouped_map(
+        both, block_keys, None, out_schema, fn_table=score_table,
+        rows_hint=rows_hint,
+    )
 
 
 def _dataset_schema(ds) -> pa.Schema:
