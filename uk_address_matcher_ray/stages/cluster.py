@@ -76,26 +76,21 @@ def edges_from_pairs(pairs_ds, threshold: float, l_prefix: str = "c_", r_prefix:
 
 
 def _discover_nodes(edges):
-    """Distributed per-block distinct + driver unique -> SORTED node array
+    """Per-block distinct (one raw task per materialized edge block; no
+    Dataset job — its fixed cost is CPU-count-invariant and lands straight
+    in the Amdahl serial term) + driver unique -> SORTED node array
     (lexicographic rank order). Returns None when there are no nodes."""
     import pyarrow.compute as pc
     import ray
 
-    node_schema = pa.schema([pa.field("node", pa.string())])
+    @ray.remote
+    def distinct_src(tbl: pa.Table):
+        if tbl.num_rows == 0 or "src" not in tbl.schema.names:
+            return None
+        return pa.table({"node": pc.unique(tbl.column("src")).cast(pa.string())})
 
-    def distinct_src(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return node_schema.empty_table()
-        return pa.table(
-            {"node": pc.unique(batch.column("src")).cast(pa.string())}
-        )
-
-    parts = ray.get(
-        edges.map_batches(distinct_src, batch_format="pyarrow").to_arrow_refs()
-    )
-    # empty input blocks can pass through map_batches without invoking the
-    # UDF, arriving as zero-column tables — drop them before concat
-    parts = [t for t in parts if "node" in t.schema.names and t.num_rows > 0]
+    parts = ray.get([distinct_src.remote(r) for r in edges.to_arrow_refs()])
+    parts = [t for t in parts if t is not None and t.num_rows > 0]
     if not parts:
         return None
     nodes_arr = pc.unique(pa.concat_tables(parts).column("node"))
@@ -123,49 +118,52 @@ def _broadcast_propagate(
     import pyarrow.compute as pc
     import ray
 
-    from uk_address_matcher_ray.util import get_broadcast
-
     n_nodes = len(nodes_arr)
 
     # --- one-time int32 edge encoding (rank = position in sorted array) ---
+    # Every phase here runs as RAW TASKS over the materialized edge blocks:
+    # a Dataset job's fixed cost (~0.5-1 s on this box) is CPU-count
+    # invariant, and encode + N propagation rounds as Dataset jobs put
+    # ~5 such costs straight into the Amdahl serial term (measured: the
+    # cluster stage at x64 was SLOWER at 32 CPUs than at 8).
     nodes_ref = ray.put(nodes_arr)
 
-    int_edge_schema = pa.schema([pa.field("s", pa.int32()), pa.field("d", pa.int32())])
-
-    def encode(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return int_edge_schema.empty_table()
-        nodes = get_broadcast(nodes_ref)
-        s = pc.index_in(batch.column("src"), value_set=nodes).cast(pa.int32())
-        d = pc.index_in(batch.column("dst"), value_set=nodes).cast(pa.int32())
+    @ray.remote
+    def encode(tbl: pa.Table, nodes):
+        if tbl.num_rows == 0 or "src" not in tbl.schema.names:
+            return None
+        s = pc.index_in(tbl.column("src"), value_set=nodes).cast(pa.int32())
+        d = pc.index_in(tbl.column("dst"), value_set=nodes).cast(pa.int32())
         return pa.table({"s": s, "d": d})
 
     # edges arrive pre-repartitioned (propagate_labels) — ~one block per
     # CPU, so index_in builds its value-set hash table once per block, not
     # once per tiny upstream block
-    int_edges = edges.map_batches(encode, batch_format="pyarrow").materialize()
+    enc_refs = [encode.remote(b, nodes_ref) for b in edges.to_arrow_refs()]
+    int_edge_refs = [
+        r for r, t in zip(enc_refs, ray.get(enc_refs))
+        if t is not None and t.num_rows > 0
+    ]
 
     int_max = np.iinfo(np.int64).max
+
+    @ray.remote
+    def partial_min(batch, lab):
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        out = np.full(len(lab), int_max, dtype=np.int64)
+        np.minimum.at(out, d, lab[s])
+        idx = np.nonzero(out != int_max)[0]
+        return idx, out[idx]
+
     labels = np.arange(n_nodes, dtype=np.int64)
     for it in range(max_iters):
         lab_ref = ray.put(labels)
-
-        def partial_min(batch: pa.Table) -> pa.Table:
-            lab = get_broadcast(lab_ref)
-            s = batch.column("s").to_numpy()
-            d = batch.column("d").to_numpy()
-            out = np.full(len(lab), int_max, dtype=np.int64)
-            np.minimum.at(out, d, lab[s])
-            idx = np.nonzero(out != int_max)[0]
-            return pa.table({"i": pa.array(idx), "v": pa.array(out[idx])})
-
         acc = labels.copy()
-        for t in ray.get(
-            int_edges.map_batches(partial_min, batch_format="pyarrow").to_arrow_refs()
+        for idx, vals in ray.get(
+            [partial_min.remote(b, lab_ref) for b in int_edge_refs]
         ):
-            if t.num_rows == 0 or "i" not in t.schema.names:
-                continue
-            np.minimum.at(acc, t.column("i").to_numpy(), t.column("v").to_numpy())
+            np.minimum.at(acc, idx, vals)
         # pointer compression: labels point within the component, so
         # composing them is safe and flattens chains without extra rounds
         while True:
