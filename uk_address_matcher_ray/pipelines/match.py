@@ -41,7 +41,10 @@ def match_pipeline(
 
     Two shuffles total: (rule_id, key) blocking and unique_id_r grouping.
     """
+    import os
+
     pairs_hint = None
+    gather_refs = None
     if salt_threshold and salt_threshold > 0:
         # salting materializes the cleaned sides anyway; the counts give
         # both grouped_maps a size estimate so big inputs stream straight
@@ -53,6 +56,17 @@ def match_pipeline(
             cleaned_r = cleaned_r.materialize()
             n += cleaned_r.count()
         pairs_hint = 2 * n
+        # skinny-exchange eligibility (see scored_pairs_raw): tagged union
+        # whose cleaned bytes fit a node's object store. Pin the block refs
+        # HERE so the rescore stage gathers against the identical layout
+        # the pair indices were minted from.
+        gather_max = int(os.environ.get("GRAFT_GATHER_MAX_BYTES", str(4 << 30)))
+        if (
+            cleaned_r is None
+            and not retain_columns
+            and (cleaned_l.size_bytes() or 0) <= gather_max
+        ):
+            gather_refs = tuple(cleaned_l.to_arrow_refs())
     raw = scored_pairs_raw(
         cleaned_l,
         cleaned_r,
@@ -66,6 +80,7 @@ def match_pipeline(
         # unique_id_r all-to-all (identical results, fraction of the bytes)
         local_prune=(top_n_matches, improve_threshold),
         rows_hint=(3 * n) if pairs_hint is not None else None,
+        gather_refs=gather_refs,
     )
     stage = ImproveStage(
         dedup_first=True,
@@ -74,6 +89,10 @@ def match_pipeline(
         top_n_matches=top_n_matches,
         use_bigrams=use_bigrams,
     )
+    if gather_refs is not None:
+        return improve_raw_pairs_gather(
+            raw, stage, model, gather_refs, rows_hint=pairs_hint
+        )
     return improve_raw_pairs(raw, stage, model, rows_hint=pairs_hint)
 
 
@@ -149,6 +168,71 @@ def improve_raw_pairs(
         None,
         stage.schema,
         fn_table=stage.process_table,
+        rows_hint=rows_hint,
+    )
+
+
+def improve_raw_pairs_gather(raw, stage, model: MatchModel, payload_refs, *, rows_hint=None):
+    """Gather-mode second pass: the unique_id_r all-to-all carries ONLY
+    (match_weight, match_key, __src_idx_l, __src_idx_r) — 24 fixed bytes per
+    pair — grouped by the int64 messy-row index (bijective with unique_id_r,
+    so group semantics are identical). The kernel gathers both sides' payload
+    (ids, addresses, postcodes, the messy common-end-token histogram) from
+    the SAME materialized cleaned blocks the indices were minted from and
+    runs the standard ImproveStage kernel; output schema unchanged."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.block import SRC_IDX_COL
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+    from uk_address_matcher_ray.stages.score import _gathered_payload
+
+    idx_l, idx_r = f"{SRC_IDX_COL}_l", f"{SRC_IDX_COL}_r"
+    skinny_cols = ["match_weight", "match_key", idx_l, idx_r]
+    gather_cols = [
+        "unique_id",
+        "original_address_concat",
+        "postcode",
+        "common_end_tokens_hist",
+    ]
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select(skinny_cols)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return stage.schema.empty_table()
+        payload = _gathered_payload(payload_refs).select(gather_cols)
+        li = tbl.column(idx_l).combine_chunks()
+        ri = tbl.column(idx_r).combine_chunks()
+        lrows = payload.take(li)
+        rrows = payload.take(ri)
+        h = rrows.column("common_end_tokens_hist")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks() if h.num_chunks else pa.array([], type=h.type)
+        if h.offset != 0:
+            h = pa.concat_arrays([h])
+        toks = pa.ListArray.from_arrays(h.offsets, h.values.field("tok"))
+        full = pa.table(
+            {
+                "unique_id_l": lrows.column("unique_id"),
+                "unique_id_r": rrows.column("unique_id"),
+                "match_weight": tbl.column("match_weight"),
+                "match_key": tbl.column("match_key"),
+                "original_address_concat_l": lrows.column("original_address_concat"),
+                "original_address_concat_r": rrows.column("original_address_concat"),
+                "postcode_l": lrows.column("postcode"),
+                "postcode_r": rrows.column("postcode"),
+                stage.CET_TOKS_COL: toks,
+            }
+        )
+        return stage.process_table(full)
+
+    return grouped_map(
+        raw.map_batches(slim, batch_format="pyarrow"),
+        idx_r,
+        None,
+        stage.schema,
+        fn_table=kernel,
         rows_hint=rows_hint,
     )
 

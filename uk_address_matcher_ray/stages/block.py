@@ -53,6 +53,8 @@ def active_block_keys() -> List[str]:
     return BLOCK_KEYS
 SIDE_COL = "__side"
 RULE_COL = "__rule"
+# skinny emission: global row index into the materialized cleaned blocks
+SRC_IDX_COL = "__src_idx"
 
 
 def hash_block_keys(keys: List[str]) -> Tuple[pa.Array, pa.Array]:
@@ -231,7 +233,10 @@ class BlockKeyEmitter:
             hot = ray.get(hot)
         self.hot_keys: Dict[str, object] = hot or {}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def emission_lists(self, batch: pa.Table):
+        """(take_idx, rules, keys) for one batch — the salted emission plan
+        shared by the payload (``__call__``) and skinny (``emit_skinny``)
+        representations."""
         rows_idx, rule_ids, base_keys = batch_rule_keys(batch, self.model, self.side)
         hot = self.hot_keys
         if not hot:
@@ -271,23 +276,47 @@ class BlockKeyEmitter:
                         take_idx.append(i)
                         keys.append(f"{key}{SEP}#{li}|{rj}")
                         rules.append(rule_id)
-        taken = batch.take(pa.array(take_idx, type=pa.int64()))
+        return take_idx, rules, keys
+
+    def key_columns(self, keys: List[str]):
+        """Key strings -> list of (name, array) sort/partition columns,
+        honoring the GRAFT_STRING_KEYS diagnosis knob."""
         import os
 
         if os.environ.get("GRAFT_STRING_KEYS") == "1":
-            return taken.append_column(
-                BLOCK_KEY_COL, pa.array(keys, pa.string())
-            ).append_column(
-                RULE_COL, pa.array(rules, type=pa.int32())
-            ).append_column(
-                SIDE_COL, pa.array([self.side] * len(keys), type=pa.int8())
-            )
+            return [(BLOCK_KEY_COL, pa.array(keys, pa.string()))]
         k1, k2 = hash_block_keys(keys)
+        return [(BLOCK_KEY_COL, k1), (BLOCK_KEY2_COL, k2)]
+
+    def emit_skinny(
+        self, batch: pa.Table, global_offset: int, row_map=None
+    ) -> pa.Table:
+        """Skinny emission: (key columns, rule, side, __src_idx) only — the
+        payload stays in the materialized cleaned blocks and is gathered
+        inside the scoring kernel by global row index (broadcast-join shape;
+        see scored_pairs_raw). ``row_map``: optional array mapping this
+        batch's local row positions back to positions in the ORIGINAL block
+        (used by the tagged emitter, which filters by side first)."""
+        take_idx, rules, keys = self.emission_lists(batch)
+        import numpy as np
+
+        loc = np.asarray(take_idx, dtype=np.int64)
+        if row_map is not None:
+            loc = np.asarray(row_map, dtype=np.int64)[loc] if len(loc) else loc
+        cols = {name: arr for name, arr in self.key_columns(keys)}
+        cols[RULE_COL] = pa.array(rules, type=pa.int32())
+        cols[SIDE_COL] = pa.array(
+            np.full(len(keys), self.side, dtype=np.int8), type=pa.int8()
+        )
+        cols[SRC_IDX_COL] = pa.array(loc + global_offset, type=pa.int64())
+        return pa.table(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        take_idx, rules, keys = self.emission_lists(batch)
+        taken = batch.take(pa.array(take_idx, type=pa.int64()))
+        for name, arr in self.key_columns(keys):
+            taken = taken.append_column(name, arr)
         return taken.append_column(
-            BLOCK_KEY_COL, k1
-        ).append_column(
-            BLOCK_KEY2_COL, k2
-        ).append_column(
             RULE_COL, pa.array(rules, type=pa.int32())
         ).append_column(
             SIDE_COL, pa.array([self.side] * len(keys), type=pa.int8())
@@ -316,6 +345,32 @@ class TaggedBlockKeyEmitter:
                 self.em1(bare.filter(pc.invert(mask0))),
             ]
         ).combine_chunks()
+
+    def emit_skinny(self, batch: pa.Table, global_offset: int) -> pa.Table:
+        """Skinny emission over one TAGGED cleaned block: key columns + rule
+        + side + global row index into the block layout (``global_offset`` =
+        first row's global position). Per-side local positions are mapped
+        back through the side filter so ``__src_idx`` always indexes the
+        ORIGINAL tagged block."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        side = batch.column(SIDE_COL)
+        bare = batch.remove_column(batch.schema.get_field_index(SIDE_COL))
+        m0 = np.asarray(
+            pc.equal(side, 0).to_numpy(zero_copy_only=False), dtype=bool
+        )
+        pos0 = np.nonzero(m0)[0]
+        pos1 = np.nonzero(~m0)[0]
+        parts = [
+            self.em0.emit_skinny(
+                bare.filter(pa.array(m0)), global_offset, row_map=pos0
+            ),
+            self.em1.emit_skinny(
+                bare.filter(pa.array(~m0)), global_offset, row_map=pos1
+            ),
+        ]
+        return pa.concat_tables(parts).combine_chunks()
 
 
 def compute_hot_keys(

@@ -209,10 +209,19 @@ def _grouped_map_sort(
     bounding the straggler at ~1/(4·cpus) of the stage."""
     import ray
 
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("GRAFT_GM_DEBUG") == "1"
+    _t0 = _time.monotonic()
+
     # ``ds_in`` may be LAZY (rows_hint fast path): the sort then pipelines
     # with the upstream map stage; row count reads from the sorted result's
     # metadata rather than re-executing the input.
     sorted_ds = ds_in.sort(keys if len(keys) > 1 else keys[0]).materialize()
+    if _dbg:
+        print(f"[gm {keys}] sort {_time.monotonic()-_t0:.2f}s", flush=True)
+        _t0 = _time.monotonic()
     refs = sorted_ds.to_arrow_refs()
     sort_spec = [(k, "ascending") for k in keys]
     import os
@@ -263,6 +272,9 @@ def _grouped_map_sort(
         return n, first_key, last_key, cuts
 
     metas = ray.get([probe.remote(r) for r in refs])
+    if _dbg:
+        print(f"[gm {keys}] probe {_time.monotonic()-_t0:.2f}s", flush=True)
+        _t0 = _time.monotonic()
 
     @ray.remote
     def process_slice(tbl: pa.Table, start: int, end: int):
@@ -331,6 +343,13 @@ def _grouped_map_sort(
         batch = [b for run in runs[start : start + _RUNS_PER_REPAIR_TASK] for b in run]
         repair_refs.append(repair.remote(*batch))
 
+    if _dbg:
+        ray.wait(done_refs + repair_refs, num_returns=len(done_refs) + len(repair_refs))
+        print(
+            f"[gm {keys}] kernels+repair {_time.monotonic()-_t0:.2f}s "
+            f"({len(done_refs)} slices, {len(repair_refs)} repairs)",
+            flush=True,
+        )
     if not repair_refs:
         return done_ds
     fixed = ray.data.from_arrow_refs(repair_refs)

@@ -29,6 +29,23 @@ from uk_address_matcher_ray.state.model import MatchModel
 
 DEFAULT_PREDICT_THRESHOLD = -50.0
 
+# Per-worker-process memo for the gathered cleaned payload (skinny
+# exchange). Holds at most ONE payload: plasma gets are zero-copy on the
+# node, so the memo only saves the concat bookkeeping between kernel calls.
+_GATHER_MEMO: Dict[str, pa.Table] = {}
+
+
+def _gathered_payload(refs) -> pa.Table:
+    key = refs[0].hex() if refs else ""
+    tbl = _GATHER_MEMO.get(key)
+    if tbl is None:
+        import ray
+
+        tbl = pa.concat_tables(ray.get(list(refs)))
+        _GATHER_MEMO.clear()
+        _GATHER_MEMO[key] = tbl
+    return tbl
+
 
 def pair_schema(
     model: MatchModel,
@@ -174,6 +191,7 @@ def scored_pairs_raw(
     salt_threshold: int = 0,
     local_prune: Optional[Tuple[int, float]] = None,
     rows_hint: Optional[int] = None,
+    gather_refs=None,
 ):
     """Blocking + in-block scoring. Output may contain one row per
     (pair, matching rule); use ``predict`` for match_key-deduped pairs.
@@ -184,12 +202,20 @@ def scored_pairs_raw(
 
     ``local_prune=(top_n, min_weight)``: task-local safe pre-prune for the
     improve path (see score_vec.prune_pairs_local) — NOT valid for predict
-    semantics (drops sub-threshold pairs and multi-rule match_key copies)."""
+    semantics (drops sub-threshold pairs and multi-rule match_key copies).
+
+    ``gather_refs``: caller-provided block refs of the (tagged, materialized)
+    cleaned union — forces the skinny exchange against EXACTLY those blocks
+    and appends ``__src_idx_l``/``__src_idx_r`` (int64 row indices into that
+    block layout) to the output schema so downstream stages can run their own
+    payload gathers against the same refs (see match_pipeline)."""
     import ray
 
-    from uk_address_matcher_ray.stages.block import TaggedBlockKeyEmitter
+    from uk_address_matcher_ray.stages.block import SRC_IDX_COL, TaggedBlockKeyEmitter
 
     tagged = cleaned_r is None
+    if gather_refs is not None and not tagged:
+        raise ValueError("gather_refs requires the tagged (cleaned_r=None) form")
 
     retain_types = {}
     if retain_columns:
@@ -236,29 +262,31 @@ def scored_pairs_raw(
     ] + [c for c in retain_columns if c not in (
         "unique_id", "original_address_concat", "postcode")]
 
-    def emit_side(ds, side):
-        from uk_address_matcher_ray.util import get_broadcast
+    # --- exchange representation: payload vs skinny+gather -----------------
+    # Tagged + materialized inputs whose cleaned bytes fit a node's object
+    # store use the SKINNY exchange: emissions carry only (key columns, rule,
+    # side, __src_idx) — ~25 fixed bytes — and the scoring kernel gathers the
+    # payload from the materialized cleaned blocks by row index (classic
+    # broadcast-join shape: the cleaned table is read once per NODE via the
+    # shared object store, not once per emitted row through the all-to-all).
+    # Measured at x64: the blocking sort moves ~90 MB instead of ~1.2 GB.
+    # The gate keeps the 100-TB story honest: when the cleaned table cannot
+    # fit a node (GRAFT_GATHER_MAX_BYTES, default 4 GiB), the payload rides
+    # the shuffle exactly as before — the shape that scales without bound.
+    import os
 
-        def emit(batch: pa.Table) -> pa.Table:
-            return BlockKeyEmitter(model, side, get_broadcast(hot_ref))(batch)
-
-        emitted = ds.map_batches(emit, batch_format="pyarrow")
-        names = ds.schema().names + [*block_keys, RULE_COL, SIDE_COL]
-        keep = [c for c in payload_cols if c in names]
-        return emitted.select_columns(keep)
-
-    if tagged:
-        from uk_address_matcher_ray.util import get_broadcast
-
-        def emit_tagged(batch: pa.Table) -> pa.Table:
-            return TaggedBlockKeyEmitter(model, get_broadcast(hot_ref))(batch)
-
-        emitted = cleaned_l.map_batches(emit_tagged, batch_format="pyarrow")
-        names = cleaned_l.schema().names + [*block_keys, RULE_COL]
-        keep = [c for c in payload_cols if c in names]
-        both = emitted.select_columns(keep)
-    else:
-        both = emit_side(cleaned_l, 0).union(emit_side(cleaned_r, 1))
+    gather_max = int(os.environ.get("GRAFT_GATHER_MAX_BYTES", str(4 << 30)))
+    use_gather = tagged and salt_threshold > 0
+    if use_gather and gather_refs is None:
+        try:
+            use_gather = (cleaned_l.size_bytes() or 0) <= gather_max
+        except Exception:
+            use_gather = False
+    if gather_refs is not None:
+        use_gather = True
+        # downstream gathers need the indices in the pair output
+        retain_columns = (*retain_columns, SRC_IDX_COL)
+        retain_types[SRC_IDX_COL] = pa.int64()
 
     out_schema = pair_schema(model, retain_columns, retain_types)
     tf_ref = ray.put(numeric_tf or {})
@@ -283,6 +311,88 @@ def scored_pairs_raw(
         return out
 
     from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    if use_gather:
+        payload_refs = (
+            tuple(gather_refs)
+            if gather_refs is not None
+            else tuple(cleaned_l.to_arrow_refs())
+        )
+
+        @ray.remote
+        def emit_skinny_block(tbl: pa.Table, offset: int, hot):
+            if tbl.num_rows == 0 or SIDE_COL not in tbl.schema.names:
+                return None
+            return TaggedBlockKeyEmitter(model, hot).emit_skinny(tbl, offset)
+
+        @ray.remote
+        def block_rows(tbl: pa.Table) -> int:
+            return tbl.num_rows
+
+        nrows = ray.get([block_rows.remote(r) for r in payload_refs])
+        offsets = []
+        acc = 0
+        for n_b in nrows:
+            offsets.append(acc)
+            acc += n_b
+        all_refs = [
+            emit_skinny_block.remote(r, off, hot_ref)
+            for r, off in zip(payload_refs, offsets)
+        ]
+        skinny_refs = []
+        n_skinny = 0
+        for r, t in zip(all_refs, ray.get(all_refs)):
+            if t is not None and t.num_rows > 0:
+                skinny_refs.append(r)
+                n_skinny += t.num_rows
+        if not skinny_refs:
+            return ray.data.from_arrow(out_schema.empty_table())
+        both = ray.data.from_arrow_refs(skinny_refs)
+        rows_hint = n_skinny  # exact — emission already ran
+
+        gather_cols = [
+            c
+            for c in payload_cols
+            if c not in (*block_keys, RULE_COL, SIDE_COL)
+            and c in cleaned_l.schema().names
+        ]
+
+        def score_table_gather(tbl: pa.Table) -> pa.Table:
+            payload = _gathered_payload(payload_refs).select(gather_cols)
+            idx = tbl.column(SRC_IDX_COL).to_numpy(zero_copy_only=False)
+            rows = payload.take(pa.array(idx, type=pa.int64()))
+            for c in (*block_keys, RULE_COL, SIDE_COL, SRC_IDX_COL):
+                rows = rows.append_column(c, tbl.column(c).combine_chunks())
+            return score_table(rows)
+
+        return grouped_map(
+            both, block_keys, None, out_schema, fn_table=score_table_gather,
+            rows_hint=rows_hint,
+        )
+
+    def emit_side(ds, side):
+        from uk_address_matcher_ray.util import get_broadcast
+
+        def emit(batch: pa.Table) -> pa.Table:
+            return BlockKeyEmitter(model, side, get_broadcast(hot_ref))(batch)
+
+        emitted = ds.map_batches(emit, batch_format="pyarrow")
+        names = ds.schema().names + [*block_keys, RULE_COL, SIDE_COL]
+        keep = [c for c in payload_cols if c in names]
+        return emitted.select_columns(keep)
+
+    if tagged:
+        from uk_address_matcher_ray.util import get_broadcast
+
+        def emit_tagged(batch: pa.Table) -> pa.Table:
+            return TaggedBlockKeyEmitter(model, get_broadcast(hot_ref))(batch)
+
+        emitted = cleaned_l.map_batches(emit_tagged, batch_format="pyarrow")
+        names = cleaned_l.schema().names + [*block_keys, RULE_COL]
+        keep = [c for c in payload_cols if c in names]
+        both = emitted.select_columns(keep)
+    else:
+        both = emit_side(cleaned_l, 0).union(emit_side(cleaned_r, 1))
 
     return grouped_map(
         both, block_keys, None, out_schema, fn_table=score_table,
