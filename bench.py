@@ -155,23 +155,35 @@ def run_once(num_cpus: int, include_queries: bool = True) -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 then 32 (N vs 4N)."""
-    out = {}
-    for n in (8, 32):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(n),
-            GRAFT_SCALE_MULT=os.environ.get("GRAFT_SCALE_MULT", "8"),
-        )
-        proc = subprocess.run(
-            [sys.executable, __file__, "--child"],
-            env=env,
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        out[n] = json.loads(line)
+    """Same job, fresh processes, num_cpus=8 then 32 (N vs 4N).
+
+    GRAFT_SCALING_REPEATS (default 1) reruns each leg and keeps its BEST
+    time: this sandbox VM throttles unpredictably mid-run (cpu_ref swings
+    3-5x, and the throttle tends to worsen over a session, biasing whichever
+    leg runs later), so single-shot leg pairs routinely compare a throttled
+    leg against an unthrottled one. Alternating repeats and taking per-leg
+    minima compares like with like; every sample is recorded in counters."""
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
+    samples = {8: [], 32: []}
+    for _rep in range(repeats):
+        for n in (8, 32):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                GRAFT_SCALE_MULT=os.environ.get("GRAFT_SCALE_MULT", "8"),
+            )
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child"],
+                env=env,
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            samples[n].append(json.loads(line))
+    out = {
+        n: min(runs, key=lambda r: r["value"]) for n, runs in samples.items()
+    }
     thr8 = out[8]["counters"]["messy_per_sec"]
     thr32 = out[32]["counters"]["messy_per_sec"]
     eff = thr32 / (4.0 * thr8)
@@ -195,6 +207,12 @@ def run_scaling() -> dict:
             "pairs_32cpu": out[32]["counters"]["improved_pairs"],
             "pairs_identical": out[8]["counters"]["improved_pairs"]
             == out[32]["counters"]["improved_pairs"],
+            "samples_8cpu": [
+                (r["value"], r["counters"]["cpu_ref_sec"]) for r in samples[8]
+            ],
+            "samples_32cpu": [
+                (r["value"], r["counters"]["cpu_ref_sec"]) for r in samples[32]
+            ],
         },
     }
     return result

@@ -139,11 +139,19 @@ def _broadcast_propagate(
     # edges arrive pre-repartitioned (propagate_labels) — ~one block per
     # CPU, so index_in builds its value-set hash table once per block, not
     # once per tiny upstream block
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("GRAFT_CL_DEBUG") == "1"
+    _t0 = _time.monotonic()
     enc_refs = [encode.remote(b, nodes_ref) for b in edges.to_arrow_refs()]
     int_edge_refs = [
         r for r, t in zip(enc_refs, ray.get(enc_refs))
         if t is not None and t.num_rows > 0
     ]
+    if _dbg:
+        print(f"[cl] encode {_time.monotonic()-_t0:.2f}s", flush=True)
+        _t0 = _time.monotonic()
 
     int_max = np.iinfo(np.int64).max
 
@@ -188,6 +196,8 @@ def _broadcast_propagate(
             break
         labels = acc
 
+    if _dbg:
+        print(f"[cl] rounds {_time.monotonic()-_t0:.2f}s", flush=True)
     return ray.data.from_arrow(
         pa.table({"node": nodes_arr, "label": nodes_arr.take(pa.array(labels))})
     )
@@ -213,9 +223,22 @@ def propagate_labels(
     state/checkpoint.py, which skips clustering entirely when its output
     manifest is present).
     """
+    import os as _os
+    import time as _time
+
     import ray
 
+    _dbg = _os.environ.get("GRAFT_CL_DEBUG") == "1"
+    _t0 = _time.monotonic()
+
+    def _mark(name):
+        nonlocal _t0
+        if _dbg:
+            print(f"[cl] {name} {_time.monotonic()-_t0:.2f}s", flush=True)
+            _t0 = _time.monotonic()
+
     edges = edges_ds.materialize()
+    _mark("edges materialize")
 
     # compact the block layout once (~one block per CPU): node discovery,
     # int encoding (one index_in hash build per block) and every propagation
@@ -227,12 +250,16 @@ def propagate_labels(
         )
         num_partitions = max(num_partitions, 1)
     edges = edges.repartition(num_partitions).materialize()
+    _mark("repartition")
 
     nodes_arr = _discover_nodes(edges)
+    _mark("discover")
     if nodes_arr is None:
         return ray.data.from_arrow(LABEL_SCHEMA.empty_table())
     if len(nodes_arr) <= broadcast_threshold:
-        return _broadcast_propagate(edges, nodes_arr, max_iters, checkpoint_dir)
+        out = _broadcast_propagate(edges, nodes_arr, max_iters, checkpoint_dir)
+        _mark("broadcast_propagate")
+        return out
     return _sharded_propagate(edges, max_iters, checkpoint_dir, num_partitions)
 
 
