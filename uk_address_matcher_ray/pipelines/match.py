@@ -67,6 +67,11 @@ def match_pipeline(
             and (cleaned_l.size_bytes() or 0) <= gather_max
         ):
             gather_refs = tuple(cleaned_l.to_arrow_refs())
+    combined_ref = None
+    if gather_refs is not None:
+        from uk_address_matcher_ray.stages.score import combined_payload_ref
+
+        combined_ref = combined_payload_ref(gather_refs)
     raw = scored_pairs_raw(
         cleaned_l,
         cleaned_r,
@@ -81,6 +86,7 @@ def match_pipeline(
         local_prune=(top_n_matches, improve_threshold),
         rows_hint=(3 * n) if pairs_hint is not None else None,
         gather_refs=gather_refs,
+        gather_combined_ref=combined_ref,
     )
     stage = ImproveStage(
         dedup_first=True,
@@ -91,7 +97,7 @@ def match_pipeline(
     )
     if gather_refs is not None:
         return improve_raw_pairs_gather(
-            raw, stage, model, gather_refs, rows_hint=pairs_hint
+            raw, stage, model, (combined_ref,), rows_hint=pairs_hint
         )
     return improve_raw_pairs(raw, stage, model, rows_hint=pairs_hint)
 

@@ -40,9 +40,11 @@ LABEL_SCHEMA = pa.schema(
 )
 
 # max NODES the broadcast path keeps on the driver (int64 label array +
-# sorted id string array ≈ 60 B/node -> ~300 MB at the default); edge count
-# is unbounded — edges stay distributed as int32 blocks
-DEFAULT_BROADCAST_THRESHOLD = 5_000_000
+# sorted id string array ≈ 60 B/node -> ~1 GB at the default — fine for a
+# driver with tens of GB); edge count is unbounded — edges stay distributed
+# as int32 blocks. Beyond this the hash-sharded map-reduce path takes over
+# (no driver-side label state; scales to billions of nodes).
+DEFAULT_BROADCAST_THRESHOLD = 16_000_000
 
 
 def edges_from_pairs(pairs_ds, threshold: float, l_prefix: str = "c_", r_prefix: str = "m_"):

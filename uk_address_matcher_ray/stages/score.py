@@ -47,6 +47,24 @@ def _gathered_payload(refs) -> pa.Table:
     return tbl
 
 
+def combined_payload_ref(refs):
+    """Concat + combine_chunks the cleaned blocks into ONE contiguous table
+    resident in plasma (single IPC object, single-chunk columns after the
+    round-trip). ``pa.Table.take`` on a CHUNKED table pays a per-element
+    chunk resolution that measured ~9x slower than on contiguous arrays
+    (0.71s vs 0.08s for 130k rows against a 6.4M-row payload) — and the
+    gather kernels take once per slice. One plasma copy total; every worker
+    maps it zero-copy."""
+    import ray
+
+    @ray.remote
+    def _combine(*tbls):
+        live = [t for t in tbls if t.num_rows > 0]
+        return pa.concat_tables(live).combine_chunks()
+
+    return _combine.remote(*refs)
+
+
 def pair_schema(
     model: MatchModel,
     retain_columns: Sequence[str] = (),
@@ -192,6 +210,7 @@ def scored_pairs_raw(
     local_prune: Optional[Tuple[int, float]] = None,
     rows_hint: Optional[int] = None,
     gather_refs=None,
+    gather_combined_ref=None,
 ):
     """Blocking + in-block scoring. Output may contain one row per
     (pair, matching rule); use ``predict`` for match_key-deduped pairs.
@@ -357,8 +376,11 @@ def scored_pairs_raw(
             and c in cleaned_l.schema().names
         ]
 
+        combined = gather_combined_ref or combined_payload_ref(payload_refs)
+        combined_refs = (combined,)
+
         def score_table_gather(tbl: pa.Table) -> pa.Table:
-            payload = _gathered_payload(payload_refs).select(gather_cols)
+            payload = _gathered_payload(combined_refs).select(gather_cols)
             idx = tbl.column(SRC_IDX_COL).to_numpy(zero_copy_only=False)
             rows = payload.take(pa.array(idx, type=pa.int64()))
             for c in (*block_keys, RULE_COL, SIDE_COL, SRC_IDX_COL):
