@@ -324,6 +324,65 @@ def _q_match_one(sf_dir: str):
     )
 
 
+def _waterfall_pairs(sf_dir: str):
+    """Deterministic drill-down pairs: the 3 smallest custkeys that HAVE a
+    messy twin (synth drops k % 3 == 0 from the messy side), canonical vs
+    twin (strong matches) plus one cross pair (weak)."""
+    keys = [k for k in _custkeys(sf_dir) if k % 3 != 0][:3]
+    sel = [(f"c{k}|m{k}", f"c{k}", f"m{k}") for k in keys]
+    sel.append((f"c{keys[0]}|m{keys[1]}", f"c{keys[0]}", f"m{keys[1]}"))
+    return sel
+
+
+def _q_waterfall(sf_dir: str):
+    """Per-pair match-weight waterfall decomposition (pipelines/report.py;
+    reference accuracy_from_labels.py:222-283 renders Splink's
+    waterfall_chart). Bars must reproduce the scorer bit-exactly: the oracle
+    mirrors each comparison's gamma + log2 Bayes factor and the
+    left-associated cumulative chain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from uk_address_matcher_ray.pipelines.report import waterfall_rows
+    from uk_address_matcher_ray.state.model import MatchModel
+
+    cl, cm, numeric_tf, _messy = _cleaned_sides(sf_dir)
+    model = MatchModel()
+
+    import ray
+
+    def rows_by_uid(ds, uids):
+        uid_set = pa.array(sorted(uids))
+
+        def flt(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column("unique_id"), value_set=uid_set))
+
+        got = pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    ds.map_batches(flt, batch_format="pyarrow").to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+        )
+        return {r["unique_id"]: r for r in got.to_pylist()}
+
+    sel = _waterfall_pairs(sf_dir)
+    l_rows = rows_by_uid(cl, {l for _p, l, _r in sel})
+    r_rows = rows_by_uid(cm, {r for _p, _l, r in sel})
+    parts = []
+    for pair_id, uid_l, uid_r in sel:
+        t = waterfall_rows(l_rows[uid_l], r_rows[uid_r], model, numeric_tf)
+        t = t.select(
+            ["bar", "label", "gamma", "log2_bayes_factor", "cumulative_weight"]
+        )
+        parts.append(
+            t.add_column(0, "pair_id", pa.array([pair_id] * t.num_rows, pa.string()))
+        )
+    return pa.concat_tables(parts)
+
+
 def _q_tune_rewards(sf_dir: str):
     """Reward objective for the second-pass multiplier tuner
     (pipelines/tune.py; reference
@@ -720,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_tf": _q_token_tf,
         "numeric_tf": _q_numeric_tf,
         "predict_pairs": _q_predict_pairs,
+        "waterfall": _q_waterfall,
         "match_clusters": _q_match_clusters,
         "improve_pairs": _q_improve_pairs,
         "tune_rewards": _q_tune_rewards,
@@ -759,6 +819,22 @@ def oracle_sql() -> dict[str, str]:
         "token_tf": oracle.token_tf_table_sql(union_input),
         "numeric_tf": oracle.numeric_tf_table_sql(union_input),
         "predict_pairs": pairs_sql,
+        "waterfall": oracle_scoring.waterfall_sql(
+            oracle.cleaned_features_sql(union_input),
+            oracle.numeric_tf_table_sql(union_input),
+            """
+WITH sel0 AS (
+    SELECT k, row_number() OVER (ORDER BY k) AS rn
+    FROM (SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_custkey % 3 <> 0 ORDER BY k LIMIT 3)
+)
+SELECT 'c' || k || '|m' || k AS pair_id,
+       'c' || k AS uid_l, 'm' || k AS uid_r FROM sel0
+UNION ALL
+SELECT 'c' || a.k || '|m' || b.k, 'c' || a.k, 'm' || b.k
+FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
+""",
+        ),
         "match_clusters": oracle_scoring.clusters_sql(
             pairs_sql, threshold=CLUSTER_THRESHOLD
         ),

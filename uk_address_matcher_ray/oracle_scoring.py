@@ -138,6 +138,101 @@ def _comparison_log2_expr(comp: Comparison) -> str:
     return "CASE " + " ".join(whens) + " ELSE CAST(0.0 AS DOUBLE) END"
 
 
+def _comparison_gamma_expr(comp: Comparison) -> str:
+    """Splink gamma numbering (functions/compare.py:_compile_model): -1 for
+    the null level, then the first non-null level gets the highest value
+    counting down to 0 for ELSE; first matching level wins."""
+    nn = sum(1 for lv in comp.levels if not lv.is_null)
+    whens: List[str] = []
+    pos = 0
+    for lv in comp.levels:
+        cond = _cond_sql(lv.condition, lv.threshold, comp.name)
+        if lv.is_null:
+            whens.append(f"WHEN {cond} THEN -1")
+        else:
+            whens.append(f"WHEN {cond} THEN {nn - 1 - pos}")
+            pos += 1
+    return "CASE " + " ".join(whens) + " ELSE -1 END"
+
+
+def waterfall_sql(
+    cleaned_union_sql: str,
+    numeric_tf_sql: str,
+    pairs: List[tuple],
+    model: MatchModel | None = None,
+) -> str:
+    """Waterfall-decomposition oracle (pipelines/report.py:waterfall_rows):
+    one row per (pair, bar) with the per-comparison gamma, log2 Bayes factor
+    contribution, and the running cumulative weight. The cumulative chain is
+    a left-associated addition starting at the prior — the same float order
+    the engine uses — so values are bit-identical.
+
+    ``pairs``: either [(pair_id, uid_l, uid_r), ...] literals, or a SQL
+    string selecting (pair_id, uid_l, uid_r) — ids present in the cleaned
+    union (prefix 'c'/'m' like predict_pairs_sql)."""
+    model = model or MatchModel()
+    prior = model.prior_weight
+
+    if isinstance(pairs, str):
+        sel_cte = f"sel AS ({pairs})"
+    else:
+        values = ", ".join(f"('{p}', '{l}', '{r}')" for p, l, r in pairs)
+        sel_cte = f"sel(pair_id, uid_l, uid_r) AS (VALUES {values})"
+    comp_cols = []
+    for i, comp in enumerate(model.comparisons):
+        comp_cols.append(f"({_comparison_gamma_expr(comp)}) AS g_{i}")
+        comp_cols.append(f"({_comparison_log2_expr(comp)}) AS w_{i}")
+    comp_cols_sql = ",\n        ".join(comp_cols)
+
+    bars = [
+        f"SELECT pair_id, 0 AS bar, 'prior' AS label, -1 AS gamma, "
+        f"CAST({prior!r} AS DOUBLE) AS log2_bayes_factor, "
+        f"CAST({prior!r} AS DOUBLE) AS cumulative_weight FROM per_pair"
+    ]
+    cum = f"CAST({prior!r} AS DOUBLE)"
+    for i, comp in enumerate(model.comparisons):
+        cum = f"{cum} + w_{i}"
+        bars.append(
+            f"SELECT pair_id, {i + 1} AS bar, '{comp.name}' AS label, "
+            f"g_{i} AS gamma, w_{i} AS log2_bayes_factor, "
+            f"({cum}) AS cumulative_weight FROM per_pair"
+        )
+    n = len(model.comparisons)
+    bars.append(
+        f"SELECT pair_id, {n + 1} AS bar, 'match_weight' AS label, "
+        f"-1 AS gamma, CAST(0.0 AS DOUBLE) AS log2_bayes_factor, "
+        f"({cum}) AS cumulative_weight FROM per_pair"
+    )
+    bars_sql = "\nUNION ALL\n".join(bars)
+
+    return f"""
+WITH cleaned_all AS MATERIALIZED ({cleaned_union_sql}),
+__ntf AS ({numeric_tf_sql}),
+with_tf AS MATERIALIZED (
+    SELECT c.*, t1.tf_numeric_token AS tf_numeric_token_1,
+        t2.tf_numeric_token AS tf_numeric_token_2,
+        t3.tf_numeric_token AS tf_numeric_token_3
+    FROM cleaned_all c
+    LEFT JOIN __ntf t1 ON c.numeric_token_1 = t1.numeric_token
+    LEFT JOIN __ntf t2 ON c.numeric_token_2 = t2.numeric_token
+    LEFT JOIN __ntf t3 ON c.numeric_token_3 = t3.numeric_token
+),
+{sel_cte},
+per_pair AS (
+    SELECT s.pair_id,
+        ({_hist_product_expr("l.token_rel_freq_arr_hist", "r.token_rel_freq_arr_hist")}) AS __tok_prod,
+        ({_hist_product_expr("l.common_end_tokens_hist", "r.common_end_tokens_hist")}) AS __cet_prod,
+        {comp_cols_sql}
+    FROM sel s
+    JOIN with_tf l ON l.unique_id = s.uid_l
+    JOIN with_tf r ON r.unique_id = s.uid_r
+)
+SELECT pair_id, CAST(bar AS INTEGER) AS bar, label,
+    CAST(gamma AS INTEGER) AS gamma, log2_bayes_factor, cumulative_weight
+FROM ({bars_sql})
+"""
+
+
 def predict_pairs_sql(
     cleaned_union_sql: str,
     numeric_tf_sql: str,
