@@ -68,3 +68,41 @@ def test_gather_equals_legacy_exchange():
     assert cols_g == cols_l
     assert rows_g == rows_l
     assert len(rows_g) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gather_with_empty_blocks():
+    """Empty cleaned blocks must not shift the gather row indices: the
+    combined payload skips them while the per-block offsets count them at
+    zero rows."""
+    import ray
+
+    cleaned = _tagged_cleaned()
+    half = cleaned.num_rows // 2
+    parts = [
+        cleaned.slice(0, half),
+        cleaned.slice(0, 0),  # empty block in the middle
+        cleaned.slice(half),
+    ]
+    ds = ray.data.from_arrow(parts[0])
+    for p in parts[1:]:
+        ds = ds.union(ray.data.from_arrow(p))
+
+    old = os.environ.get("GRAFT_GATHER_MAX_BYTES")
+    os.environ["GRAFT_GATHER_MAX_BYTES"] = str(4 << 30)
+    try:
+        out = match_pipeline(ds, None, MatchModel(), None, salt_threshold=50)
+        tbl = pa.concat_tables(
+            [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+        )
+    finally:
+        if old is None:
+            os.environ.pop("GRAFT_GATHER_MAX_BYTES", None)
+        else:
+            os.environ["GRAFT_GATHER_MAX_BYTES"] = old
+    cols = sorted(tbl.column_names)
+    rows = sorted(
+        tuple(repr(row[c]) for c in cols) for row in tbl.select(cols).to_pylist()
+    )
+    _cols_ref, rows_ref = _run(_tagged_cleaned(), str(4 << 30))
+    assert rows == rows_ref
