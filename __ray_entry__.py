@@ -19,6 +19,7 @@ from typing import Any
 
 DOC_TRUNC = 400  # bound shingle cost; mirrored via substr(text, 1, 400)
 MINHASH = dict(num_perm=16, bands=4, shingle_k=5, jaccard_threshold=0.8)
+NGRAM = dict(shingle_k=5, jaccard_threshold=0.8)
 ANN_K = 10
 NEAR_DUP_COS = 0.35  # synthetic embeddings are near-orthogonal (max cos ~0.48)
 CLUSTER_THRESHOLD = 5.0
@@ -449,6 +450,12 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs_with_variants(sf_dir), **MINHASH)
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    from uk_address_matcher_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_with_variants(sf_dir), **NGRAM)
+
+
 def _q_simhash_sigs(sf_dir: str):
     from uk_address_matcher_ray.stages.dedup import simhash_signatures
 
@@ -789,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": _q_extract_pages,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_sigs": _q_simhash_sigs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -844,6 +852,9 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "exact_dedup_docs": oracle_extras.exact_dedup_sql(_DOCS_VARIANTS_SQL),
         "minhash_pairs": oracle_extras.minhash_pairs_sql(
             _DOCS_VARIANTS_SQL, **MINHASH
+        ),
+        "ngram_jaccard_pairs": oracle_extras.ngram_jaccard_sql(
+            _DOCS_VARIANTS_SQL, **NGRAM
         ),
         "embedding_near_dup": oracle_extras.embedding_near_dup_sql(NEAR_DUP_COS),
         "ann_topk": oracle_extras.ann_topk_sql(k=ANN_K),

@@ -257,6 +257,51 @@ GROUP BY {H.h60_sql("coalesce(text, '')")}
 """
 
 
+def ngram_jaccard_sql(
+    docs_sql: str, shingle_k: int = 3, jaccard_threshold: float = 0.8
+) -> str:
+    """Brute-force mirror of stages/dedup.ngram_jaccard_pairs: the engine's
+    prefix filter is EXACT (no probabilistic misses), so the oracle needs no
+    bucket replay — candidates are every pair sharing >= 1 shingle hash
+    (a superset of the qualifying pairs: J >= t > 0 implies a shared
+    shingle), verified with the same int/int double division."""
+    return f"""
+WITH docs AS ({docs_sql}),
+toks AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                    t -> t != '') AS t
+    FROM docs
+),
+shingled AS MATERIALIZED (
+    SELECT doc_id,
+        list_sort(list_distinct(list_transform(
+            CASE WHEN len(t) <= {shingle_k}
+                THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - {shingle_k} + 2),
+                    i -> array_to_string(t[i:i+{shingle_k - 1}], ' '))
+            END, s -> {H.h60_sql('s')}))) AS hashes
+    FROM toks
+    WHERE len(t) > 0
+),
+ex AS (SELECT doc_id, unnest(hashes) AS h FROM shingled),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+raw_pairs AS (
+    SELECT id_a, id_b,
+        len(list_filter(sa.hashes, x -> list_contains(sb.hashes, x)))
+            / (len(sa.hashes) + len(sb.hashes)
+               - len(list_filter(sa.hashes, x -> list_contains(sb.hashes, x)))) AS jaccard
+    FROM cand
+    JOIN shingled sa ON sa.doc_id = cand.id_a
+    JOIN shingled sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM raw_pairs WHERE jaccard >= {jaccard_threshold!r}
+"""
+
+
 def minhash_pairs_sql(
     docs_sql: str,
     num_perm: int = 16,

@@ -560,6 +560,220 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join (prefix filter)
+# ---------------------------------------------------------------------------
+
+class NgramPrefixDocs:
+    """map_batches: (id, text) -> ONE row per document with tokens:
+    (id, hashes: sorted unique int64 shingle hashes, pfx: list<uint64>
+    prefix bucket keys, sz: int32 shingle-set size).
+
+    Prefix filtering (AllPairs / SSJoin family — Bayardo et al. WWW'07,
+    Chaudhuri et al. ICDE'06): under ANY fixed total order of the shingle
+    universe, two sets with |a∩b| >= alpha must share an element among the
+    first |x| - alpha + 1 elements of each set x. With Jaccard >= t,
+    |a∩b| >= t·|x| for each side, so emitting the first
+    p = n - floor(t·n) + 1 hashes (ascending hash order = the global order;
+    floor rather than ceil so float rounding can only LENGTHEN the prefix)
+    as bucket keys yields a candidate set with NO false negatives — this
+    operator is exact, unlike the probabilistic minhash/simhash paths."""
+
+    def __init__(self, id_col: str, text_col: str, shingle_k: int, jaccard_threshold: float):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shingle_k = shingle_k
+        self.t = jaccard_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        doc_idx, doc_hashes, offsets = [], [], [0]
+        pfx_vals, pfx_offsets = [], [0]
+        sizes = []
+        for d, t in enumerate(texts):
+            toks = _tokens(t)
+            if not toks:
+                continue
+            sh = sorted({H.h60(s) for s in H.shingles(toks, self.shingle_k)})
+            n = len(sh)
+            p = min(n, max(1, n - int(self.t * n) + 1))
+            doc_idx.append(d)
+            doc_hashes.extend(sh)
+            offsets.append(len(doc_hashes))
+            pfx_vals.extend(sh[:p])
+            pfx_offsets.append(len(pfx_vals))
+            sizes.append(n)
+        id_type = batch.schema.field(self.id_col).type
+        if not doc_idx:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], id_type),
+                    "hashes": pa.array([], pa.list_(pa.int64())),
+                    "pfx": pa.array([], pa.list_(pa.uint64())),
+                    "sz": pa.array([], pa.int32()),
+                }
+            )
+        hashes = pa.ListArray.from_arrays(
+            pa.array(np.asarray(offsets, dtype=np.int64), pa.int32()).cast(pa.int32()),
+            pa.array(np.asarray(doc_hashes, dtype=np.int64), pa.int64()),
+        )
+        pfx = pa.ListArray.from_arrays(
+            pa.array(np.asarray(pfx_offsets, dtype=np.int64), pa.int32()).cast(
+                pa.int32()
+            ),
+            pa.array(np.asarray(pfx_vals, dtype=np.uint64), pa.uint64()),
+        )
+        return pa.table(
+            {
+                self.id_col: pa.array([ids[d] for d in doc_idx], id_type),
+                "hashes": hashes,
+                "pfx": pfx,
+                "sz": pa.array(np.asarray(sizes, dtype=np.int32), pa.int32()),
+            }
+        )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    hot_bucket_rows: int = 4096,
+):
+    """EXACT near-duplicate pairs (id_a < id_b, n-gram Jaccard >= threshold).
+
+    Same three payload-minimal exchanges as ``minhash_lsh_pairs`` but with a
+    prefix-filter candidate generator instead of LSH bands, so the result is
+    the COMPLETE set of qualifying pairs (no probabilistic misses):
+
+    1. one pass computes per-doc (sorted shingle hashes, prefix keys, size);
+    2. the bucket exchange carries (prefix hash:uint64, id, sz:int32) ONLY;
+       hot prefixes (boilerplate shingles) are grid-salted via the same
+       shuffle-free pigeonhole count as minhash, so no task exceeds ~2·cap
+       rows while the pair set stays exactly identical;
+    3. candidates are size-filtered in-bucket (J(a,b) <= min(sz)/max(sz),
+       float-safe because correctly-rounded division is monotone), then
+       exact-Jaccard verified by the shared pair-keyed gather
+       (`_hash_attach`) — each doc's hash set rides an exchange once per
+       round plus once per candidate, never once per prefix element.
+
+    Complements the reference-less dedup family required by the driver brief
+    (exact / minhash-LSH / simhash / n-gram Jaccard / embedding-cosine).
+    """
+    import numpy as np
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    stage = NgramPrefixDocs(
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+    )
+    docs = ds.map_batches(stage, batch_format="pyarrow").materialize()
+    sch = docs.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def pfx_of(tbl: pa.Table):
+        return _flat_list(tbl.column("pfx")).values.to_numpy(zero_copy_only=False)
+
+    hot = _count_hot_buckets(docs.to_arrow_refs(), pfx_of, hot_bucket_rows)
+
+    def emit_prefixes(batch: pa.Table) -> pa.Table:
+        pl_ = _flat_list(batch.column("pfx"))
+        poff = pl_.offsets.to_numpy(zero_copy_only=False)
+        pflat = pl_.values.to_numpy(zero_copy_only=False)
+        counts = np.diff(poff)
+        idh = np.repeat(_id_hash_u64(batch.column(id_col)), counts)
+        row_of = np.repeat(np.arange(batch.num_rows), counts)
+        sz = batch.column("sz").to_numpy(zero_copy_only=False)
+        sel, bkey, cs, ct, salt = _expand_lsh_rows(pflat, idh, hot, hot_bucket_rows)
+        rows = row_of[sel]
+        ids = batch.column(id_col).take(pa.array(rows))
+        return pa.table(
+            {
+                "bkey": pa.array(bkey, pa.uint64()),
+                id_col: ids,
+                "sz": pa.array(sz[rows].astype(np.int32), pa.int32()),
+                "cs": pa.array(cs, pa.int32()),
+                "ct": pa.array(ct, pa.int32()),
+                "salt": pa.array(salt, pa.int32()),
+            }
+        )
+
+    pfx_ds = docs.select_columns([id_col, "pfx", "sz"]).map_batches(
+        emit_prefixes, batch_format="pyarrow"
+    )
+
+    cand_schema = pa.schema(
+        [
+            pa.field("key", id_type),
+            pa.field("tag", pa.int8()),
+            pa.field("other", id_type),
+            pa.field("hashes", pa.list_(pa.int64())),
+        ]
+    )
+
+    def cand_kernel(tbl: pa.Table) -> pa.Table:
+        bk = tbl.column("bkey").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        szs = tbl.column("sz").to_numpy(zero_copy_only=False).astype(np.float64)
+        css = tbl.column("cs").to_numpy(zero_copy_only=False)
+        cts = tbl.column("ct").to_numpy(zero_copy_only=False)
+        salts = tbl.column("salt").to_numpy(zero_copy_only=False)
+        offs = _group_offsets(bk)
+        parts_a, parts_b = [], []
+        for gi in range(len(offs) - 1):
+            s, e = offs[gi], offs[gi + 1]
+            if e - s < 2:
+                continue
+            xi, yi = _cell_pair_indices(salts[s:e], int(css[s]), int(cts[s]))
+            if len(xi) == 0:
+                continue
+            ia, ib = ids[s:e][xi], ids[s:e][yi]
+            sa, sb = szs[s:e][xi], szs[s:e][yi]
+            # J(a,b) <= min(|a|,|b|)/max(|a|,|b|); fl(min/max) >= fl(J) because
+            # correctly-rounded division is monotone, so this never drops a
+            # pair the exact verify would keep.
+            keep = (ia != ib) & (
+                np.minimum(sa, sb) / np.maximum(sa, sb) >= jaccard_threshold
+            )
+            ia, ib = ia[keep], ib[keep]
+            if len(ia) == 0:
+                continue
+            swap = ia > ib
+            parts_a.append(np.where(swap, ib, ia))
+            parts_b.append(np.where(swap, ia, ib))
+        if not parts_a:
+            return cand_schema.empty_table()
+        a = np.concatenate(parts_a)
+        b = np.concatenate(parts_b)
+        n = len(a)
+        return pa.table(
+            {
+                "key": pa.array(a, id_type),
+                "tag": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                "other": pa.array(b, id_type),
+                "hashes": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n + 1, dtype=np.int64), pa.int32()).cast(
+                        pa.int32()
+                    ),
+                    pa.array([], pa.int64()),
+                ),
+            }
+        ).cast(cand_schema)
+
+    cands = grouped_map(pfx_ds, "bkey", None, cand_schema, fn_table=cand_kernel)
+
+    docs_h = docs.select_columns([id_col, "hashes"])
+    step_a = _hash_attach(cands, docs_h, id_col, id_type, False, jaccard_threshold)
+    return _hash_attach(step_a, docs_h, id_col, id_type, True, jaccard_threshold)
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup pairs
 # ---------------------------------------------------------------------------
 
