@@ -456,6 +456,13 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_docs_with_variants(sf_dir), **NGRAM)
 
 
+def _q_near_dedup_docs(sf_dir: str):
+    from uk_address_matcher_ray.stages.dedup import near_dedup_docs, ngram_jaccard_pairs
+
+    docs = _docs_with_variants(sf_dir)
+    return near_dedup_docs(docs, ngram_jaccard_pairs(docs, **NGRAM))
+
+
 def _q_simhash_sigs(sf_dir: str):
     from uk_address_matcher_ray.stages.dedup import simhash_signatures
 
@@ -797,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "near_dedup_docs": _q_near_dedup_docs,
         "simhash_sigs": _q_simhash_sigs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -855,6 +863,10 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         ),
         "ngram_jaccard_pairs": oracle_extras.ngram_jaccard_sql(
             _DOCS_VARIANTS_SQL, **NGRAM
+        ),
+        "near_dedup_docs": oracle_extras.near_dedup_sql(
+            _DOCS_VARIANTS_SQL,
+            oracle_extras.ngram_jaccard_sql(_DOCS_VARIANTS_SQL, **NGRAM),
         ),
         "embedding_near_dup": oracle_extras.embedding_near_dup_sql(NEAR_DUP_COS),
         "ann_topk": oracle_extras.ann_topk_sql(k=ANN_K),

@@ -302,6 +302,35 @@ SELECT id_a, id_b, jaccard FROM raw_pairs WHERE jaccard >= {jaccard_threshold!r}
 """
 
 
+def near_dedup_sql(docs_sql: str, pairs_sql: str) -> str:
+    """Mirror of stages/dedup.near_dedup_docs: connected components over the
+    pair relation via recursive min-label reachability (numeric min ==
+    the engine's zero-padded lexicographic min), survivors = min id per
+    component plus docs in no pair."""
+    return f"""
+WITH docs AS ({docs_sql}),
+pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs_sql})),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+    WITH RECURSIVE r(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.label FROM r JOIN edges e ON r.node = e.src
+    )
+    SELECT * FROM r
+),
+lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+SELECT d.doc_id
+FROM docs d LEFT JOIN lab ON lab.node = d.doc_id
+WHERE lab.node IS NULL OR lab.label = d.doc_id
+"""
+
+
 def minhash_pairs_sql(
     docs_sql: str,
     num_perm: int = 16,

@@ -1073,3 +1073,104 @@ def embedding_near_dup_pairs(
         for j in range(i, len(refs))
     ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup APPLY: pairs -> components -> one survivor per cluster
+# ---------------------------------------------------------------------------
+
+def near_dedup_docs(docs_ds, pairs_ds, id_col: str = "doc_id"):
+    """The end-to-end corpus-dedup apply step: given a near-duplicate pair
+    relation (id_a, id_b) from any of the pair operators (ngram_jaccard /
+    minhash / simhash / embedding), keep ONE document per connected
+    component (the minimum id) plus every document in no pair.
+
+    Scale shape: components come from the shared label-propagation stage
+    (broadcast rounds under the 16M-node cap, hash-sharded map-reduce
+    beyond); the docs-minus-nodes anti-join is ONE exchange keyed on the
+    doc id (tagged union + grouped_map), never a driver-side id set.
+    Node ids ride propagation as zero-padded strings so the propagated
+    min-label order equals numeric id order."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from uk_address_matcher_ray.stages.cluster import propagate_labels
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    id_type = dict(zip(docs_ds.schema().names, docs_ds.schema().types))[id_col]
+    if not pa.types.is_integer(id_type):
+        raise ValueError("near_dedup_docs expects an integer id column")
+
+    def _pad(col):
+        # 19 digits fits any non-negative int64; lexicographic == numeric
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 19, "0")
+
+    def emit_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [pa.field("src", pa.string()), pa.field("dst", pa.string())]
+            ).empty_table()
+        a = _pad(batch.column("id_a"))
+        b = _pad(batch.column("id_b"))
+        return pa.concat_tables(
+            [pa.table({"src": a, "dst": b}), pa.table({"src": b, "dst": a})]
+        ).combine_chunks()
+
+    labels = propagate_labels(
+        pairs_ds.select_columns(["id_a", "id_b"]).map_batches(
+            emit_edges, batch_format="pyarrow"
+        )
+    )
+
+    union_schema = pa.schema(
+        [
+            pa.field("k", id_type),
+            pa.field("tag", pa.int8()),
+            pa.field("survives", pa.bool_()),
+        ]
+    )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column(id_col),
+                "tag": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+                "survives": pa.array(np.ones(n, dtype=bool), pa.bool_()),
+            }
+        ).cast(union_schema)
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(batch.column("node"), id_type),
+                "tag": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                "survives": pc.equal(batch.column("node"), batch.column("label")),
+            }
+        ).cast(union_schema)
+
+    tagged = docs_ds.select_columns([id_col]).map_batches(
+        tag_docs, batch_format="pyarrow"
+    ).union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+
+    out_schema = pa.schema([pa.field(id_col, id_type)])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        ks = tbl.column("k").to_numpy(zero_copy_only=False)
+        tags = tbl.column("tag").to_numpy(zero_copy_only=False)
+        surv = tbl.column("survives").to_numpy(zero_copy_only=False)
+        offs = _group_offsets(ks)
+        out = []
+        for gi in range(len(offs) - 1):
+            s, e = offs[gi], offs[gi + 1]
+            t = tags[s:e]
+            has_doc = (t == 0).any()
+            if not has_doc:
+                continue  # a pair id absent from the docs table
+            lab = np.flatnonzero(t == 1)
+            if len(lab) == 0 or surv[s + lab[0]]:
+                out.append(ks[s])
+        return pa.table({id_col: pa.array(out, id_type)})
+
+    return grouped_map(tagged, "k", None, out_schema, fn_table=kernel)
