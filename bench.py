@@ -80,6 +80,8 @@ def _bench_queries(sf_dir: str) -> dict:
     for name in [
         "exact_dedup_docs",
         "minhash_pairs",
+        "ngram_jaccard_pairs",
+        "near_dedup_docs",
         "simhash_pairs",
         "text_stats",
         "embedding_near_dup",
@@ -127,9 +129,17 @@ def run_once(num_cpus: int, include_queries: bool = True) -> dict:
     # NOTE: ShuffleStrategy.HASH_SHUFFLE measured ~35% faster on groupbys at
     # 16+ CPUs but its aggregator actors reserve CPUs and can starve map tasks
     # in small sessions (observed hang at num_cpus=8); left at the default.
-    t0 = time.monotonic()
-    n_messy, n_pairs, n_nodes = _flagship(SF_DIR, mult=SCALE_MULT)
-    flagship_sec = time.monotonic() - t0
+    # The VM throttles progressively within a session (observed 3-5x, see
+    # BENCH/BASELINE.md): a single flagship sample can misread as a
+    # regression. Take best-of-N (GRAFT_BENCH_REPEATS, default 2) and record
+    # every (time, cpu_ref) sample so rounds compare at matched machine speed.
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    runs = []
+    for _ in range(max(1, repeats)):
+        t0 = time.monotonic()
+        n_messy, n_pairs, n_nodes = _flagship(SF_DIR, mult=SCALE_MULT)
+        runs.append((round(time.monotonic() - t0, 3), _cpu_ref_sec()))
+    flagship_sec = min(r[0] for r in runs)
 
     queries = {"flagship_er": round(flagship_sec, 3)}
     if include_queries:
@@ -147,7 +157,8 @@ def run_once(num_cpus: int, include_queries: bool = True) -> dict:
             "improved_pairs": n_pairs,
             "cluster_nodes": n_nodes,
             "messy_per_sec": round(n_messy / flagship_sec, 1),
-            "cpu_ref_sec": _cpu_ref_sec(),
+            "cpu_ref_sec": runs[-1][1],
+            "flagship_runs": runs,
         },
     }
     ray.shutdown()
