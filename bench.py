@@ -182,6 +182,8 @@ def run_scaling() -> dict:
                 os.environ,
                 RAY_GRAFT_CPUS=str(n),
                 GRAFT_SCALE_MULT=os.environ.get("GRAFT_SCALE_MULT", "8"),
+                # leg-level best-of is handled here via GRAFT_SCALING_REPEATS
+                GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "1"),
             )
             proc = subprocess.run(
                 [sys.executable, __file__, "--child"],

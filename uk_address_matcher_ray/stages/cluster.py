@@ -128,23 +128,59 @@ def _broadcast_propagate(
     # invariant, and encode + N propagation rounds as Dataset jobs put
     # ~5 such costs straight into the Amdahl serial term (measured: the
     # cluster stage at x64 was SLOWER at 32 CPUs than at 8).
-    nodes_ref = ray.put(nodes_arr)
+    # Encode via np.searchsorted over a fixed-width byte copy of the sorted
+    # node array instead of pc.index_in: index_in rebuilds a |nodes|-entry
+    # hash table in EVERY block task (measured 19-28 s at x64 = 32 tasks
+    # x 1.28M-string builds), while searchsorted only probes — numpy 'S'
+    # memcmp order equals Arrow's utf8 byte order for ASCII, and every
+    # src/dst is a member of nodes so lookups are exact positions. The
+    # 'S' conversion itself is sliced across raw tasks (driver only
+    # memcpy-concatenates). Non-ASCII ids fall back to the index_in path.
+    def _nodes_to_bytes():
+        nbytes = pc.sum(pc.binary_length(nodes_arr.cast(pa.binary()))).as_py()
+        if nbytes is None or nbytes != pc.sum(pc.utf8_length(nodes_arr)).as_py():
+            return None  # non-ASCII somewhere: byte order != 'S' cast safety
+        blen = pc.max(pc.binary_length(nodes_arr.cast(pa.binary()))).as_py()
+        sdt = np.dtype(f"S{max(1, blen)}")
+        # plain driver-side astype: ~0.4 s / 1.3M nodes (fanning this out
+        # as ray tasks measured SLOWER — put + slice-pickle + round trips
+        # dominate the conversion itself)
+        return nodes_arr.to_numpy(zero_copy_only=False).astype(sdt)
+
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("GRAFT_CL_DEBUG") == "1"
+    _t0 = _time.monotonic()
+    try:
+        nodes_np = _nodes_to_bytes()
+    except (UnicodeEncodeError, UnicodeDecodeError, ray.exceptions.RayTaskError):
+        nodes_np = None
+    nodes_ref = ray.put(nodes_np if nodes_np is not None else nodes_arr)
+    if _dbg:
+        print(f"[cl] node-bytes {_time.monotonic()-_t0:.2f}s", flush=True)
 
     @ray.remote
     def encode(tbl: pa.Table, nodes):
         if tbl.num_rows == 0 or "src" not in tbl.schema.names:
             return None
+        if isinstance(nodes, np.ndarray):
+            s = np.searchsorted(
+                nodes, np.asarray(tbl.column("src").to_pylist(), dtype=nodes.dtype)
+            ).astype(np.int32)
+            d = np.searchsorted(
+                nodes, np.asarray(tbl.column("dst").to_pylist(), dtype=nodes.dtype)
+            ).astype(np.int32)
+            return pa.table(
+                {"s": pa.array(s, pa.int32()), "d": pa.array(d, pa.int32())}
+            )
         s = pc.index_in(tbl.column("src"), value_set=nodes).cast(pa.int32())
         d = pc.index_in(tbl.column("dst"), value_set=nodes).cast(pa.int32())
         return pa.table({"s": s, "d": d})
 
     # edges arrive pre-repartitioned (propagate_labels) — ~one block per
-    # CPU, so index_in builds its value-set hash table once per block, not
+    # CPU, so the byte/hash lookup structure is probed once per block, not
     # once per tiny upstream block
-    import os as _os
-    import time as _time
-
-    _dbg = _os.environ.get("GRAFT_CL_DEBUG") == "1"
     _t0 = _time.monotonic()
     enc_refs = [encode.remote(b, nodes_ref) for b in edges.to_arrow_refs()]
     int_edge_refs = [
