@@ -205,13 +205,16 @@ def improve_raw_pairs_gather(raw, stage, model: MatchModel, payload_refs, *, row
         return batch.select(skinny_cols)
 
     def kernel(tbl: pa.Table) -> pa.Table:
+        from uk_address_matcher_ray.util import timed
+
         if tbl.num_rows == 0:
             return stage.schema.empty_table()
-        payload = _gathered_payload(payload_refs).select(gather_cols)
-        li = tbl.column(idx_l).combine_chunks()
-        ri = tbl.column(idx_r).combine_chunks()
-        lrows = payload.take(li)
-        rrows = payload.take(ri)
+        with timed("rescore.gather"):
+            payload = _gathered_payload(payload_refs).select(gather_cols)
+            li = tbl.column(idx_l).combine_chunks()
+            ri = tbl.column(idx_r).combine_chunks()
+            lrows = payload.take(li)
+            rrows = payload.take(ri)
         h = rrows.column("common_end_tokens_hist")
         if isinstance(h, pa.ChunkedArray):
             h = h.combine_chunks() if h.num_chunks else pa.array([], type=h.type)
@@ -231,7 +234,8 @@ def improve_raw_pairs_gather(raw, stage, model: MatchModel, payload_refs, *, row
                 stage.CET_TOKS_COL: toks,
             }
         )
-        return stage.process_table(full)
+        with timed("rescore.kernel"):
+            return stage.process_table(full)
 
     return grouped_map(
         raw.map_batches(slim, batch_format="pyarrow"),

@@ -502,7 +502,10 @@ class ImproveStage:
             if n not in ("common_end_tokens_hist_r", self.CET_TOKS_COL)
             and n in tbl.column_names
         ]
-        light = {n: tbl.column(n).to_pylist() for n in light_names}
+        from uk_address_matcher_ray.util import timed
+
+        with timed("rescore.to_pylist"):
+            light = {n: tbl.column(n).to_pylist() for n in light_names}
         uid_r = light["unique_id_r"]
         n = tbl.num_rows
         params = dict(self.params)
@@ -531,7 +534,8 @@ class ImproveStage:
                             rec[f"{col}{suffix}"] = None if v is None else str(v)
             out.extend(recs)
             gs = i
-        return _assemble_improved(out, self.schema)
+        with timed("rescore.assemble"):
+            return _assemble_improved(out, self.schema)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         return pa.Table.from_pylist(

@@ -250,9 +250,12 @@ def scored_pairs_raw(
         # doesn't execute twice
         cleaned_l = cleaned_l.materialize()
         if tagged:
-            hot_keys = compute_hot_keys(
-                cleaned_l, model, salt_threshold, tagged=True
-            )
+            from uk_address_matcher_ray.util import timed
+
+            with timed("block.hot_keys_wall"):
+                hot_keys = compute_hot_keys(
+                    cleaned_l, model, salt_threshold, tagged=True
+                )
         else:
             cleaned_r = cleaned_r.materialize()
             hot_keys = compute_hot_keys(
@@ -316,17 +319,20 @@ def scored_pairs_raw(
             prune_pairs_local,
             score_pairs_vectorized,
         )
+        from uk_address_matcher_ray.util import timed
 
-        out = score_pairs_vectorized(
-            tbl,
-            model,
-            ray.get(tf_ref),
-            threshold,
-            out_schema,
-            retain_columns=retain,
-        )
+        with timed("score.vectorized"):
+            out = score_pairs_vectorized(
+                tbl,
+                model,
+                ray.get(tf_ref),
+                threshold,
+                out_schema,
+                retain_columns=retain,
+            )
         if local_prune is not None:
-            out = prune_pairs_local(out, local_prune[0], local_prune[1])
+            with timed("score.prune"):
+                out = prune_pairs_local(out, local_prune[0], local_prune[1])
         return out
 
     from uk_address_matcher_ray.stages.grouped import grouped_map
@@ -340,9 +346,12 @@ def scored_pairs_raw(
 
         @ray.remote
         def emit_skinny_block(tbl: pa.Table, offset: int, hot):
+            from uk_address_matcher_ray.util import timed
+
             if tbl.num_rows == 0 or SIDE_COL not in tbl.schema.names:
                 return None
-            return TaggedBlockKeyEmitter(model, hot).emit_skinny(tbl, offset)
+            with timed("block.emit_skinny"):
+                return TaggedBlockKeyEmitter(model, hot).emit_skinny(tbl, offset)
 
         @ray.remote
         def block_rows(tbl: pa.Table) -> int:
@@ -380,11 +389,14 @@ def scored_pairs_raw(
         combined_refs = (combined,)
 
         def score_table_gather(tbl: pa.Table) -> pa.Table:
-            payload = _gathered_payload(combined_refs).select(gather_cols)
-            idx = tbl.column(SRC_IDX_COL).to_numpy(zero_copy_only=False)
-            rows = payload.take(pa.array(idx, type=pa.int64()))
-            for c in (*block_keys, RULE_COL, SIDE_COL, SRC_IDX_COL):
-                rows = rows.append_column(c, tbl.column(c).combine_chunks())
+            from uk_address_matcher_ray.util import timed
+
+            with timed("score.gather"):
+                payload = _gathered_payload(combined_refs).select(gather_cols)
+                idx = tbl.column(SRC_IDX_COL).to_numpy(zero_copy_only=False)
+                rows = payload.take(pa.array(idx, type=pa.int64()))
+                for c in (*block_keys, RULE_COL, SIDE_COL, SRC_IDX_COL):
+                    rows = rows.append_column(c, tbl.column(c).combine_chunks())
             return score_table(rows)
 
         return grouped_map(

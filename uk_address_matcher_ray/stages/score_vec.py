@@ -91,45 +91,81 @@ def _shared_codes(cols: List) -> List[np.ndarray]:
     return out
 
 
-def _hist_items(col, n: int):
-    """list<struct<tok,rel_freq,count>> column -> per-row item lists.
+class _HistCol:
+    """Flattened histogram column (list<struct<tok,rel_freq,count>>) with
+    LAZY per-row dict materialization.
 
-    ``to_pylist`` on the struct column builds a dict per entry (measured as
-    the dominant scorer cost); flattening instead converts each primitive
-    child once and zips slices. Values become Python str/float/int — the
-    float keys MUST be Python floats so downstream ``**`` uses libm pow
-    (bit-exact vs the scalar engine and the DuckDB oracle)."""
-    if n == 0:
-        return []
-    arr = col
-    if isinstance(arr, pa.ChunkedArray):
-        arr = (
-            arr.chunk(0)
-            if arr.num_chunks == 1
-            else pa.concat_arrays(arr.chunks)
-            if arr.num_chunks
-            else pa.array([], type=arr.type)
+    The eager per-row ((tok, rel_freq), count) tuple/dict build was measured
+    as 74% of the whole scorer at x64 — built for EVERY gathered row while
+    ``hist_prod`` actually touches a fraction of them. Here the primitive
+    children convert once per slice (single C loops) and the r-side lookup
+    dict materializes only for rows a pair actually reaches, keyed by int
+    token codes (cheap hashing vs (str, float) tuples).
+
+    Key equality must mean (tok, rel_freq) equality: rel_freq is the corpus
+    TF of tok so tok -> rel_freq is functional by construction; a vectorized
+    per-slice check verifies that and falls back to exact (tok, rel_freq)
+    pair coding when violated. ``rfs`` are Python floats so the product in
+    ``hist_prod`` uses libm pow (bit-exact vs the scalar engine / oracle)."""
+
+    __slots__ = ("n", "valid", "offs", "codes", "rfs", "cnts", "_rdicts")
+
+    def __init__(self, col, n: int):
+        import pyarrow.compute as pc
+
+        self.n = n
+        self._rdicts: dict = {}
+        arr = col
+        if isinstance(arr, pa.ChunkedArray):
+            arr = (
+                arr.chunk(0)
+                if arr.num_chunks == 1
+                else pa.concat_arrays(arr.chunks)
+                if arr.num_chunks
+                else pa.array([], type=arr.type)
+            )
+        if arr is None or n == 0 or arr.null_count == len(arr):
+            self.valid = np.zeros(n, dtype=bool)
+            self.offs = np.zeros(n + 1, dtype=np.int64)
+            self.codes = []
+            self.rfs = []
+            self.cnts = []
+            return
+        # normalize slice offset so offsets index the flattened children
+        if arr.offset != 0:
+            arr = pa.concat_arrays([arr])
+        self.valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        self.offs = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values
+        rf_np = vals.field("rel_freq").to_numpy(zero_copy_only=False)
+        enc = vals.field("tok").dictionary_encode()
+        tcode = (
+            pc.fill_null(enc.indices, -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-    if arr.null_count == len(arr):
-        return [None] * n
-    # normalize slice offset so offsets index the flattened children directly
-    if arr.offset != 0:
-        arr = pa.concat_arrays([arr])
-    offs = arr.offsets.to_numpy(zero_copy_only=False)
-    vals = arr.values
-    toks = vals.field("tok").to_pylist()
-    rfs = vals.field("rel_freq").to_numpy(zero_copy_only=False).tolist()
-    cnts = vals.field("count").to_numpy(zero_copy_only=False).tolist()
-    valid = arr.is_valid().to_numpy(zero_copy_only=False)
-    out: List[Optional[list]] = [None] * n
-    for i in range(n):
-        if valid[i]:
-            s, e = offs[i], offs[i + 1]
-            out[i] = [
-                ((t, rf), c)
-                for t, rf, c in zip(toks[s:e], rfs[s:e], cnts[s:e])
-            ]
-    return out
+        if len(tcode):
+            order = np.argsort(tcode, kind="stable")
+            rf_bits = np.ascontiguousarray(rf_np).view(np.int64)
+            tc_s = tcode[order]
+            rf_s = rf_bits[order]
+            same = tc_s[1:] == tc_s[:-1]
+            if not np.all(rf_s[1:][same] == rf_s[:-1][same]):
+                both = np.empty((len(tcode), 2), dtype=np.int64)
+                both[:, 0] = tcode
+                both[:, 1] = rf_bits
+                _, tcode = np.unique(both, axis=0, return_inverse=True)
+        self.codes = tcode.tolist()
+        self.rfs = rf_np.tolist()  # Python floats: libm pow downstream
+        self.cnts = vals.field("count").to_numpy(zero_copy_only=False).tolist()
+
+    def rdict(self, i: int) -> dict:
+        d = self._rdicts.get(i)
+        if d is None:
+            s, e = self.offs[i], self.offs[i + 1]
+            d = dict(zip(self.codes[s:e], self.cnts[s:e]))
+            self._rdicts[i] = d
+        return d
 
 
 class _RowFeatures:
@@ -147,23 +183,44 @@ class _RowFeatures:
 
         import pyarrow.compute as pc
 
+        from uk_address_matcher_ray.util import timed
+
         pc_col = _as_array(col("postcode"))
         pc_obj = pc_col.to_numpy(zero_copy_only=False)
         self.postcode_str = pc_obj
         # outward = p.split(' ')[0]; inward = p.split(' ')[1] ('' when there
-        # is no second part). Arrow split + per-row pick over the tiny list
-        # column replaces the per-row str.split loop.
-        sp = _as_array(pc.split_pattern(pc_col, " "))
-        outward = np.empty(n, dtype=object)
-        inward = np.empty(n, dtype=object)
-        for i, parts in enumerate(sp.to_pylist()):
-            if parts is None:
-                outward[i] = None
-                inward[i] = None
-            else:
-                outward[i] = parts[0]
-                inward[i] = parts[1] if len(parts) > 1 else ""
+        # is no second part). Pure Arrow/numpy over the flattened split
+        # parts — the per-row to_pylist loop here was 17% of the scorer.
+        with timed("rf.pc_split"):
+            sp = _as_array(pc.split_pattern(pc_col, " "))
+            if sp.offset != 0:
+                sp = pa.concat_arrays([sp])
+            sp_offs = sp.offsets.to_numpy(zero_copy_only=False)
+            sp_vals = sp.values
+            starts = sp_offs[:-1]
+            lens = sp_offs[1:] - starts
+            sp_valid = sp.is_valid().to_numpy(zero_copy_only=False)
+            has_first = sp_valid & (lens > 0)
+            has_second = sp_valid & (lens > 1)
+            null_str = pa.scalar(None, pa.string())
+            outward_arr = pc.if_else(
+                pa.array(has_first),
+                sp_vals.take(pa.array(np.where(has_first, starts, 0), pa.int64())),
+                null_str,
+            )
+            inward_arr = pc.if_else(
+                pa.array(sp_valid),
+                pc.if_else(
+                    pa.array(has_second),
+                    sp_vals.take(
+                        pa.array(np.where(has_second, starts + 1, 0), pa.int64())
+                    ),
+                    pa.scalar("", pa.string()),
+                ),
+                null_str,
+            )
 
+        _tm_codes = timed("rf.codes"); _tm_codes.__enter__()
         nt1_col = col("numeric_token_1")
         nt1_arr = _as_array(nt1_col)
         nt1_obj = nt1_arr.to_numpy(zero_copy_only=False)
@@ -180,38 +237,31 @@ class _RowFeatures:
         self.postcode = _codes(col("postcode"))
         self.flat_positional = _codes(col("flat_positional"))
         self.nt1_digits = _codes(nt1_digits_arr)
-        self.outward = _codes(pa.chunked_array([pa.array(outward, pa.string())]))
-        self.inward = _codes(pa.chunked_array([pa.array(inward, pa.string())]))
+        self.outward = _codes(outward_arr)
+        self.inward = _codes(inward_arr)
 
-        # histograms: dict + sorted-items per row (None when NULL)
-        self.tok_hist: List[Optional[dict]] = [None] * n
-        self.tok_sorted: List[Optional[list]] = [None] * n
-        self.cet_hist: List[Optional[dict]] = [None] * n
-        self.cet_sorted: List[Optional[list]] = [None] * n
-        self.tok_valid = np.zeros(n, dtype=bool)
-        self.cet_valid = np.zeros(n, dtype=bool)
-        # histogram entries are STORED sorted by (tok, rel_freq) with unique
-        # keys (functions/features.py:histogram), so the items ARE the
-        # sorted-items list — no per-row re-sort needed
-        if "token_rel_freq_arr_hist" in names:
-            for i, items in enumerate(
-                _hist_items(tbl.column("token_rel_freq_arr_hist"), n)
-            ):
-                if items is not None:
-                    self.tok_hist[i] = dict(items)
-                    self.tok_sorted[i] = items
-                    self.tok_valid[i] = True
-        if "common_end_tokens_hist" in names:
-            for i, items in enumerate(
-                _hist_items(tbl.column("common_end_tokens_hist"), n)
-            ):
-                if items is not None:
-                    self.cet_hist[i] = dict(items)
-                    self.cet_sorted[i] = items
-                    self.cet_valid[i] = True
+        _tm_codes.__exit__()
+        # histograms: flattened Arrow children + lazy per-row dicts.
+        # Entries are STORED sorted by (tok, rel_freq) with unique keys
+        # (functions/features.py:histogram) so slice order == sorted order.
+        with timed("rf.hist_tok"):
+            self.tok = _HistCol(
+                tbl.column("token_rel_freq_arr_hist")
+                if "token_rel_freq_arr_hist" in names
+                else None,
+                n,
+            )
+        with timed("rf.hist_cet"):
+            self.cet = _HistCol(
+                tbl.column("common_end_tokens_hist")
+                if "common_end_tokens_hist" in names
+                else None,
+                n,
+            )
 
         # term frequencies per row per tf-column (NaN = no adjustment value)
         self.tf: Dict[str, np.ndarray] = {}
+        _tm_tf = timed("rf.tf"); _tm_tf.__enter__()
         obj_cols = {"numeric_token_1": nt1_obj}
         for tf_col, lookup in (numeric_tf or {}).items():
             if lookup is None:
@@ -227,6 +277,7 @@ class _RowFeatures:
                     if t is not None:
                         arr[i] = t
             self.tf[tf_col] = arr
+        _tm_tf.__exit__()
 
 
 class _PairContext:
@@ -256,29 +307,33 @@ class _PairContext:
         if out is not None:
             return out
         f = self.f
-        if which == "cet":
-            valid = f.cet_valid
-            sorted_l, dict_r = f.cet_sorted, f.cet_hist
-        else:
-            valid = f.tok_valid
-            sorted_l, dict_r = f.tok_sorted, f.tok_hist
+        h = f.cet if which == "cet" else f.tok
+        from uk_address_matcher_ray.util import timed
         out = np.full(self.n, np.nan)
-        both = valid[self.LI] & valid[self.RI]
+        both = h.valid[self.LI] & h.valid[self.RI]
+        offs, codes, rfs, cnts = h.offs, h.codes, h.rfs, h.cnts
+        LI, RI = self.LI, self.RI
+        _tm = timed(f"sv.hist_prod_{which}"); _tm.__enter__()
+        # product iterates the l row's entries in STORED (sorted) order —
+        # float multiply order is identical to the scalar engine / oracle
         for k in np.nonzero(both)[0]:
-            ls = sorted_l[self.LI[k]]
-            rd = dict_r[self.RI[k]]
+            li = LI[k]
+            s, e = offs[li], offs[li + 1]
+            rd = h.rdict(RI[k])
             p = 1.0
-            for hkey, cl in ls:
-                cr = rd.get(hkey, 0)
+            for j in range(s, e):
+                cr = rd.get(codes[j], 0)
                 if cr > 0:
-                    p *= hkey[1] ** (cl if cl < cr else cr)
+                    cl = cnts[j]
+                    p *= rfs[j] ** (cl if cl < cr else cr)
             out[k] = p
+        _tm.__exit__()
         self._cache[key] = out
         return out
 
     def hist_valid_pair(self, which: str) -> np.ndarray:
         f = self.f
-        v = f.cet_valid if which == "cet" else f.tok_valid
+        v = (f.cet if which == "cet" else f.tok).valid
         return v[self.LI] & v[self.RI]
 
     def lev(self) -> np.ndarray:
@@ -293,7 +348,9 @@ class _PairContext:
         both = (pl >= 0) & (pr >= 0)
         out[both & (pl == pr)] = 0
         todo = np.nonzero(both & (pl != pr))[0]
+        from uk_address_matcher_ray.util import timed
         cache: Dict[tuple, int] = {}
+        _tm = timed("sv.lev"); _tm.__enter__()
         for k in todo:
             a = f.postcode_str[self.LI[k]]
             b = f.postcode_str[self.RI[k]]
@@ -303,6 +360,7 @@ class _PairContext:
                 d = levenshtein(a, b)
                 cache[ck] = d
             out[k] = d
+        _tm.__exit__()
         self._cache["lev"] = out
         return out
 
@@ -479,7 +537,9 @@ def score_pairs_vectorized(
     LI_all = np.concatenate(LI_parts)
     RI_all = np.concatenate(RI_parts)
 
-    feats = _RowFeatures(tbl, numeric_tf or {})
+    from uk_address_matcher_ray.util import timed
+    with timed("sv.row_features"):
+        feats = _RowFeatures(tbl, numeric_tf or {})
     # degrade gracefully on oversized blocks: score in bounded tiles instead
     # of erroring (salting keeps blocks small; this is the memory backstop)
     if len(LI_all) > max_pairs_per_block:
@@ -510,8 +570,10 @@ def _score_pair_slice(
     ctx = _PairContext(feats, LI, RI)
     npairs = ctx.n
 
+    from uk_address_matcher_ray.util import timed
     mw = np.full(npairs, model.prior_weight)
     gamma_cols: List[np.ndarray] = []
+    _tmc = timed("sv.comparisons"); _tmc.__enter__()
     for comp in model.comparisons:
         nn_count = sum(1 for lv in comp.levels if not lv.is_null)
         gamma = np.full(npairs, -1, dtype=np.int32)
@@ -542,6 +604,7 @@ def _score_pair_slice(
             undecided &= ~hit
         mw += logbf
         gamma_cols.append(gamma)
+    _tmc.__exit__()
 
     keep = np.nonzero(mw >= threshold)[0]
     if len(keep) == 0:
@@ -550,10 +613,11 @@ def _score_pair_slice(
     ri = pa.array(RI[keep])
     mw_k = mw[keep]
     # bit-exact probability: Python-float pow (numpy's differs in last ulp)
-    prob = np.fromiter(
-        (1.0 / (1.0 + 2.0 ** (-v)) for v in mw_k.tolist()), dtype=np.float64,
-        count=len(keep),
-    )
+    with timed("sv.prob"):
+        prob = np.fromiter(
+            (1.0 / (1.0 + 2.0 ** (-v)) for v in mw_k.tolist()), dtype=np.float64,
+            count=len(keep),
+        )
 
     def take_l(name):
         return tbl.column(name).take(li)

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import os
+import time
+
 import pyarrow as pa
 
 
@@ -47,3 +50,85 @@ def get_broadcast(ref_or_value):
             _BROADCAST_MEMO.clear()
         _BROADCAST_MEMO[key] = val
     return val
+
+
+# --- in-task phase timers (measurement of record for the raw-task phases
+# Dataset.stats() cannot see) -------------------------------------------------
+#
+# Off by default (GRAFT_TIMERS unset: `timed` is a no-op context manager with
+# zero per-call actor traffic). When GRAFT_TIMERS=1, every `with timed("x")`
+# in ANY worker process fire-and-forgets (seconds, 1 call) to a named
+# detached collector actor; the driver reads totals with `timer_report()`.
+# Phase seconds are summed ACROSS workers, i.e. CPU-seconds of in-task wall
+# time, not pipeline wall time — use them for attribution, not as
+# end-to-end timings.
+
+_TIMERS_ON = bool(os.environ.get("GRAFT_TIMERS"))
+_TIMER_HANDLE: list = [None]
+
+
+class timed:
+    __slots__ = ("phase", "t0")
+
+    def __init__(self, phase: str):
+        self.phase = phase
+
+    def __enter__(self):
+        if _TIMERS_ON:
+            self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        if _TIMERS_ON:
+            dt = time.monotonic() - self.t0
+            actor = _timer_actor(create=True)
+            actor.add.remote({self.phase: (dt, 1)})
+        return False
+
+
+def _timer_actor(create: bool = False):
+    import ray
+
+    if _TIMER_HANDLE[0] is not None:
+        return _TIMER_HANDLE[0]
+    try:
+        actor = ray.get_actor("graft_timers", namespace="graft")
+    except ValueError:
+        if not create:
+            return None
+
+        @ray.remote(num_cpus=0)
+        class _Collector:
+            def __init__(self):
+                self.acc = {}
+
+            def add(self, phases: dict):
+                for k, (s, c) in phases.items():
+                    s0, c0 = self.acc.get(k, (0.0, 0))
+                    self.acc[k] = (s0 + s, c0 + c)
+
+            def report(self):
+                return dict(self.acc)
+
+            def reset(self):
+                self.acc = {}
+
+        try:
+            actor = _Collector.options(
+                name="graft_timers", namespace="graft", lifetime="detached"
+            ).remote()
+        except ValueError:  # lost the creation race to another worker
+            actor = ray.get_actor("graft_timers", namespace="graft")
+    _TIMER_HANDLE[0] = actor
+    return actor
+
+
+def timer_report(reset: bool = False) -> dict:
+    """Driver-side: {phase: (seconds_across_workers, calls)}."""
+    import ray
+
+    actor = _timer_actor(create=True)
+    out = ray.get(actor.report.remote())
+    if reset:
+        ray.get(actor.reset.remote())
+    return {k: (round(s, 3), c) for k, (s, c) in sorted(out.items())}
