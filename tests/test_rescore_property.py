@@ -13,7 +13,12 @@ from uk_address_matcher_ray.stages.rescore import ImproveStage
 _TOK = st.sampled_from(
     ["FLAT", "1", "2", "12", "HIGH", "STREET", "PEPPER", "ROAD", "LONDON", "A", "B"]
 )
-_ADDR = st.lists(_TOK, min_size=1, max_size=7).map(" ".join)
+_ADDR = st.one_of(
+    st.lists(_TOK, min_size=1, max_size=7).map(" ".join),
+    # whitespace / empty edge artifacts: _tokens() emits "" edge tokens for
+    # non-space whitespace, and None/"" addresses take different join paths
+    st.sampled_from([None, "", "  ", "\tHIGH STREET", "HIGH STREET\t", "\t"]),
+)
 _PC = st.sampled_from(["ZZ1 9ZZ", "AB1 2CD", None])
 _HIST_TOK = st.sampled_from(["LONDON", "ROAD", "STREET"])
 
@@ -63,6 +68,8 @@ def test_process_table_equals_process_rows(data, n_groups):
     )
     via_table = stage.process_table(tbl).to_pylist()
 
+    via_pydict = stage.process_table_pydict(tbl).to_pylist()
+
     via_rows = []
     for g in groups:
         via_rows.extend(stage.process_rows(list(g)))
@@ -73,3 +80,4 @@ def test_process_table_equals_process_rows(data, n_groups):
         )
 
     assert canon(via_table) == canon(via_rows)
+    assert canon(via_pydict) == canon(via_rows)

@@ -476,10 +476,10 @@ class ImproveStage:
                     cols.append(c)
         return cols
 
-    def process_table(self, tbl: pa.Table) -> pa.Table:
-        """Vectorized path over a table of COMPLETE unique_id_r groups: light
-        columns convert to Python once; the heavy per-row histogram column is
-        materialized only for the single top row each group reads."""
+    def process_table_pydict(self, tbl: pa.Table) -> pa.Table:
+        """Legacy per-row-dict path over a table of COMPLETE unique_id_r
+        groups — kept as the differential reference for ``process_table``
+        (test_rescore_property.py compares all three paths)."""
         if tbl.num_rows == 0:
             return self.schema.empty_table()
         if self.CET_TOKS_COL in tbl.column_names:
@@ -536,6 +536,464 @@ class ImproveStage:
             gs = i
         with timed("rescore.assemble"):
             return _assemble_improved(out, self.schema)
+
+    def process_table(self, tbl: pa.Table) -> pa.Table:
+        """Columnar int-code path over a table of COMPLETE unique_id_r groups.
+
+        Selection (match_key dedup, threshold, (mw DESC, uid_l DESC) sort,
+        top-n) runs as ONE numpy lexsort pass over the whole task table.
+        Tokens intern to per-call int codes (tokenization memoized per
+        DISTINCT (address, postcode) dictionary-code pair; the messy side per
+        (address, postcode, tokens-stripped) triple), so every histogram /
+        set operation in the group kernel hashes small ints instead of
+        strings, and the output maps accumulate into flat code arrays decoded
+        once per task via a vectorized ``take`` against the vocab.
+
+        Bit-exactness: float sums must iterate entries in token-STRING order
+        (the DuckDB oracle list_sorts). Per group the ~40 distinct token
+        codes are ranked by ONE small string sort; every dict below inserts
+        in rank order, and bigram (a, b) tuple order equals (rank_a, rank_b)
+        because both tokens come from the ranked set."""
+        import numpy as np
+        import pyarrow.compute as pcmp
+
+        from uk_address_matcher_ray.util import timed
+
+        if tbl.num_rows == 0:
+            return self.schema.empty_table()
+        n = tbl.num_rows
+        p = self.params
+        thr = p["match_weight_threshold"]
+        top_n = p["top_n_matches"]
+        use_bigrams = p["use_bigrams"]
+        RM = p["REWARD_MULTIPLIER"]
+        PM = p["PUNISHMENT_MULTIPLIER"]
+        BRM = p["BIGRAM_REWARD_MULTIPLIER"]
+        BPM = p["BIGRAM_PUNISHMENT_MULTIPLIER"]
+        MTP = p["MISSING_TOKEN_PENALTY"]
+        names = tbl.column_names
+
+        # ---- selection: dedup / threshold / per-group sort / top-n ------
+        with timed("rescore.select"):
+            uid_r_np = tbl.column("unique_id_r").to_numpy(zero_copy_only=False)
+            newg = np.ones(n, dtype=bool)
+            newg[1:] = uid_r_np[1:] != uid_r_np[:-1]
+            gid = np.cumsum(newg) - 1
+            mw = tbl.column("match_weight").to_numpy(zero_copy_only=False)
+            uid_l_np = tbl.column("unique_id_l").to_numpy(zero_copy_only=False)
+            _, l_rank = np.unique(uid_l_np, return_inverse=True)
+            if self.dedup_first:
+                mk = (
+                    tbl.column("match_key")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                order = np.lexsort((mk, l_rank, gid))
+                gg, ll = gid[order], l_rank[order]
+                first = np.ones(n, dtype=bool)
+                first[1:] = (gg[1:] != gg[:-1]) | (ll[1:] != ll[:-1])
+                # back to original order: keeps later tie-breaks stable
+                keep = np.sort(order[first])
+            else:
+                keep = np.arange(n)
+            keep = keep[mw[keep] > thr]
+            if len(keep) == 0:
+                return self.schema.empty_table()
+            # (gid ASC, mw DESC, uid_l DESC); lexsort = stable, primary LAST
+            order2 = np.lexsort((-l_rank[keep], -mw[keep], gid[keep]))
+            sel = keep[order2]
+            sel_g = gid[sel]
+            gstart = np.flatnonzero(
+                np.concatenate(([True], sel_g[1:] != sel_g[:-1]))
+            )
+            glen = np.diff(np.append(gstart, len(sel)))
+            rank_in_g = np.arange(len(sel)) - np.repeat(gstart, glen)
+            topmask = rank_in_g < top_n
+            sel = sel[topmask]
+            sel_g = sel_g[topmask]
+            gstart = np.flatnonzero(
+                np.concatenate(([True], sel_g[1:] != sel_g[:-1]))
+            )
+            glen = np.diff(np.append(gstart, len(sel)))
+            n_out = len(sel)
+
+        # ---- dictionary codes + token interning -------------------------
+        with timed("rescore.encode"):
+            def _dict_col(name):
+                if name not in names:
+                    return np.full(n, -1, dtype=np.int64), []
+                arr = tbl.column(name)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = (
+                        arr.combine_chunks()
+                        if arr.num_chunks
+                        else pa.array([], type=pa.string())
+                    )
+                enc = arr.dictionary_encode()
+                idx = (
+                    pcmp.fill_null(enc.indices, -1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                return idx, enc.dictionary.to_pylist()
+
+            al_idx, al_vals = _dict_col("original_address_concat_l")
+            pl_idx, pl_vals = _dict_col("postcode_l")
+            ar_idx, ar_vals = _dict_col("original_address_concat_r")
+            pr_idx, pr_vals = _dict_col("postcode_r")
+
+            if self.CET_TOKS_COL in names:
+                cet_col = tbl.column(self.CET_TOKS_COL).combine_chunks()
+
+                def cet_of(row_idx: int) -> set:
+                    v = cet_col[row_idx].as_py()
+                    return set(v) if v else set()
+
+            else:
+                cet_hist_col = tbl.column(
+                    "common_end_tokens_hist_r"
+                ).combine_chunks()
+
+                def cet_of(row_idx: int) -> set:
+                    v = cet_hist_col[row_idx].as_py()
+                    return {e["tok"] for e in v} if v else set()
+
+        intern: Dict[str, int] = {}
+        code2str: List[str] = []
+
+        def _codes_of(toks: List[str]) -> List[int]:
+            out = []
+            ap = out.append
+            get = intern.get
+            for t in toks:
+                c = get(t)
+                if c is None:
+                    c = len(code2str)
+                    intern[t] = c
+                    code2str.append(t)
+                ap(c)
+            return out
+
+        # l-side derived tokens/bigrams per distinct (addr, pc) code pair —
+        # exact string semantics: join non-null parts with " ", re-tokenize
+        l_memo: Dict[tuple, tuple] = {}
+
+        def l_entry(ai: int, pi: int) -> tuple:
+            key = (ai, pi)
+            ent = l_memo.get(key)
+            if ent is None:
+                parts = []
+                if ai >= 0:
+                    parts.append(al_vals[ai])
+                if pi >= 0:
+                    parts.append(pl_vals[pi])
+                codes = _codes_of(_tokens(" ".join(parts)))
+                if use_bigrams:
+                    bg = list(zip(codes[:-1], codes[1:]))
+                    ent = (codes, set(codes), bg, set(bg))
+                else:
+                    ent = (codes, set(codes), None, None)
+                l_memo[key] = ent
+            return ent
+
+        # messy-side raw token strings per distinct address (pre-strip)
+        r_toks_cache: Dict[int, List[str]] = {}
+        # final messy tokens per (addr, pc, tokens_stripped) — the strip
+        # count fully determines the stripped prefix, so cet only enters
+        # through it
+        r_memo: Dict[tuple, tuple] = {}
+
+        def r_entry(ai: int, pi: int, cet: set) -> tuple:
+            if ai >= 0:
+                rtoks = r_toks_cache.get(ai)
+                if rtoks is None:
+                    rtoks = _tokens(ar_vals[ai])
+                    r_toks_cache[ai] = rtoks
+                m = len(rtoks)
+                k = 0
+                for _ in range(2):
+                    if m > 0 and rtoks[m - 1] in cet:
+                        m -= 1
+                        k += 1
+            else:
+                k = 0
+            key = (ai, pi, k)
+            ent = r_memo.get(key)
+            if ent is None:
+                stripped = " ".join(rtoks[: len(rtoks) - k]) if ai >= 0 else None
+                parts = [
+                    s
+                    for s in (stripped, pr_vals[pi] if pi >= 0 else None)
+                    if s is not None
+                ]
+                codes = _codes_of(_tokens(" ".join(parts)))
+                if use_bigrams:
+                    bg = list(zip(codes[:-1], codes[1:]))
+                    ent = (codes, set(codes), bg, set(bg))
+                else:
+                    ent = (codes, set(codes), None, None)
+                r_memo[key] = ent
+            return ent
+
+        # ---- flat output builders ---------------------------------------
+        adj_out = np.empty(n_out, dtype=np.float64)
+        o_offs = np.zeros(n_out + 1, dtype=np.int64)  # overlapping tokens
+        o_codes: List[int] = []
+        o_vals: List[int] = []
+        e_offs = np.zeros(n_out + 1, dtype=np.int64)  # elsewhere tokens
+        e_codes: List[int] = []
+        e_vals: List[int] = []
+        m_offs = np.zeros(n_out + 1, dtype=np.int64)  # missing tokens
+        m_codes: List[int] = []
+        if use_bigrams:
+            # (offsets, flat interleaved key codes, values) for ob/eb/obf/ebf
+            bg_builders = [
+                (np.zeros(n_out + 1, dtype=np.int64), [], []) for _ in range(4)
+            ]
+
+        def _covered(bg, v, unimap):
+            va = unimap.get(bg[0])
+            if va is None or va > v:
+                return False
+            vb = unimap.get(bg[1])
+            return vb is not None and vb <= v
+
+        with timed("rescore.groups"):
+            g_count = len(gstart)
+            for g in range(g_count):
+                s = gstart[g]
+                cnt = glen[g]
+                top0 = sel[s]
+                cet = cet_of(int(top0))
+                r_codes, r_set, r_bgs, r_bg_set = r_entry(
+                    ar_idx[top0], pr_idx[top0], cet
+                )
+
+                l_entries = [
+                    l_entry(al_idx[sel[s + j]], pl_idx[sel[s + j]])
+                    for j in range(cnt)
+                ]
+                hist: Dict[int, int] = {}
+                for ent in l_entries:
+                    for c in ent[0]:
+                        hist[c] = hist.get(c, 0) + 1
+                # ONE string sort per group: rank order == string order
+                skeys = sorted(hist, key=code2str.__getitem__)
+                hist_sorted = {c: hist[c] for c in skeys}
+                overlap_r_block = {
+                    c: v for c, v in hist_sorted.items() if c in r_set
+                }
+
+                if use_bigrams:
+                    flat: List[int] = []
+                    for ent in l_entries:
+                        flat.extend(ent[0])
+                    bg_hist: Dict[tuple, int] = {}
+                    for bg in zip(flat[:-1], flat[1:]):
+                        bg_hist[bg] = bg_hist.get(bg, 0) + 1
+                    rank = {c: i for i, c in enumerate(skeys)}
+                    bg_hist_sorted = {
+                        bg: bg_hist[bg]
+                        for bg in sorted(
+                            bg_hist, key=lambda b: (rank[b[0]], rank[b[1]])
+                        )
+                    }
+                    overlap_bg_r_block = {
+                        bg: v
+                        for bg, v in bg_hist_sorted.items()
+                        if bg in r_bg_set
+                    }
+
+                for j in range(cnt):
+                    o = s + j
+                    l_codes, l_set, l_bgs, l_bg_set = l_entries[j]
+                    overlapping = {
+                        c: v for c, v in overlap_r_block.items() if c in l_set
+                    }
+                    r_not_in_l = {c for c in r_codes if c not in l_set}
+                    missing = [c for c in l_codes if c not in r_set]
+                    elsewhere = {
+                        c: v
+                        for c, v in hist_sorted.items()
+                        if c in r_not_in_l
+                    }
+                    adj = RM * sum(
+                        1.0 / (v * v) for _c, v in overlapping.items()
+                    )
+                    adj -= PM * len(elsewhere)
+                    adj -= MTP * len(missing)
+
+                    o_codes.extend(overlapping.keys())
+                    o_vals.extend(overlapping.values())
+                    o_offs[o + 1] = len(o_codes)
+                    e_codes.extend(elsewhere.keys())
+                    e_vals.extend(elsewhere.values())
+                    e_offs[o + 1] = len(e_codes)
+                    m_codes.extend(missing)
+                    m_offs[o + 1] = len(m_codes)
+
+                    if use_bigrams:
+                        overlapping_bg = {
+                            bg: v
+                            for bg, v in overlap_bg_r_block.items()
+                            if bg in l_bg_set
+                        }
+                        bg_r_not_in_l = {
+                            bg for bg in r_bgs if bg not in l_bg_set
+                        }
+                        elsewhere_bg = {
+                            bg: v
+                            for bg, v in bg_hist_sorted.items()
+                            if bg in bg_r_not_in_l
+                        }
+                        overlapping_bg_f = {
+                            bg: v
+                            for bg, v in overlapping_bg.items()
+                            if not _covered(bg, v, overlapping)
+                        }
+                        elsewhere_bg_f = {
+                            bg: v
+                            for bg, v in elsewhere_bg.items()
+                            if not _covered(bg, v, elsewhere)
+                        }
+                        adj += BRM * sum(
+                            1.0 / (v * v)
+                            for _bg, v in overlapping_bg_f.items()
+                        )
+                        adj -= BPM * len(elsewhere_bg_f)
+                        for bi, d in enumerate(
+                            (
+                                overlapping_bg,
+                                elsewhere_bg,
+                                overlapping_bg_f,
+                                elsewhere_bg_f,
+                            )
+                        ):
+                            offs, codes, vals = bg_builders[bi]
+                            for (a, b), v in d.items():
+                                codes.append(a)
+                                codes.append(b)
+                                vals.append(v)
+                            offs[o + 1] = len(vals)
+
+                    adj_out[o] = adj
+
+        # ---- columnar assembly ------------------------------------------
+        with timed("rescore.assemble"):
+            vocab = pa.array(code2str, pa.string())
+
+            def _decode(codes: List[int]) -> pa.Array:
+                if not codes:
+                    return pa.array([], pa.string())
+                return vocab.take(pa.array(codes, pa.int64()))
+
+            sel_arr = pa.array(sel, pa.int64())
+            top0_per_out = pa.array(
+                np.repeat(sel[gstart], glen), pa.int64()
+            )
+
+            def _take(name, idx):
+                return tbl.column(name).take(idx)
+
+            mw_orig = mw[sel]
+            # IEEE double add is exact-rounded: numpy's elementwise add is
+            # bitwise identical to the scalar engine's Python-float add
+            mw_new = mw_orig + adj_out
+
+            def _str_map(offs, codes, vals):
+                struct = pa.StructArray.from_arrays(
+                    [_decode(codes), pa.array(vals, pa.int64())],
+                    ["key", "value"],
+                )
+                return pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), struct
+                )
+
+            def _bg_map(offs, codes, vals):
+                nkeys = len(vals)
+                koffs = pa.array(
+                    np.arange(0, 2 * nkeys + 1, 2, dtype=np.int32),
+                    pa.int32(),
+                )
+                keys_list = pa.ListArray.from_arrays(koffs, _decode(codes))
+                struct = pa.StructArray.from_arrays(
+                    [keys_list, pa.array(vals, pa.int64())], ["key", "value"]
+                )
+                return pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), struct
+                )
+
+            cols = {
+                "unique_id_r": _take("unique_id_r", sel_arr),
+                "unique_id_l": _take("unique_id_l", sel_arr),
+                "mw_adjustment": pa.array(adj_out, pa.float64()),
+                "match_weight_original": pa.array(mw_orig, pa.float64()),
+                "match_weight": pa.array(mw_new, pa.float64()),
+                "overlapping_tokens_this_l_and_r": _str_map(
+                    o_offs, o_codes, o_vals
+                ),
+                "tokens_elsewhere_in_block_but_not_this": _str_map(
+                    e_offs, e_codes, e_vals
+                ),
+                "missing_tokens": pa.ListArray.from_arrays(
+                    pa.array(m_offs, pa.int32()), _decode(m_codes)
+                ),
+                "original_address_concat_l": _take(
+                    "original_address_concat_l", sel_arr
+                ),
+                "postcode_l": _take("postcode_l", sel_arr),
+                "original_address_concat_r": _take(
+                    "original_address_concat_r", top0_per_out
+                ),
+                "postcode_r": _take("postcode_r", sel_arr),
+            }
+            if use_bigrams:
+                for nm, (offs, codes, vals) in zip(
+                    (
+                        "overlapping_bigrams_this_l_and_r",
+                        "bigrams_elsewhere_in_block_but_not_this",
+                        "overlapping_bigrams_this_l_and_r_filtered",
+                        "bigrams_elsewhere_in_block_but_not_this_filtered",
+                    ),
+                    bg_builders,
+                ):
+                    cols[nm] = _bg_map(offs, codes, vals)
+            if self.retain_columns:
+                # dedup path: the deduped row with rec's unique_id_l IS the
+                # selected row. Non-dedup: by_l last-wins over the original
+                # group rows (legacy dict-build order).
+                retain_src = {}
+                for col in self.retain_columns:
+                    for suffix in ("_l", "_r"):
+                        c = f"{col}{suffix}"
+                        retain_src[c] = (
+                            tbl.column(c).to_pylist() if c in names else None
+                        )
+                if self.dedup_first:
+                    src_idx = sel
+                else:
+                    last_by_l: Dict[tuple, int] = {}
+                    for i in range(n):
+                        last_by_l[(gid[i], uid_l_np[i])] = i
+                    src_idx = np.array(
+                        [
+                            last_by_l[(sel_g[o], uid_l_np[sel[o]])]
+                            for o in range(n_out)
+                        ],
+                        dtype=np.int64,
+                    )
+                for c, vals_all in retain_src.items():
+                    out_vals = [
+                        None
+                        if vals_all is None or vals_all[src_idx[o]] is None
+                        else str(vals_all[src_idx[o]])
+                        for o in range(n_out)
+                    ]
+                    cols[c] = pa.array(out_vals, pa.string())
+            out_tbl = pa.table(cols)
+            return out_tbl.select([f.name for f in self.schema]).cast(
+                self.schema
+            )
 
     def __call__(self, group: pa.Table) -> pa.Table:
         return pa.Table.from_pylist(
