@@ -36,10 +36,18 @@ def match_pipeline(
     use_bigrams: bool = True,
     retain_columns: Sequence[str] = (),
     salt_threshold: int = 5000,
+    emit_src_idx: bool = False,
+    return_gather_ref: bool = False,
 ):
     """cleaned canonical × cleaned messy -> improved pair Dataset.
 
     Two shuffles total: (rule_id, key) blocking and unique_id_r grouping.
+
+    ``emit_src_idx``: in gather mode, pass the payload row indices
+    (``__src_idx_l``/``__src_idx_r``) through to the improved output so the
+    caller can run integer-typed cluster edge extraction against the same
+    payload. ``return_gather_ref``: return ``(pairs, combined_payload_ref)``
+    — the ref is None outside gather mode.
     """
     import os
 
@@ -88,18 +96,31 @@ def match_pipeline(
         gather_refs=gather_refs,
         gather_combined_ref=combined_ref,
     )
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.block import SRC_IDX_COL
+
+    passthrough = ()
+    if emit_src_idx and gather_refs is not None:
+        passthrough = (
+            (f"{SRC_IDX_COL}_l", pa.int64()),
+            (f"{SRC_IDX_COL}_r", pa.int64()),
+        )
     stage = ImproveStage(
         dedup_first=True,
         retain_columns=retain_columns,
+        passthrough=passthrough,
         match_weight_threshold=improve_threshold,
         top_n_matches=top_n_matches,
         use_bigrams=use_bigrams,
     )
     if gather_refs is not None:
-        return improve_raw_pairs_gather(
+        out = improve_raw_pairs_gather(
             raw, stage, model, (combined_ref,), rows_hint=pairs_hint
         )
-    return improve_raw_pairs(raw, stage, model, rows_hint=pairs_hint)
+        return (out, combined_ref) if return_gather_ref else out
+    out = improve_raw_pairs(raw, stage, model, rows_hint=pairs_hint)
+    return (out, None) if return_gather_ref else out
 
 
 def slim_for_improve(raw, stage, model: MatchModel):
@@ -221,19 +242,20 @@ def improve_raw_pairs_gather(raw, stage, model: MatchModel, payload_refs, *, row
         if h.offset != 0:
             h = pa.concat_arrays([h])
         toks = pa.ListArray.from_arrays(h.offsets, h.values.field("tok"))
-        full = pa.table(
-            {
-                "unique_id_l": lrows.column("unique_id"),
-                "unique_id_r": rrows.column("unique_id"),
-                "match_weight": tbl.column("match_weight"),
-                "match_key": tbl.column("match_key"),
-                "original_address_concat_l": lrows.column("original_address_concat"),
-                "original_address_concat_r": rrows.column("original_address_concat"),
-                "postcode_l": lrows.column("postcode"),
-                "postcode_r": rrows.column("postcode"),
-                stage.CET_TOKS_COL: toks,
-            }
-        )
+        full_cols = {
+            "unique_id_l": lrows.column("unique_id"),
+            "unique_id_r": rrows.column("unique_id"),
+            "match_weight": tbl.column("match_weight"),
+            "match_key": tbl.column("match_key"),
+            "original_address_concat_l": lrows.column("original_address_concat"),
+            "original_address_concat_r": rrows.column("original_address_concat"),
+            "postcode_l": lrows.column("postcode"),
+            "postcode_r": rrows.column("postcode"),
+            stage.CET_TOKS_COL: toks,
+        }
+        for nm, _typ in stage.passthrough:
+            full_cols[nm] = tbl.column(nm)
+        full = pa.table(full_cols)
         with timed("rescore.kernel"):
             return stage.process_table(full)
 
@@ -303,23 +325,51 @@ def flagship_pipeline(
         # materialize to avoid re-cleaning (checkpoints do this on disk).
         cleaned = build_cleaned().materialize()
 
-    def build_pairs():
-        return match_pipeline(
-            cleaned,
-            None,
-            model,
-            numeric_tf,
-            salt_threshold=salt_threshold,
-        )
+    from uk_address_matcher_ray.stages.block import SRC_IDX_COL
+
+    idx_cols = [f"{SRC_IDX_COL}_l", f"{SRC_IDX_COL}_r"]
 
     if checkpoint_run is not None:
-        pairs = checkpoint_run.stage("improved_pairs", "v1", build_pairs)
-    else:
-        # consumed by the caller AND by edge extraction: pin once
-        pairs = build_pairs().materialize()
+        # checkpointed pairs reload from parquet in a later session — the
+        # payload ref would be gone, so stay on the string cluster path
+        pairs = checkpoint_run.stage(
+            "improved_pairs",
+            "v1",
+            lambda: match_pipeline(
+                cleaned, None, model, numeric_tf, salt_threshold=salt_threshold
+            ),
+        )
+        edges = cluster_mod.edges_from_pairs(pairs, threshold=cluster_threshold)
+        labels = cluster_mod.propagate_labels(edges)
+        return pairs, labels
 
-    edges = cluster_mod.edges_from_pairs(pairs, threshold=cluster_threshold)
-    labels = cluster_mod.propagate_labels(edges)
+    pairs_idx, payload_ref = match_pipeline(
+        cleaned,
+        None,
+        model,
+        numeric_tf,
+        salt_threshold=salt_threshold,
+        emit_src_idx=True,
+        return_gather_ref=True,
+    )
+    # consumed by the caller AND by edge extraction: pin once
+    pairs_idx = pairs_idx.materialize()
+    has_idx = all(c in pairs_idx.schema().names for c in idx_cols)
+    if payload_ref is not None and has_idx:
+        # integer edge extraction straight off the pair blocks: no node
+        # discovery / id-encode passes, no node-array broadcast (those
+        # phases anti-scaled with worker count); labels bit-identical
+        labels = cluster_mod.propagate_labels_indexed(
+            pairs_idx, cluster_threshold, payload_ref
+        )
+    else:
+        edges = cluster_mod.edges_from_pairs(pairs_idx, threshold=cluster_threshold)
+        labels = cluster_mod.propagate_labels(edges)
+    pairs = (
+        pairs_idx.drop_columns([c for c in idx_cols if c in pairs_idx.schema().names])
+        if has_idx
+        else pairs_idx
+    )
     return pairs, labels
 
 

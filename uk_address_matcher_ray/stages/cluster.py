@@ -101,6 +101,142 @@ def _discover_nodes(edges):
     return nodes_arr.take(pc.sort_indices(nodes_arr))
 
 
+def _min_label_rounds(int_edge_refs, n_nodes: int, max_iters: int, round_cb=None):
+    """Shared broadcast-path iteration: numpy ``minimum.at`` scatter per
+    int-edge block against a broadcast label array, sparse driver combine,
+    pointer compression. Returns the converged int64 label array (labels are
+    node ranks/indices; the caller maps them back to ids)."""
+    import numpy as np
+    import ray
+
+    int_max = np.iinfo(np.int64).max
+
+    @ray.remote
+    def partial_min(batch, lab):
+        if batch is None or batch.num_rows == 0:
+            return None
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        out = np.full(len(lab), int_max, dtype=np.int64)
+        np.minimum.at(out, d, lab[s])
+        idx = np.nonzero(out != int_max)[0]
+        return idx, out[idx]
+
+    labels = np.arange(n_nodes, dtype=np.int64)
+    for it in range(max_iters):
+        lab_ref = ray.put(labels)
+        acc = labels.copy()
+        for res in ray.get(
+            [partial_min.remote(b, lab_ref) for b in int_edge_refs]
+        ):
+            if res is None:
+                continue
+            idx, vals = res
+            np.minimum.at(acc, idx, vals)
+        # pointer compression: labels point within the component, so
+        # composing them is safe and flattens chains without extra rounds
+        while True:
+            nxt = acc[acc]
+            if np.array_equal(nxt, acc):
+                break
+            acc = nxt
+        if round_cb is not None:
+            round_cb(it, acc)
+        if np.array_equal(acc, labels):
+            break
+        labels = acc
+    return labels
+
+
+def propagate_labels_indexed(
+    pairs_ds,
+    threshold: float,
+    payload_ref,
+    max_iters: int = 25,
+    l_prefix: str = "c_",
+    r_prefix: str = "m_",
+):
+    """Flagship fast path: connected components over IMPROVED pairs that
+    carry payload row indices (``__src_idx_l``/``__src_idx_r`` from the
+    gather-mode match pipeline).
+
+    Edges are int32 index pairs extracted per materialized pair block (no
+    string node discovery, no id encode pass, no node-array broadcast —
+    the phases that made the string path anti-scale with worker count);
+    labels propagate over the dense payload row range. The reported label
+    is the lexicographic MIN prefixed unique_id of the component — computed
+    by one driver-side Arrow group-min over participating nodes — so the
+    output is bit-identical to ``edges_from_pairs`` + ``propagate_labels``
+    (parity-tested). Node count is bounded by the gather payload (same
+    object-store gate as the gather path itself); beyond that the string
+    sharded path takes over."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from uk_address_matcher_ray.stages.block import SIDE_COL, SRC_IDX_COL
+    from uk_address_matcher_ray.stages.score import _gathered_payload
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    idx_l, idx_r = f"{SRC_IDX_COL}_l", f"{SRC_IDX_COL}_r"
+
+    @ray.remote
+    def edge_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or idx_l not in tbl.schema.names:
+            return None
+        mw = tbl.column("match_weight")
+        kept = tbl.filter(
+            pc.and_kleene(pc.is_valid(mw), pc.greater_equal(mw, threshold))
+        )
+        if kept.num_rows == 0:
+            return None
+        s = kept.column(idx_l).to_numpy(zero_copy_only=False).astype(np.int32)
+        d = kept.column(idx_r).to_numpy(zero_copy_only=False).astype(np.int32)
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([s, d]), pa.int32()),
+                "d": pa.array(np.concatenate([d, s]), pa.int32()),
+            }
+        )
+
+    @ray.remote
+    def participants_of(edges):
+        if edges is None:
+            return None
+        return np.unique(edges.column("s").to_numpy())
+
+    edge_refs = [edge_block.remote(b) for b in pairs_ds.to_arrow_refs()]
+    parts = [p for p in ray.get([participants_of.remote(r) for r in edge_refs]) if p is not None]
+    if not parts:
+        return ray.data.from_arrow(LABEL_SCHEMA.empty_table())
+    part = np.unique(np.concatenate(parts)).astype(np.int64)
+
+    payload = _gathered_payload((payload_ref,))
+    labels = _min_label_rounds(edge_refs, payload.num_rows, max_iters)
+
+    # prefixed node ids for participants only; label = component min id
+    part_arr = pa.array(part, pa.int64())
+    uid = payload.column("unique_id").combine_chunks().take(part_arr)
+    side = payload.column(SIDE_COL).combine_chunks().take(part_arr)
+    prefix = pc.if_else(
+        pc.equal(side, 0),
+        pa.scalar(l_prefix, pa.string()),
+        pa.scalar(r_prefix, pa.string()),
+    )
+    node_ids = pc.binary_join_element_wise(prefix, uid.cast(pa.string()), "")
+    roots = pa.array(labels[part], pa.int64())
+    agg = (
+        pa.table({"r": roots, "u": node_ids})
+        .group_by("r")
+        .aggregate([("u", "min")])
+    )
+    pos = pc.index_in(roots, value_set=agg.column("r").combine_chunks())
+    lab_str = agg.column("u_min").combine_chunks().take(pos)
+    return dataset_from_table(
+        pa.table({"node": node_ids, "label": lab_str}).cast(LABEL_SCHEMA)
+    )
+
+
 def _broadcast_propagate(
     edges, nodes_arr, max_iters: int, checkpoint_dir: Optional[str]
 ):
@@ -191,33 +327,10 @@ def _broadcast_propagate(
         print(f"[cl] encode {_time.monotonic()-_t0:.2f}s", flush=True)
         _t0 = _time.monotonic()
 
-    int_max = np.iinfo(np.int64).max
+    round_cb = None
+    if checkpoint_dir is not None:
 
-    @ray.remote
-    def partial_min(batch, lab):
-        s = batch.column("s").to_numpy()
-        d = batch.column("d").to_numpy()
-        out = np.full(len(lab), int_max, dtype=np.int64)
-        np.minimum.at(out, d, lab[s])
-        idx = np.nonzero(out != int_max)[0]
-        return idx, out[idx]
-
-    labels = np.arange(n_nodes, dtype=np.int64)
-    for it in range(max_iters):
-        lab_ref = ray.put(labels)
-        acc = labels.copy()
-        for idx, vals in ray.get(
-            [partial_min.remote(b, lab_ref) for b in int_edge_refs]
-        ):
-            np.minimum.at(acc, idx, vals)
-        # pointer compression: labels point within the component, so
-        # composing them is safe and flattens chains without extra rounds
-        while True:
-            nxt = acc[acc]
-            if np.array_equal(nxt, acc):
-                break
-            acc = nxt
-        if checkpoint_dir is not None:
+        def round_cb(it, acc):
             import os
 
             import pyarrow.parquet as pq
@@ -230,9 +343,8 @@ def _broadcast_propagate(
                 ),
                 f"{d}/labels.parquet",
             )
-        if np.array_equal(acc, labels):
-            break
-        labels = acc
+
+    labels = _min_label_rounds(int_edge_refs, n_nodes, max_iters, round_cb)
 
     if _dbg:
         print(f"[cl] rounds {_time.monotonic()-_t0:.2f}s", flush=True)

@@ -386,7 +386,11 @@ _BG_MAP = pa.list_(
 )
 
 
-def improved_schema(use_bigrams: bool = True, retain_columns: Sequence[str] = ()) -> pa.Schema:
+def improved_schema(
+    use_bigrams: bool = True,
+    retain_columns: Sequence[str] = (),
+    passthrough: Sequence[tuple] = (),
+) -> pa.Schema:
     fields = [
         pa.field("unique_id_r", pa.string()),
         pa.field("unique_id_l", pa.string()),
@@ -411,6 +415,8 @@ def improved_schema(use_bigrams: bool = True, retain_columns: Sequence[str] = ()
     for col in retain_columns:
         fields.append(pa.field(f"{col}_l", pa.string()))
         fields.append(pa.field(f"{col}_r", pa.string()))
+    for nm, typ in passthrough:
+        fields.append(pa.field(nm, typ))
     return pa.schema(fields)
 
 
@@ -425,13 +431,23 @@ class ImproveStage:
         self,
         dedup_first: bool = False,
         retain_columns: Sequence[str] = (),
+        passthrough: Sequence[tuple] = (),
         **params,
     ):
+        """``passthrough``: (name, pa type) pairs copied verbatim from the
+        selected input row to the output (e.g. the gather path's payload row
+        indices, so cluster edge extraction can stay integer-typed)."""
         self.params = {**DEFAULTS, **params}
         self.dedup_first = dedup_first
         self.retain_columns = list(retain_columns)
+        self.passthrough = [tuple(p) for p in passthrough]
+        # with duplicate unique_id_l (no dedup) the source row for a
+        # passthrough value would be ambiguous between the two paths
+        assert not self.passthrough or dedup_first, (
+            "passthrough columns require dedup_first=True"
+        )
         self.schema = improved_schema(
-            self.params["use_bigrams"], self.retain_columns
+            self.params["use_bigrams"], self.retain_columns, self.passthrough
         )
 
     def process_rows(self, rows: List[dict]) -> List[dict]:
@@ -474,6 +490,9 @@ class ImproveStage:
                 c = f"{col}{suffix}"
                 if c not in cols:
                     cols.append(c)
+        for nm, _typ in self.passthrough:
+            if nm not in cols:
+                cols.append(nm)
         return cols
 
     def process_table_pydict(self, tbl: pa.Table) -> pa.Table:
@@ -524,7 +543,7 @@ class ImproveStage:
             if self.dedup_first:
                 rows = dedup_pairs_in_group(rows)
             recs = rescore_group(rows, **params)
-            if recs and self.retain_columns:
+            if recs and (self.retain_columns or self.passthrough):
                 by_l = {r["unique_id_l"]: r for r in rows}
                 for rec in recs:
                     src = by_l.get(rec["unique_id_l"], {})
@@ -532,6 +551,8 @@ class ImproveStage:
                         for suffix in ("_l", "_r"):
                             v = src.get(f"{col}{suffix}")
                             rec[f"{col}{suffix}"] = None if v is None else str(v)
+                    for nm, _typ in self.passthrough:
+                        rec[nm] = src.get(nm)
             out.extend(recs)
             gs = i
         with timed("rescore.assemble"):
@@ -990,6 +1011,12 @@ class ImproveStage:
                         for o in range(n_out)
                     ]
                     cols[c] = pa.array(out_vals, pa.string())
+            for nm, typ in self.passthrough:
+                cols[nm] = (
+                    _take(nm, sel_arr)
+                    if nm in names
+                    else pa.nulls(n_out, typ)
+                )
             out_tbl = pa.table(cols)
             return out_tbl.select([f.name for f in self.schema]).cast(
                 self.schema
