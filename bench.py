@@ -188,9 +188,16 @@ def run_scaling() -> dict:
     leg against an unthrottled one. Alternating repeats and taking per-leg
     minima compares like with like; every sample is recorded in counters."""
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
-    samples = {8: [], 32: []}
+    # N and 4N CPUs; default 8/32. 4/16 is the second evidence pair — this
+    # box saturates beyond ~16 workers (host oversubscription: 16- and
+    # 32-CPU walls are equal within noise, busy-loop ceiling ~0.83), so the
+    # 8->32 ratio measures the host, not the engine. See BENCH/BASELINE.md.
+    lo, hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
+    samples = {lo: [], hi: []}
     for _rep in range(repeats):
-        for n in (8, 32):
+        for n in (lo, hi):
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(n),
@@ -210,34 +217,34 @@ def run_scaling() -> dict:
     out = {
         n: min(runs, key=lambda r: r["value"]) for n, runs in samples.items()
     }
-    thr8 = out[8]["counters"]["messy_per_sec"]
-    thr32 = out[32]["counters"]["messy_per_sec"]
-    eff = thr32 / (4.0 * thr8)
+    thr_lo = out[lo]["counters"]["messy_per_sec"]
+    thr_hi = out[hi]["counters"]["messy_per_sec"]
+    eff = thr_hi / (4.0 * thr_lo)
     result = {
-        "metric": "scaling_efficiency_8_to_32_cpus",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
         "value": round(eff, 3),
         "unit": "ratio",
         "queries": {
-            "flagship_er_8cpu": out[8]["value"],
-            "flagship_er_32cpu": out[32]["value"],
+            f"flagship_er_{lo}cpu": out[lo]["value"],
+            f"flagship_er_{hi}cpu": out[hi]["value"],
         },
         "sf": SF_DIR,
-        "num_cpus": 32,
+        "num_cpus": hi,
         "counters": {
-            "messy_records": out[8]["counters"]["messy_records"],
-            "messy_per_sec_8cpu": thr8,
-            "messy_per_sec_32cpu": thr32,
-            "cpu_ref_8cpu": out[8]["counters"]["cpu_ref_sec"],
-            "cpu_ref_32cpu": out[32]["counters"]["cpu_ref_sec"],
-            "pairs_8cpu": out[8]["counters"]["improved_pairs"],
-            "pairs_32cpu": out[32]["counters"]["improved_pairs"],
-            "pairs_identical": out[8]["counters"]["improved_pairs"]
-            == out[32]["counters"]["improved_pairs"],
-            "samples_8cpu": [
-                (r["value"], r["counters"]["cpu_ref_sec"]) for r in samples[8]
+            "messy_records": out[lo]["counters"]["messy_records"],
+            f"messy_per_sec_{lo}cpu": thr_lo,
+            f"messy_per_sec_{hi}cpu": thr_hi,
+            f"cpu_ref_{lo}cpu": out[lo]["counters"]["cpu_ref_sec"],
+            f"cpu_ref_{hi}cpu": out[hi]["counters"]["cpu_ref_sec"],
+            f"pairs_{lo}cpu": out[lo]["counters"]["improved_pairs"],
+            f"pairs_{hi}cpu": out[hi]["counters"]["improved_pairs"],
+            "pairs_identical": out[lo]["counters"]["improved_pairs"]
+            == out[hi]["counters"]["improved_pairs"],
+            f"samples_{lo}cpu": [
+                (r["value"], r["counters"]["cpu_ref_sec"]) for r in samples[lo]
             ],
-            "samples_32cpu": [
-                (r["value"], r["counters"]["cpu_ref_sec"]) for r in samples[32]
+            f"samples_{hi}cpu": [
+                (r["value"], r["counters"]["cpu_ref_sec"]) for r in samples[hi]
             ],
         },
     }
