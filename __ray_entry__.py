@@ -787,6 +787,47 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_media_decode(sf_dir: str):
+    """REAL media decode: deterministic 16x16 PPM images synthesized per
+    messy record, decoded by the pure-numpy decoder inside the actor pool
+    and reduced to 4x4 grid-brightness features (stages/multimodal.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.multimodal import extract_media_features
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    _canon, messy = _synth_tables(sf_dir)
+
+    y = np.arange(16, dtype=np.int64)[:, None, None]
+    x = np.arange(16, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("unique_id").to_pylist()
+        payloads = []
+        for uid in ids:
+            k = int(uid[1:])
+            pix = (k * 7 + y * 31 + x * 13 + c * 101) % 256
+            payloads.append(
+                b"P6\n16 16\n255\n" + pix.astype(np.uint8).tobytes()
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = dataset_from_table(messy).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    return extract_media_features(media, use_real_decoder=True).select_columns(
+        ["media_id", "features"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clean_features": _q_clean_features,
@@ -818,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_build": _q_tf_build,
         "adjacent_tokens": _q_adjacent_tokens,
         "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
     }
 
 
@@ -902,6 +944,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         ),
         "tf_build": _tf_build_oracle_sql(),
         "media_features": oracle_extras.media_features_sql(dim=16),
+        "media_decode": oracle_extras.media_decode_sql(),
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
             f"SELECT unique_id, address_concat FROM ({_union_input_sql()})"
         ),

@@ -194,6 +194,33 @@ def _html_escape_sql(expr: str) -> str:
     )
 
 
+def media_decode_sql() -> str:
+    """Mirror of the media_decode query: the Ray side synthesizes a 16x16
+    PPM per messy record (pixel = (k*7 + y*31 + x*13 + c*101) % 256),
+    DECODES the bytes with the pure-numpy decoder and reduces 4x4 cells to
+    mean-brightness features. The oracle regenerates the pixel values from
+    the same formula and aggregates (SUM/48)/255 per cell — one exact
+    integer sum per cell, so the doubles are bit-identical
+    (multimodal.image_grid_features documents the contract)."""
+    return """
+WITH ks AS (
+    SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 != 0
+),
+px AS (
+    SELECT k, (y.r // 4) * 4 + (x.r // 4) AS cell,
+           (k * 7 + y.r * 31 + x.r * 13 + c.r * 101) % 256 AS v
+    FROM ks, range(16) y(r), range(16) x(r), range(3) c(r)
+),
+f AS (
+    SELECT k, cell, (CAST(SUM(v) AS DOUBLE) / 48.0) / 255.0 AS fv
+    FROM px GROUP BY 1, 2
+)
+SELECT 'm' || CAST(k AS VARCHAR) AS media_id,
+       list(fv ORDER BY cell) AS features
+FROM f GROUP BY k
+"""
+
+
 def media_features_sql(dim: int = 16) -> str:
     """Mirror of extract_media_features over the synth messy pages: rebuilds
     the exact page bytes (sources/webpages.render_html, UTF-8 — the © footer

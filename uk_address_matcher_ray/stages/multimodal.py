@@ -3,11 +3,15 @@ frame-sample plumbing.
 
 Media payloads are opaque ``binary`` columns with typed metadata; each stage
 is an actor-pool ``map_batches`` transform with real Ray-side plumbing
-(schema, batch sizing, actor signature, output layout). The actual
-image/audio decoders are NOT available in this container, so decode paths
-are stubbed behind clearly-marked NotImplementedError / deterministic fakes
-(per the driver brief) — swap ``_decode_image``/``_decode_audio`` for PIL /
-soundfile implementations in a full environment.
+(schema, batch sizing, actor signature, output layout).
+
+Decoders: self-describing uncompressed formats decode for REAL with pure
+numpy — WAV (RIFF PCM 8/16-bit and IEEE float32), BMP (BITMAPINFOHEADER
+8-bit paletted / 24 / 32-bit), and PPM/PGM (P5/P6 binary) — so the decode →
+feature path runs end-to-end in this container. Compressed codecs (JPEG /
+PNG / MP3 / video) require external libraries that are NOT available here;
+those magics raise a clearly-marked NotImplementedError documenting the
+PIL / soundfile integration point.
 """
 
 from __future__ import annotations
@@ -31,19 +35,191 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def decode_bmp(payload: bytes):
+    """BMP (BITMAPINFOHEADER, uncompressed) -> HxWx3 uint8 numpy array.
+
+    Supports 24/32-bit BGR(A) and 8-bit paletted; rows are bottom-up
+    (positive height) or top-down (negative), 4-byte aligned."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError("compressed BMP (RLE/bitfields) not supported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * bpp // 8 + 3) & ~3
+    px = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = px.reshape(h, stride)
+    if bpp == 24:
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    elif bpp == 32:
+        img = rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+    elif bpp == 8:
+        ncolors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * ncolors, offset=14 + hdr_size
+        ).reshape(ncolors, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        img = pal[rows[:, :w]]
+    else:
+        raise NotImplementedError(f"BMP bpp={bpp} not supported")
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) / PGM (P5) -> HxWx3 (or HxW) uint8 numpy array."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def decode_wav(payload: bytes):
+    """WAV (RIFF) -> (sample_rate, float64 array shaped (frames, channels)).
+
+    PCM 8-bit (unsigned), 16-bit (signed) and IEEE float32; samples
+    normalized to [-1, 1] with the usual conventions."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV format={audio_fmt} bits={bits} not supported"
+        )
+    frames = len(x) // channels
+    return rate, x[: frames * channels].reshape(frames, channels)
+
+
 def _decode_image(payload: bytes):
-    """STUB: real implementation would be PIL.Image.open(BytesIO(payload)).
-    No imaging library is available in this container."""
+    """Image decode: real for BMP and PPM/PGM (pure numpy). JPEG/PNG need a
+    codec library (PIL / opencv) that is NOT in this container — that magic
+    raises to document the integration point."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "image decode requires PIL/opencv; not available in this container"
+        "only BMP/PPM decode in this container; JPEG/PNG require PIL/opencv"
     )
 
 
 def _decode_audio(payload: bytes):
-    """STUB: real implementation would use soundfile/librosa."""
+    """Audio decode: real for RIFF/WAVE PCM + float32 (pure numpy).
+    Compressed codecs (MP3/OGG/FLAC) need soundfile/librosa — NOT in this
+    container; those magics raise to document the integration point."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "audio decode requires soundfile; not available in this container"
+        "only WAV decode in this container; compressed audio requires soundfile"
     )
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Deterministic nearest-neighbor resize of an HxW[xC] uint8 array —
+    index-arithmetic only (no interpolation library)."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri][:, ci]
+
+
+def image_grid_features(img, grid: int = 4):
+    """gridxgrid mean-brightness features (row-major, floats in [0, 1]).
+
+    Each feature is the mean over ALL channel values in the cell computed as
+    ONE exact integer sum divided once — (sum / count) / 255 — so a SQL
+    oracle (SUM(v)/count/255.0) reproduces identical doubles (a per-pixel
+    luma mean first would introduce order-dependent rounding)."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.int64)
+    h, w = a.shape[0], a.shape[1]
+    rs = (np.arange(grid + 1) * h) // grid
+    cs = (np.arange(grid + 1) * w) // grid
+    out = []
+    for i in range(grid):
+        for j in range(grid):
+            cell = a[
+                rs[i] : max(rs[i + 1], rs[i] + 1),
+                cs[j] : max(cs[j + 1], cs[j] + 1),
+            ]
+            out.append(float(int(cell.sum())) / cell.size / 255.0)
+    return out
+
+
+def audio_band_features(samples, n_bands: int = FEATURE_DIM):
+    """Per-band RMS energy over ``n_bands`` equal time slices of the mono
+    mix — deterministic numpy reductions only."""
+    import numpy as np
+
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    if n == 0:
+        return [0.0] * n_bands
+    edges = (np.arange(n_bands + 1) * n) // n_bands
+    out = []
+    for i in range(n_bands):
+        seg = mono[edges[i] : max(edges[i + 1], edges[i] + 1)]
+        out.append(float(np.sqrt(np.mean(seg * seg))))
+    return out
 
 
 def byte_histogram_counts(payload: Optional[bytes], dim: int = FEATURE_DIM):
@@ -89,10 +265,13 @@ class MediaFeatureStage:
         hists = []
         for kind, p in zip(kinds, payloads):
             if self.use_real_decoder:
-                decoded = (
-                    _decode_image(p) if kind == "image" else _decode_audio(p)
-                )
-                feats.append(decoded)
+                if kind == "image":
+                    img = resize_nearest(_decode_image(p), 16, 16)
+                    grid = max(1, int(self.dim**0.5))
+                    feats.append(image_grid_features(img, grid))
+                else:
+                    _rate, samples = _decode_audio(p)
+                    feats.append(audio_band_features(samples, self.dim))
                 hists.append(None)
             else:
                 counts = byte_histogram_counts(p, self.dim)
@@ -110,9 +289,18 @@ class MediaFeatureStage:
         )
 
 
-def extract_media_features(ds, *, dim: int = FEATURE_DIM, concurrency: Optional[int] = None, batch_size: int = 64):
+def extract_media_features(
+    ds,
+    *,
+    dim: int = FEATURE_DIM,
+    concurrency: Optional[int] = None,
+    batch_size: int = 64,
+    use_real_decoder: bool = False,
+):
     """Small batches: payloads are large; batch_size × concurrency bounds
-    worker heap (driver brief: memory-aware sizing for binary payloads)."""
+    worker heap (driver brief: memory-aware sizing for binary payloads).
+    ``use_real_decoder=True`` decodes BMP/PPM/WAV payloads for real (pure
+    numpy) and featurizes the decoded media; other codecs raise."""
     import ray
 
     if concurrency is None:
@@ -122,7 +310,7 @@ def extract_media_features(ds, *, dim: int = FEATURE_DIM, concurrency: Optional[
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"dim": dim},
+        fn_constructor_kwargs={"dim": dim, "use_real_decoder": use_real_decoder},
     )
 
 
