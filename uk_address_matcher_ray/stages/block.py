@@ -67,12 +67,17 @@ def hash_block_keys(keys: List[str]) -> Tuple[pa.Array, pa.Array]:
     try:
         import polars as pl
 
-        s = pl.Series("k", keys, dtype=pl.Utf8)
+        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            s = pl.Series("k", pl.from_arrow(keys))  # zero-copy
+        else:
+            s = pl.Series("k", keys, dtype=pl.Utf8)
         return (
             pa.array(s.hash(seed=1).to_numpy(), pa.uint64()),
             pa.array(s.hash(seed=2).to_numpy(), pa.uint64()),
         )
     except ImportError:  # pragma: no cover - polars is baked into the image
+        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            keys = keys.to_pylist()
         h1, h2 = [], []
         for k in keys:
             d = hashlib.md5(k.encode()).digest()
@@ -212,6 +217,138 @@ def batch_rule_keys(
     return out_row, out_rule, out_key
 
 
+def batch_rule_keys_arrays(batch: pa.Table, model: MatchModel, side: int):
+    """Fully-vectorized key emission -> (row_idx int64 np array, rule_ids
+    int32 np array, keys pa.StringArray).
+
+    Same (row, rule, key) MULTISET as ``batch_rule_keys`` (differential
+    property test); the key string is built as one Arrow
+    ``binary_join_element_wise`` per rule — SEP.join with a null component
+    emitting null — instead of ~rules x rows Python f-strings (this was the
+    emission hot spot at x64)."""
+    import numpy as np
+    import pyarrow.compute as pcmp
+
+    n = batch.num_rows
+    names = set(batch.column_names)
+    null_str = pa.nulls(n, pa.string())
+
+    def as_arr(col):
+        if isinstance(col, pa.ChunkedArray):
+            return (
+                col.combine_chunks()
+                if col.num_chunks
+                else pa.array([], type=col.type)
+            )
+        return col
+
+    def col_arr(name):
+        if name not in names:
+            return null_str
+        arr = as_arr(batch.column(name))
+        if not pa.types.is_string(arr.type):
+            arr = arr.cast(pa.string())  # str(v) for col: test columns
+        return arr
+
+    def list_elem(name, idx):
+        if name not in names:
+            return null_str
+        arr = as_arr(batch.column(name))
+        if len(arr) == 0 or arr.null_count == len(arr):
+            return null_str
+        if arr.offset != 0:
+            arr = pa.concat_arrays([arr])
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        lens = offs[1:] - offs[:-1]
+        valid = arr.is_valid().to_numpy(zero_copy_only=False) & (lens > idx)
+        if not valid.any():
+            return null_str
+        # placeholder 0 is safe: some row is valid, so values is non-empty
+        pos = np.where(valid, offs[:-1] + idx, 0)
+        vals = arr.values.take(pa.array(pos, pa.int64()))
+        return pcmp.if_else(
+            pa.array(valid), vals, pa.scalar(None, pa.string())
+        )
+
+    pc_arr = col_arr("postcode")
+    # outward/inward: split_part(pc, ' ', 1/2) with '' defaults — plain
+    # (non-regex) single-space split, exactly str.split(" ")
+    sp = as_arr(pcmp.split_pattern(pc_arr, " "))
+    if len(sp) and sp.offset != 0:
+        sp = pa.concat_arrays([sp])
+
+    def split_part(idx: int):
+        if len(sp) == 0:
+            return null_str
+        offs = sp.offsets.to_numpy(zero_copy_only=False)
+        lens = offs[1:] - offs[:-1]
+        sp_valid = sp.is_valid().to_numpy(zero_copy_only=False)
+        ok = sp_valid & (lens > idx)
+        if not ok.any():
+            return pcmp.if_else(
+                pa.array(sp_valid),
+                pa.scalar("", pa.string()),
+                pa.scalar(None, pa.string()),
+            )
+        vals = sp.values.take(
+            pa.array(np.where(ok, offs[:-1] + idx, 0), pa.int64())
+        )
+        return pcmp.if_else(
+            pa.array(sp_valid),
+            pcmp.if_else(pa.array(ok), vals, pa.scalar("", pa.string())),
+            pa.scalar(None, pa.string()),
+        )
+
+    out_arr = split_part(0)
+    in_arr = split_part(1)
+
+    comp = {
+        "n1": col_arr("numeric_token_1"),
+        "n2": col_arr("numeric_token_2"),
+        "u1": list_elem("unusual_tokens_arr", 0),
+        "u2": list_elem("unusual_tokens_arr", 1),
+        "vu1": list_elem("very_unusual_tokens_arr", 0),
+        "vu2": list_elem("very_unusual_tokens_arr", 1),
+        "eu1": list_elem("extremely_unusual_tokens_arr", 0),
+        "pc": pc_arr,
+        "out": out_arr,
+        "in": in_arr,
+    }
+
+    def resolve(kn: str):
+        if kn.startswith("col:"):
+            return col_arr(kn[4:])
+        return comp[kn]
+
+    idx_parts: List[np.ndarray] = []
+    rule_parts: List[np.ndarray] = []
+    key_parts: List[pa.Array] = []
+    for rule_id, rule in enumerate(model.blocking_rules):
+        key_names = rule.l_keys if side == 0 else rule.r_keys
+        cols = [resolve(kn) for kn in key_names]
+        joined = pcmp.binary_join_element_wise(
+            pa.scalar(str(rule_id), pa.string()), *cols, SEP
+        )
+        valid = pcmp.is_valid(joined).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(valid)
+        if len(idx) == 0:
+            continue
+        idx_parts.append(idx)
+        rule_parts.append(np.full(len(idx), rule_id, dtype=np.int32))
+        key_parts.append(joined.take(pa.array(idx, pa.int64())))
+    if not idx_parts:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int32),
+            pa.array([], pa.string()),
+        )
+    return (
+        np.concatenate(idx_parts),
+        np.concatenate(rule_parts),
+        pa.concat_arrays(key_parts) if len(key_parts) > 1 else key_parts[0],
+    )
+
+
 class BlockKeyEmitter:
     """map_batches callable: cleaned rows -> exploded (block_key, side, payload).
 
@@ -234,57 +371,86 @@ class BlockKeyEmitter:
         self.hot_keys: Dict[str, object] = hot or {}
 
     def emission_lists(self, batch: pa.Table):
-        """(take_idx, rules, keys) for one batch — the salted emission plan
-        shared by the payload (``__call__``) and skinny (``emit_skinny``)
-        representations."""
-        rows_idx, rule_ids, base_keys = batch_rule_keys(batch, self.model, self.side)
+        """(take_idx int64 np, rules int32 np, keys pa.StringArray) for one
+        batch — the salted emission plan shared by the payload (``__call__``)
+        and skinny (``emit_skinny``) representations. Cold keys stay fully
+        vectorized; only rows whose key is in the (small) hot set drop to
+        the Python salting loop. Emission MULTISET identical to the legacy
+        per-row path (property test)."""
+        import numpy as np
+        import pyarrow.compute as pcmp
+
+        rows_idx, rule_ids, base_keys = batch_rule_keys_arrays(
+            batch, self.model, self.side
+        )
         hot = self.hot_keys
-        if not hot:
-            take_idx, rules, keys = rows_idx, rule_ids, base_keys
-        else:
-            uids = batch.column("unique_id").to_pylist()
-            uid_hash: Dict[int, int] = {}
-            take_idx: List[int] = []
-            keys: List[str] = []
-            rules: List[int] = []
-            for i, rule_id, key in zip(rows_idx, rule_ids, base_keys):
-                salt = hot.get(key)
-                if salt is None:
-                    take_idx.append(i)
-                    keys.append(key)
-                    rules.append(rule_id)
-                    continue
-                kl, kr = (salt, 1) if isinstance(salt, int) else salt
-                if kl <= 1 and kr <= 1:
-                    take_idx.append(i)
-                    keys.append(key)
-                    rules.append(rule_id)
-                    continue
-                h = uid_hash.get(i)
-                if h is None:
-                    h = _stable_hash(str(uids[i]))
-                    uid_hash[i] = h
-                if self.side == 0:
-                    li = h % kl
-                    for rj in range(kr):
-                        take_idx.append(i)
-                        keys.append(f"{key}{SEP}#{li}|{rj}")
-                        rules.append(rule_id)
-                else:
-                    rj = h % kr
-                    for li in range(kl):
-                        take_idx.append(i)
-                        keys.append(f"{key}{SEP}#{li}|{rj}")
-                        rules.append(rule_id)
+        if not hot or len(base_keys) == 0:
+            return rows_idx, rule_ids, base_keys
+        hot_arr = pa.array(list(hot.keys()), pa.string())
+        hot_mask = pcmp.is_valid(
+            pcmp.index_in(base_keys, value_set=hot_arr)
+        ).to_numpy(zero_copy_only=False)
+        if not hot_mask.any():
+            return rows_idx, rule_ids, base_keys
+        cold = np.flatnonzero(~hot_mask)
+        uid_col = batch.column("unique_id")
+        uid_hash: Dict[int, int] = {}
+        x_idx: List[int] = []
+        x_rules: List[int] = []
+        x_keys: List[str] = []
+        for j in np.flatnonzero(hot_mask):
+            key = base_keys[j].as_py()
+            i = int(rows_idx[j])
+            rule_id = int(rule_ids[j])
+            salt = hot[key]
+            kl, kr = (salt, 1) if isinstance(salt, int) else salt
+            if kl <= 1 and kr <= 1:
+                x_idx.append(i)
+                x_rules.append(rule_id)
+                x_keys.append(key)
+                continue
+            h = uid_hash.get(i)
+            if h is None:
+                h = _stable_hash(str(uid_col[i].as_py()))
+                uid_hash[i] = h
+            if self.side == 0:
+                li = h % kl
+                for rj in range(kr):
+                    x_idx.append(i)
+                    x_rules.append(rule_id)
+                    x_keys.append(f"{key}{SEP}#{li}|{rj}")
+            else:
+                rj = h % kr
+                for li in range(kl):
+                    x_idx.append(i)
+                    x_rules.append(rule_id)
+                    x_keys.append(f"{key}{SEP}#{li}|{rj}")
+        take_idx = np.concatenate(
+            [rows_idx[cold], np.asarray(x_idx, dtype=np.int64)]
+        )
+        rules = np.concatenate(
+            [rule_ids[cold], np.asarray(x_rules, dtype=np.int32)]
+        )
+        keys = pa.concat_arrays(
+            [
+                base_keys.take(pa.array(cold, pa.int64())),
+                pa.array(x_keys, pa.string()),
+            ]
+        )
         return take_idx, rules, keys
 
-    def key_columns(self, keys: List[str]):
-        """Key strings -> list of (name, array) sort/partition columns,
-        honoring the GRAFT_STRING_KEYS diagnosis knob."""
+    def key_columns(self, keys):
+        """Key strings (pa.StringArray or list) -> list of (name, array)
+        sort/partition columns, honoring the GRAFT_STRING_KEYS knob."""
         import os
 
         if os.environ.get("GRAFT_STRING_KEYS") == "1":
-            return [(BLOCK_KEY_COL, pa.array(keys, pa.string()))]
+            arr = (
+                keys
+                if isinstance(keys, (pa.Array, pa.ChunkedArray))
+                else pa.array(keys, pa.string())
+            )
+            return [(BLOCK_KEY_COL, arr)]
         k1, k2 = hash_block_keys(keys)
         return [(BLOCK_KEY_COL, k1), (BLOCK_KEY2_COL, k2)]
 
@@ -304,7 +470,7 @@ class BlockKeyEmitter:
         if row_map is not None:
             loc = np.asarray(row_map, dtype=np.int64)[loc] if len(loc) else loc
         cols = {name: arr for name, arr in self.key_columns(keys)}
-        cols[RULE_COL] = pa.array(rules, type=pa.int32())
+        cols[RULE_COL] = pa.array(np.asarray(rules, dtype=np.int32))
         cols[SIDE_COL] = pa.array(
             np.full(len(keys), self.side, dtype=np.int8), type=pa.int8()
         )
@@ -312,14 +478,17 @@ class BlockKeyEmitter:
         return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         take_idx, rules, keys = self.emission_lists(batch)
-        taken = batch.take(pa.array(take_idx, type=pa.int64()))
+        taken = batch.take(pa.array(np.asarray(take_idx), type=pa.int64()))
         for name, arr in self.key_columns(keys):
             taken = taken.append_column(name, arr)
         return taken.append_column(
-            RULE_COL, pa.array(rules, type=pa.int32())
+            RULE_COL, pa.array(np.asarray(rules, dtype=np.int32))
         ).append_column(
-            SIDE_COL, pa.array([self.side] * len(keys), type=pa.int8())
+            SIDE_COL,
+            pa.array(np.full(len(keys), self.side, dtype=np.int8), pa.int8()),
         )
 
 
@@ -419,16 +588,18 @@ def compute_hot_keys(
         floor_n = max(2, salt_threshold // max(1, nb))
 
         def emit(batch: pa.Table) -> pa.Table:
-            from collections import Counter
+            import pyarrow.compute as pcmp
 
-            _rows, _rules, keys = batch_rule_keys(batch, model, side)
-            c = Counter(keys)
-            hot_items = [(k, n) for k, n in c.items() if n >= floor_n]
+            _rows, _rules, keys = batch_rule_keys_arrays(batch, model, side)
+            vc = pcmp.value_counts(keys)
+            hot = vc.filter(
+                pcmp.greater_equal(vc.field("counts"), floor_n)
+            )
             return pa.table(
                 {
-                    "key": pa.array([k for k, _ in hot_items], type=pa.string()),
-                    "side": pa.array([side] * len(hot_items), type=pa.int8()),
-                    "n": pa.array([n for _, n in hot_items], type=pa.int64()),
+                    "key": hot.field("values"),
+                    "side": pa.array([side] * len(hot), type=pa.int8()),
+                    "n": hot.field("counts").cast(pa.int64()),
                 }
             )
 
@@ -445,7 +616,6 @@ def compute_hot_keys(
         @ray.remote
         def count_block(tbl: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            from collections import Counter
 
             if tbl.num_rows == 0 or SIDE_COL not in tbl.schema.names:
                 return pa.table(
@@ -458,24 +628,24 @@ def compute_hot_keys(
             side_arr = tbl.column(SIDE_COL)
             bare = tbl.remove_column(tbl.schema.get_field_index(SIDE_COL))
             mask0 = pc.equal(side_arr, 0)
-            out_keys, out_sides, out_ns = [], [], []
+            parts = []
             for side, sub in (
                 (0, bare.filter(mask0)),
                 (1, bare.filter(pc.invert(mask0))),
             ):
-                _rows, _rules, keys = batch_rule_keys(sub, model, side)
-                for k, n in Counter(keys).items():
-                    if n >= floor_n:
-                        out_keys.append(k)
-                        out_sides.append(side)
-                        out_ns.append(n)
-            return pa.table(
-                {
-                    "key": pa.array(out_keys, type=pa.string()),
-                    "side": pa.array(out_sides, type=pa.int8()),
-                    "n": pa.array(out_ns, type=pa.int64()),
-                }
-            )
+                _rows, _rules, keys = batch_rule_keys_arrays(sub, model, side)
+                vc = pc.value_counts(keys)
+                hot = vc.filter(pc.greater_equal(vc.field("counts"), floor_n))
+                parts.append(
+                    pa.table(
+                        {
+                            "key": hot.field("values"),
+                            "side": pa.array([side] * len(hot), pa.int8()),
+                            "n": hot.field("counts").cast(pa.int64()),
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
 
         part_tables = ray.get([count_block.remote(r) for r in refs])
     else:
