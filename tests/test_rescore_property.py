@@ -81,3 +81,41 @@ def test_process_table_equals_process_rows(data, n_groups):
 
     assert canon(via_table) == canon(via_rows)
     assert canon(via_pydict) == canon(via_rows)
+
+
+@given(data=st.data(), n_groups=st.integers(1, 4))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_passthrough_columns_parity(data, n_groups):
+    """passthrough columns (gather-path payload indices) must ride from the
+    selected input row to the output identically in both table paths."""
+    import pyarrow as pa_
+
+    stage = ImproveStage(
+        dedup_first=True,
+        passthrough=(("__src_idx_l", pa_.int64()), ("__src_idx_r", pa_.int64())),
+        match_weight_threshold=-20.0,
+        top_n_matches=3,
+    )
+    groups = [data.draw(_group(g)) for g in range(n_groups)]
+    all_rows = [r for g in groups for r in g]
+    for j, r in enumerate(all_rows):
+        r["__src_idx_l"] = 1000 + j
+        r["__src_idx_r"] = 2000 + j
+    tbl = pa_.Table.from_pylist(
+        sorted(all_rows, key=lambda r: r["unique_id_r"])
+    )
+    via_table = stage.process_table(tbl).to_pylist()
+    via_pydict = stage.process_table_pydict(tbl).to_pylist()
+
+    def canon(recs):
+        return sorted(
+            (repr(sorted(r.items(), key=lambda kv: kv[0])) for r in recs)
+        )
+
+    assert canon(via_table) == canon(via_pydict)
+    for r in via_table:
+        assert r["__src_idx_l"] >= 1000 and r["__src_idx_r"] >= 2000
