@@ -787,6 +787,58 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_embedding_lsh(sf_dir: str):
+    """Approximate cosine near-dup via random-hyperplane LSH — the corpus-
+    scale embedding dedup path. The synth embeddings are near-orthogonal, so
+    the query derives deterministic near-duplicates (per-id-seeded
+    perturbations of every 5th vector, id+1e6) and reports the verified
+    pairs at cosine >= 0.9. No SQL oracle (hyperplane signs are not
+    SQL-expressible); subset-of-exact + recall gates live in
+    tests/test_embedding_lsh.py."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.dedup import embedding_lsh_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def add_dups(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        vecs = batch.column("embedding").to_pylist()
+        out_ids = list(ids)
+        out_vecs = [list(map(float, v)) for v in vecs]
+        for i, v in zip(ids, vecs):
+            if i % 5 == 0:
+                rng = np.random.default_rng(int(i))
+                a = np.asarray(v, dtype=np.float64)
+                p = a + 0.03 * np.linalg.norm(a) * rng.standard_normal(len(a))
+                out_ids.append(int(i) + 1_000_000)
+                out_vecs.append([float(x) for x in p])
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(out_vecs, pa.list_(pa.float64())),
+            }
+        )
+
+    aug = ds.map_batches(add_dups, batch_format="pyarrow")
+    out = embedding_lsh_pairs(aug, id_col="vec_id", threshold=0.9)
+
+    def round_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("cosine"),
+            "cosine",
+            pc.round(batch.column("cosine"), ndigits=6),
+        )
+
+    return out.map_batches(round_batch, batch_format="pyarrow")
+
+
 def _q_media_decode(sf_dir: str):
     """REAL media decode: deterministic 16x16 PPM images synthesized per
     messy record, decoded by the pure-numpy decoder inside the actor pool
@@ -849,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_sigs": _q_simhash_sigs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_lsh_near_dup": _q_embedding_lsh,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "text_stats": _q_text_stats,

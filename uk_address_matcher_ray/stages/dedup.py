@@ -1075,6 +1075,327 @@ def embedding_near_dup_pairs(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def embedding_lsh_pairs(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 8,
+    hot_bucket_rows: int = 4096,
+    sig_slack_sd: float = 3.0,
+    seed: int = 0xE5D0_57A1,
+):
+    """APPROXIMATE embedding cosine near-dup — the corpus-scale path the
+    exact ``embedding_near_dup_pairs`` docstring routes to.
+
+    Random-hyperplane LSH (Charikar): every vector gets a 64-bit signature
+    (bit h = sign(v . p_h), planes drawn once from a fixed-seed PCG64 —
+    deterministic across workers/runs); signatures band like simhash, the
+    bucket exchange carries (bucket, id, sig) fixed-size rows (NO vector
+    payload — the minhash band-amplification lesson), hot buckets are
+    grid-salted from the shared pigeonhole pre-count, and the in-bucket
+    kernel prunes candidates by signature Hamming distance at
+    ``mean + sig_slack_sd . sd`` of the flip distribution implied by the
+    cosine threshold before the EXACT verify. Verification dots the
+    L2-normalized vectors through the same two pair-keyed gather rounds as
+    minhash (vectors ride each exchange once per doc + once per surviving
+    candidate, independent of the band count). Recall is probabilistic
+    (P[band collision] for a pair at exactly ``threshold`` is printed in
+    tests/test_embedding_lsh.py); emitted pairs are exactly verified —
+    no false positives."""
+    import numpy as np
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        mat = _vectors_from_table(batch, vec_col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = (mat / norms[:, None]).ravel()
+        n = batch.num_rows
+        d = 0 if n == 0 else len(matn) // n
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * d, pa.int32())
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "vec": pa.ListArray.from_arrays(
+                    offs, pa.array(matn, pa.float64())
+                ),
+            }
+        )
+
+    vecs = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(normalize, batch_format="pyarrow")
+        .materialize()
+    )
+
+    _planes_memo: dict = {}
+
+    def _planes(dim: int) -> np.ndarray:
+        p = _planes_memo.get(dim)
+        if p is None:
+            rng = np.random.default_rng(np.random.PCG64(seed))
+            p = rng.standard_normal((dim, 64))
+            _planes_memo[dim] = p
+        return p
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        mat = _vectors_from_table(batch, "vec")
+        if mat.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "sig": pa.array([], pa.uint64()),
+                }
+            )
+        bits = (mat @ _planes(mat.shape[1])) >= 0.0
+        sig = (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pa.table(
+            {id_col: batch.column(id_col), "sig": pa.array(sig, pa.uint64())}
+        )
+
+    sigs = vecs.map_batches(sig_batch, batch_format="pyarrow").materialize()
+
+    # Hamming prefilter bound from the flip distribution at the threshold:
+    # p_flip = arccos(t)/pi per bit, cut at mean + k.sd (generous, recall-
+    # safe for pairs ABOVE the threshold whose p is smaller)
+    p_flip = float(np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi)
+    max_h = int(
+        np.ceil(64 * p_flip + sig_slack_sd * np.sqrt(64 * p_flip * (1 - p_flip)))
+    )
+
+    width = 64 // bands
+    wmask = np.uint64((1 << width) - 1)
+    band_seeds = _splitmix64(
+        np.arange(bands, dtype=np.uint64) << np.uint64(32)
+    )
+
+    def bkeys_of(tbl: pa.Table):
+        s = tbl.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cols = [
+            _splitmix64(band_seeds[b] ^ ((s >> np.uint64(b * width)) & wmask))
+            for b in range(bands)
+        ]
+        return np.stack(cols, axis=1).ravel()
+
+    hot = _count_hot_buckets(sigs.to_arrow_refs(), bkeys_of, hot_bucket_rows)
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bflat = bkeys_of(batch)
+        idh = np.repeat(_id_hash_u64(batch.column(id_col)), bands)
+        row_of = np.repeat(np.arange(n), bands)
+        sel, bkey, cs, ct, salt = _expand_lsh_rows(
+            bflat, idh, hot, hot_bucket_rows
+        )
+        take = pa.array(row_of[sel])
+        return pa.table(
+            {
+                "bkey": pa.array(bkey, pa.uint64()),
+                id_col: batch.column(id_col).take(take),
+                "sig": batch.column("sig").take(take),
+                "cs": pa.array(cs, pa.int32()),
+                "ct": pa.array(ct, pa.int32()),
+                "salt": pa.array(salt, pa.int32()),
+            }
+        )
+
+    keyed = sigs.map_batches(emit_bands, batch_format="pyarrow")
+
+    cand_schema = pa.schema(
+        [pa.field("id_a", id_type), pa.field("id_b", id_type)]
+    )
+
+    def cand_kernel(tbl: pa.Table) -> pa.Table:
+        bk = tbl.column("bkey").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        ss = tbl.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
+        css = tbl.column("cs").to_numpy(zero_copy_only=False)
+        cts = tbl.column("ct").to_numpy(zero_copy_only=False)
+        salts = tbl.column("salt").to_numpy(zero_copy_only=False)
+        offs = _group_offsets(bk)
+        parts_a, parts_b = [], []
+        for gi in range(len(offs) - 1):
+            s, e = offs[gi], offs[gi + 1]
+            if e - s < 2:
+                continue
+            xi, yi = _cell_pair_indices(salts[s:e], int(css[s]), int(cts[s]))
+            if len(xi) == 0:
+                continue
+            d = _popcount64(ss[s:e][xi] ^ ss[s:e][yi])
+            ok = d <= max_h
+            ia, ib = ids[s:e][xi][ok], ids[s:e][yi][ok]
+            neq = ia != ib
+            ia, ib = ia[neq], ib[neq]
+            swap = ia > ib
+            parts_a.append(np.where(swap, ib, ia))
+            parts_b.append(np.where(swap, ia, ib))
+        if not parts_a:
+            return cand_schema.empty_table()
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(parts_a), id_type),
+                "id_b": pa.array(np.concatenate(parts_b), id_type),
+            }
+        )
+
+    raw = grouped_map(keyed, "bkey", None, cand_schema, fn_table=cand_kernel)
+
+    def first_per_pair(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("id_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("id_b").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(a), dtype=bool)
+        if len(a):
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return tbl.filter(pa.array(keep))
+
+    cands = grouped_map(
+        raw, ("id_a", "id_b"), None, cand_schema, fn_table=first_per_pair
+    )
+
+    # --- pair-keyed exact-cosine verify: two gather rounds ---------------
+    union_schema = pa.schema(
+        [
+            pa.field("key", id_type),
+            pa.field("tag", pa.int8()),
+            pa.field("other", id_type),
+            pa.field("vec", pa.list_(pa.float64())),
+        ]
+    )
+
+    def cands_tagged(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": tbl.column("id_a"),
+                "tag": pa.array(
+                    np.ones(tbl.num_rows, dtype=np.int8), pa.int8()
+                ),
+                "other": tbl.column("id_b"),
+                "vec": pa.nulls(tbl.num_rows, pa.list_(pa.float64())),
+            }
+        ).cast(union_schema)
+
+    def vecs_tagged(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": tbl.column(id_col),
+                "tag": pa.array(
+                    np.zeros(tbl.num_rows, dtype=np.int8), pa.int8()
+                ),
+                "other": pa.nulls(tbl.num_rows, id_type),
+                "vec": tbl.column("vec"),
+            }
+        ).cast(union_schema)
+
+    union_a = vecs.map_batches(vecs_tagged, batch_format="pyarrow").union(
+        cands.map_batches(cands_tagged, batch_format="pyarrow")
+    )
+
+    def attach_a(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column("key").to_numpy(zero_copy_only=False)
+        tags = tbl.column("tag").to_numpy(zero_copy_only=False)
+        others = tbl.column("other").to_numpy(zero_copy_only=False)
+        vec_col_arr = _flat_list(tbl.column("vec"))
+        voff = vec_col_arr.offsets.to_numpy(zero_copy_only=False)
+        vval = vec_col_arr.values.to_numpy(zero_copy_only=False)
+        offs = _group_offsets(keys)
+        out_key, out_other, vparts = [], [], []
+        for gi in range(len(offs) - 1):
+            s, e = offs[gi], offs[gi + 1]
+            doc = None
+            for j in range(s, e):
+                if tags[j] == 0:
+                    doc = vval[voff[j] : voff[j + 1]]
+                    break
+            if doc is None:
+                continue
+            seen = set()
+            for j in range(s, e):
+                if tags[j] == 1 and others[j] not in seen:
+                    seen.add(others[j])
+                    out_key.append(others[j])
+                    out_other.append(keys[j])
+                    vparts.append(doc)
+        if not out_key:
+            return union_schema.empty_table()
+        flat = np.concatenate(vparts)
+        lens = np.array([len(v) for v in vparts], dtype=np.int64)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lens)]).astype(np.int32), pa.int32()
+        )
+        return pa.table(
+            {
+                "key": pa.array(out_key, id_type),
+                "tag": pa.array(
+                    np.ones(len(out_key), dtype=np.int8), pa.int8()
+                ),
+                "other": pa.array(out_other, id_type),
+                "vec": pa.ListArray.from_arrays(
+                    offsets, pa.array(flat, pa.float64())
+                ),
+            }
+        ).cast(union_schema)
+
+    cands_a = grouped_map(union_a, "key", None, union_schema, fn_table=attach_a)
+
+    out_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+
+    union_b = vecs.map_batches(vecs_tagged, batch_format="pyarrow").union(
+        cands_a
+    )
+
+    def verify_b(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column("key").to_numpy(zero_copy_only=False)
+        tags = tbl.column("tag").to_numpy(zero_copy_only=False)
+        others = tbl.column("other").to_numpy(zero_copy_only=False)
+        vec_col_arr = _flat_list(tbl.column("vec"))
+        voff = vec_col_arr.offsets.to_numpy(zero_copy_only=False)
+        vval = vec_col_arr.values.to_numpy(zero_copy_only=False)
+        offs = _group_offsets(keys)
+        out_a, out_b, out_c = [], [], []
+        for gi in range(len(offs) - 1):
+            s, e = offs[gi], offs[gi + 1]
+            doc = None
+            for j in range(s, e):
+                if tags[j] == 0:
+                    doc = vval[voff[j] : voff[j + 1]]
+                    break
+            if doc is None:
+                continue
+            for j in range(s, e):
+                if tags[j] != 1:
+                    continue
+                va = vval[voff[j] : voff[j + 1]]
+                cos = float(np.dot(va, doc))
+                if cos >= threshold:
+                    # key here is id_b; other is id_a (a < b preserved)
+                    out_a.append(others[j])
+                    out_b.append(keys[j])
+                    out_c.append(cos)
+        if not out_a:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, id_type),
+                "id_b": pa.array(out_b, id_type),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    return grouped_map(union_b, "key", None, out_schema, fn_table=verify_b)
+
+
 # ---------------------------------------------------------------------------
 # Near-dup dedup APPLY: pairs -> components -> one survivor per cluster
 # ---------------------------------------------------------------------------
