@@ -794,15 +794,20 @@ class ImproveStage:
                     l_entry(al_idx[sel[s + j]], pl_idx[sel[s + j]])
                     for j in range(cnt)
                 ]
+                # Only block tokens/bigrams ALSO on the messy side are ever
+                # read downstream (overlapping/elsewhere keys are subsets of
+                # the r token/bigram sets), so count and sort just the
+                # intersection — per-group work scales with |block ∩ r|,
+                # not |block|. Subset sort order == the legacy full-sort
+                # order restricted to the subset (bit-exact sums).
                 hist: Dict[int, int] = {}
                 for ent in l_entries:
                     for c in ent[0]:
-                        hist[c] = hist.get(c, 0) + 1
-                # ONE string sort per group: rank order == string order
-                skeys = sorted(hist, key=code2str.__getitem__)
-                hist_sorted = {c: hist[c] for c in skeys}
+                        if c in r_set:
+                            hist[c] = hist.get(c, 0) + 1
                 overlap_r_block = {
-                    c: v for c, v in hist_sorted.items() if c in r_set
+                    c: hist[c]
+                    for c in sorted(hist, key=code2str.__getitem__)
                 }
 
                 if use_bigrams:
@@ -811,18 +816,14 @@ class ImproveStage:
                         flat.extend(ent[0])
                     bg_hist: Dict[tuple, int] = {}
                     for bg in zip(flat[:-1], flat[1:]):
-                        bg_hist[bg] = bg_hist.get(bg, 0) + 1
-                    rank = {c: i for i, c in enumerate(skeys)}
-                    bg_hist_sorted = {
+                        if bg in r_bg_set:
+                            bg_hist[bg] = bg_hist.get(bg, 0) + 1
+                    overlap_bg_r_block = {
                         bg: bg_hist[bg]
                         for bg in sorted(
-                            bg_hist, key=lambda b: (rank[b[0]], rank[b[1]])
+                            bg_hist,
+                            key=lambda b: (code2str[b[0]], code2str[b[1]]),
                         )
-                    }
-                    overlap_bg_r_block = {
-                        bg: v
-                        for bg, v in bg_hist_sorted.items()
-                        if bg in r_bg_set
                     }
 
                 for j in range(cnt):
@@ -835,7 +836,7 @@ class ImproveStage:
                     missing = [c for c in l_codes if c not in r_set]
                     elsewhere = {
                         c: v
-                        for c, v in hist_sorted.items()
+                        for c, v in overlap_r_block.items()
                         if c in r_not_in_l
                     }
                     adj = RM * sum(
@@ -864,7 +865,7 @@ class ImproveStage:
                         }
                         elsewhere_bg = {
                             bg: v
-                            for bg, v in bg_hist_sorted.items()
+                            for bg, v in overlap_bg_r_block.items()
                             if bg in bg_r_not_in_l
                         }
                         overlapping_bg_f = {
