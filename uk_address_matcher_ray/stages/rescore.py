@@ -663,21 +663,34 @@ class ImproveStage:
             ar_idx, ar_vals = _dict_col("original_address_concat_r")
             pr_idx, pr_vals = _dict_col("postcode_r")
 
+            # flatten the cet token column ONCE per task (per-row as_py was
+            # ~3% of the kernel): python token list + offsets, slice per group
             if self.CET_TOKS_COL in names:
                 cet_col = tbl.column(self.CET_TOKS_COL).combine_chunks()
-
+                tok_of = lambda a: a.values  # noqa: E731
+            else:
+                cet_col = tbl.column("common_end_tokens_hist_r").combine_chunks()
+                tok_of = lambda a: a.values.field("tok")  # noqa: E731
+            if not pa.types.is_list(cet_col.type) and not pa.types.is_large_list(
+                cet_col.type
+            ):
+                # all-null column inferred as NullArray (e.g. from_pylist)
                 def cet_of(row_idx: int) -> set:
-                    v = cet_col[row_idx].as_py()
-                    return set(v) if v else set()
+                    return set()
 
             else:
-                cet_hist_col = tbl.column(
-                    "common_end_tokens_hist_r"
-                ).combine_chunks()
+                if cet_col.offset != 0:
+                    cet_col = pa.concat_arrays([cet_col])
+                cet_offs = cet_col.offsets.to_numpy(zero_copy_only=False)
+                cet_toks_py = tok_of(cet_col).to_pylist()
+                cet_valid = cet_col.is_valid().to_numpy(zero_copy_only=False)
 
                 def cet_of(row_idx: int) -> set:
-                    v = cet_hist_col[row_idx].as_py()
-                    return {e["tok"] for e in v} if v else set()
+                    if not cet_valid[row_idx]:
+                        return set()
+                    return set(
+                        cet_toks_py[cet_offs[row_idx] : cet_offs[row_idx + 1]]
+                    )
 
         intern: Dict[str, int] = {}
         code2str: List[str] = []
