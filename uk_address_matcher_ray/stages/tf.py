@@ -216,3 +216,53 @@ def load_tf_parquet(path: str, token_col: str = "token", freq_col: str = "rel_fr
 
     t = pq.read_table(path, columns=[token_col, freq_col])
     return dict(zip(t.column(token_col).to_pylist(), t.column(freq_col).to_pylist()))
+
+
+def token_tf_dataset(ds):
+    """Reference ``get_address_token_frequencies_from_address_table``
+    (cleaning_pipelines.py T1 table): distributed partial counts + one
+    vocabulary-sized groupby -> Dataset of (token, rel_freq), kinds 0+3
+    (address tokens + numeric_token_1..3 values)."""
+    from collections import Counter
+
+    import ray
+
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    counts: Counter = Counter()
+    for r in corpus_stats_dataset(ds).take_all():
+        if r["kind"] in (0, 3):
+            counts[r["token"]] += r["sum(count)"]
+    freqs = rel_freq_table(counts)
+    items = sorted(freqs.items())
+    return dataset_from_table(
+        pa.table(
+            {
+                "token": pa.array([k for k, _ in items], pa.string()),
+                "rel_freq": pa.array([v for _, v in items], pa.float64()),
+            }
+        )
+    )
+
+
+def numeric_tf_dataset(ds):
+    """Reference ``get_numeric_term_frequencies_from_address_table``:
+    Dataset of (numeric_token, rel_freq) (kind 1 counts)."""
+    from collections import Counter
+
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    counts: Counter = Counter()
+    for r in corpus_stats_dataset(ds).take_all():
+        if r["kind"] == 1:
+            counts[r["token"]] += r["sum(count)"]
+    freqs = rel_freq_table(counts)
+    items = sorted(freqs.items())
+    return dataset_from_table(
+        pa.table(
+            {
+                "numeric_token": pa.array([k for k, _ in items], pa.string()),
+                "rel_freq": pa.array([v for _, v in items], pa.float64()),
+            }
+        )
+    )
