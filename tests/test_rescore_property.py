@@ -17,7 +17,9 @@ _ADDR = st.one_of(
     st.lists(_TOK, min_size=1, max_size=7).map(" ".join),
     # whitespace / empty edge artifacts: _tokens() emits "" edge tokens for
     # non-space whitespace, and None/"" addresses take different join paths
-    st.sampled_from([None, "", "  ", "\tHIGH STREET", "HIGH STREET\t", "\t"]),
+    st.sampled_from(
+        [None, "", "  ", "\tHIGH STREET", "HIGH STREET\t", "\t", "café straße 1"]
+    ),
 )
 _PC = st.sampled_from(["ZZ1 9ZZ", "AB1 2CD", None])
 _HIST_TOK = st.sampled_from(["LONDON", "ROAD", "STREET"])

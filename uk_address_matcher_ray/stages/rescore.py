@@ -658,8 +658,6 @@ class ImproveStage:
                 )
                 return idx, enc.dictionary.to_pylist()
 
-            al_idx, al_vals = _dict_col("original_address_concat_l")
-            pl_idx, pl_vals = _dict_col("postcode_l")
             ar_idx, ar_vals = _dict_col("original_address_concat_r")
             pr_idx, pr_vals = _dict_col("postcode_r")
 
@@ -708,26 +706,85 @@ class ImproveStage:
                 ap(c)
             return out
 
-        # l-side derived tokens/bigrams per distinct (addr, pc) code pair —
-        # exact string semantics: join non-null parts with " ", re-tokenize
-        l_memo: Dict[tuple, tuple] = {}
+        # l-side tokens: ONE Arrow pass — join addr+pc (null -> "", which is
+        # _tokens-equivalent to the reference's skip-None join because the
+        # extra edge separator space is stripped), dictionary-encode the
+        # joined strings, trim/upper/regex-split the DISTINCT values and
+        # intern the flattened token dictionary once. Per-row tokenization
+        # becomes a numpy slice + take against the global code map. The
+        # regex "[ \t\n\r\x0b\f]+" is exactly Python's ASCII \s; non-ASCII
+        # dictionaries fall back to the Python tokenizer (upper() can
+        # differ between utf8proc and CPython off-ASCII).
+        with timed("rescore.l_tokens"):
+            def _str_col(name):
+                if name not in names:
+                    return pa.nulls(n, pa.string())
+                arr = tbl.column(name).combine_chunks()
+                if not pa.types.is_string(arr.type):
+                    arr = arr.cast(pa.string())  # all-null NullArray columns
+                return arr
 
-        def l_entry(ai: int, pi: int) -> tuple:
-            key = (ai, pi)
-            ent = l_memo.get(key)
+            joined_l = pcmp.binary_join_element_wise(
+                _str_col("original_address_concat_l"),
+                _str_col("postcode_l"),
+                " ",
+                null_handling="replace",
+                null_replacement="",
+            )
+            enc_l = joined_l.dictionary_encode()
+            jl_idx = (
+                pcmp.fill_null(enc_l.indices, 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            dvals = enc_l.dictionary
+            l_tok_slices = None
+            if len(dvals) and pcmp.all(
+                pcmp.string_is_ascii(dvals)
+            ).as_py():
+                sp_l = pcmp.split_pattern_regex(
+                    pcmp.utf8_upper(pcmp.utf8_trim(dvals, " ")),
+                    pattern="[ \t\n\r\x0b\f]+",
+                )
+                if sp_l.offset != 0:
+                    sp_l = pa.concat_arrays([sp_l])
+                l_toffs = sp_l.offsets.to_numpy(zero_copy_only=False)
+                tok_enc = sp_l.values.dictionary_encode()
+                local_codes = (
+                    tok_enc.indices.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                gmap = np.empty(len(tok_enc.dictionary), dtype=np.int64)
+                for li, t in enumerate(tok_enc.dictionary.to_pylist()):
+                    c = intern.get(t)
+                    if c is None:
+                        c = len(code2str)
+                        intern[t] = c
+                        code2str.append(t)
+                    gmap[li] = c
+                l_flat_codes = gmap[local_codes]
+                l_tok_slices = (l_toffs, l_flat_codes)
+            dvals_py = None  # lazy fallback materialization
+
+        l_memo: Dict[int, tuple] = {}
+
+        def l_entry(j: int) -> tuple:
+            ent = l_memo.get(j)
             if ent is None:
-                parts = []
-                if ai >= 0:
-                    parts.append(al_vals[ai])
-                if pi >= 0:
-                    parts.append(pl_vals[pi])
-                codes = _codes_of(_tokens(" ".join(parts)))
+                if l_tok_slices is not None:
+                    toffs, fcodes = l_tok_slices
+                    codes = fcodes[toffs[j] : toffs[j + 1]].tolist()
+                else:
+                    nonlocal dvals_py
+                    if dvals_py is None:
+                        dvals_py = dvals.to_pylist()
+                    codes = _codes_of(_tokens(dvals_py[j]))
                 if use_bigrams:
                     bg = list(zip(codes[:-1], codes[1:]))
                     ent = (codes, set(codes), bg, set(bg))
                 else:
                     ent = (codes, set(codes), None, None)
-                l_memo[key] = ent
+                l_memo[j] = ent
             return ent
 
         # messy-side raw token strings per distinct address (pre-strip)
@@ -804,8 +861,7 @@ class ImproveStage:
                 )
 
                 l_entries = [
-                    l_entry(al_idx[sel[s + j]], pl_idx[sel[s + j]])
-                    for j in range(cnt)
+                    l_entry(jl_idx[sel[s + j]]) for j in range(cnt)
                 ]
                 # Only block tokens/bigrams ALSO on the messy side are ever
                 # read downstream (overlapping/elsewhere keys are subsets of
