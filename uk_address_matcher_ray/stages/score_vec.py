@@ -521,21 +521,32 @@ def score_pairs_vectorized(
         change = change | (k2[1:] != k2[:-1])
     starts = np.concatenate(([0], np.nonzero(change)[0] + 1, [n]))
 
-    LI_parts: List[np.ndarray] = []
-    RI_parts: List[np.ndarray] = []
-    for s, e in zip(starts[:-1], starts[1:]):
-        seg = side[s:e]
-        l_idx = s + np.nonzero(seg == 0)[0]
-        r_idx = s + np.nonzero(seg == 1)[0]
-        nl, nr = len(l_idx), len(r_idx)
-        if nl == 0 or nr == 0:
-            continue
-        LI_parts.append(np.repeat(l_idx, nr))
-        RI_parts.append(np.tile(r_idx, nl))
-    if not LI_parts:
+    # closed-form cross-product indices for ALL groups at once (the
+    # per-group repeat/tile loop was ~30% of the scorer): stable-sort rows
+    # by (group, side) — groups stay contiguous with unchanged sizes, l
+    # rows precede r rows, original index order preserved within each side
+    # — then pair t of a group maps to (t // nr, t % nr), reproducing the
+    # legacy repeat/tile pair order exactly (bit-identical output order).
+    G = len(starts) - 1
+    sizes = np.diff(starts)
+    g_of = np.repeat(np.arange(G), sizes)
+    order = np.lexsort((side, g_of))
+    is_l = (side[order] == 0).astype(np.int64)
+    nl = np.add.reduceat(is_l, starts[:-1])
+    nr = sizes - nl
+    npair = nl * nr
+    keep = np.nonzero(npair > 0)[0]
+    if len(keep) == 0:
         return out_schema.empty_table()
-    LI_all = np.concatenate(LI_parts)
-    RI_all = np.concatenate(RI_parts)
+    kp = npair[keep]
+    total = int(kp.sum())
+    pair_off = np.concatenate(([0], np.cumsum(kp)[:-1]))
+    t = np.arange(total, dtype=np.int64) - np.repeat(pair_off, kp)
+    nr_rep = np.repeat(nr[keep], kp)
+    lpos = np.repeat(starts[:-1][keep], kp) + t // nr_rep
+    rpos = np.repeat((starts[:-1] + nl)[keep], kp) + t % nr_rep
+    LI_all = order[lpos]
+    RI_all = order[rpos]
 
     from uk_address_matcher_ray.util import timed
     with timed("sv.row_features"):
