@@ -787,8 +787,24 @@ class ImproveStage:
                 l_memo[j] = ent
             return ent
 
-        # messy-side raw token strings per distinct address (pre-strip)
+        # messy-side raw token strings per distinct address (pre-strip):
+        # same Arrow trim/upper/split pass as the l-side when the
+        # dictionary is ASCII, Python _tokens otherwise
         r_toks_cache: Dict[int, List[str]] = {}
+        r_tok_slices = None
+        if ar_vals:
+            ar_arr = pa.array(ar_vals, pa.string())
+            if pcmp.all(pcmp.string_is_ascii(ar_arr)).as_py():
+                sp_r = pcmp.split_pattern_regex(
+                    pcmp.utf8_upper(pcmp.utf8_trim(ar_arr, " ")),
+                    pattern="[ \t\n\r\x0b\f]+",
+                )
+                if sp_r.offset != 0:
+                    sp_r = pa.concat_arrays([sp_r])
+                r_tok_slices = (
+                    sp_r.offsets.to_numpy(zero_copy_only=False),
+                    sp_r.values.to_pylist(),
+                )
         # final messy tokens per (addr, pc, tokens_stripped) — the strip
         # count fully determines the stripped prefix, so cet only enters
         # through it
@@ -798,7 +814,11 @@ class ImproveStage:
             if ai >= 0:
                 rtoks = r_toks_cache.get(ai)
                 if rtoks is None:
-                    rtoks = _tokens(ar_vals[ai])
+                    if r_tok_slices is not None:
+                        roffs, rvals = r_tok_slices
+                        rtoks = rvals[roffs[ai] : roffs[ai + 1]]
+                    else:
+                        rtoks = _tokens(ar_vals[ai])
                     r_toks_cache[ai] = rtoks
                 m = len(rtoks)
                 k = 0
