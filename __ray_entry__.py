@@ -787,6 +787,43 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Exact duplicate k-token span detection over the documents table —
+    the exact-substring-dedup primitive (boilerplate/licence blocks)."""
+    import ray
+
+    from uk_address_matcher_ray.stages.dedup import duplicate_spans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return duplicate_spans(ds, k=8, min_docs=2)
+
+
+DUPLICATE_SPANS_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, t, unnest(range(len(t) - 7)) AS i
+    FROM toks WHERE len(t) >= 8
+),
+spans AS (
+    SELECT doc_id, array_to_string(t[i + 1 : i + 8], ' ') AS span FROM idx
+),
+per_doc AS (SELECT span, doc_id, count(*) AS occ FROM spans GROUP BY 1, 2),
+agg AS (
+    SELECT span, count(*) AS n_docs, sum(occ) AS occurrences
+    FROM per_doc GROUP BY 1
+)
+SELECT span, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(occurrences AS BIGINT) AS occurrences
+FROM agg WHERE n_docs >= 2
+"""
+
+
 def _q_embedding_lsh(sf_dir: str):
     """Approximate cosine near-dup via random-hyperplane LSH — the corpus-
     scale embedding dedup path. The synth embeddings are near-orthogonal, so
@@ -895,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_matches_summary": _q_best_matches_summary,
         "extract_pages": _q_extract_pages,
         "exact_dedup_docs": _q_exact_dedup_docs,
+        "duplicate_spans": _q_duplicate_spans,
         "minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "near_dedup_docs": _q_near_dedup_docs,
@@ -998,6 +1036,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "tf_build": _tf_build_oracle_sql(),
         "media_features": oracle_extras.media_features_sql(dim=16),
         "media_decode": oracle_extras.media_decode_sql(),
+        "duplicate_spans": DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
             f"SELECT unique_id, address_concat FROM ({_union_input_sql()})"
         ),

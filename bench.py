@@ -92,6 +92,7 @@ def _bench_queries(sf_dir: str) -> dict:
     timings = {}
     for name in [
         "exact_dedup_docs",
+        "duplicate_spans",
         "minhash_pairs",
         "ngram_jaccard_pairs",
         "near_dedup_docs",

@@ -18,7 +18,7 @@ driver's oracle can replay exact/minhash/fingerprint results.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import pyarrow as pa
 
@@ -1073,6 +1073,82 @@ def embedding_near_dup_pairs(
         for j in range(i, len(refs))
     ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def duplicate_spans(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+):
+    """Exact duplicate-SPAN detection — the core primitive of exact
+    substring dedup for training corpora (find every k-token window that
+    recurs across documents, e.g. boilerplate/licence blocks).
+
+    Per batch: whitespace-tokenize, emit every k-token window pre-aggregated
+    to DISTINCT (span, doc, occurrences) rows (the combiner bounds the
+    shuffle at one row per distinct span per doc per batch); ONE
+    groupby(span) then counts distinct documents (rows) and sums
+    occurrences; spans in >= ``min_docs`` documents survive.
+
+    Scale note: the exchange carries span STRINGS (k tokens each) so the
+    driver oracle can compare exactly; at 100 TB key the shuffle by a
+    64-bit span hash and verify within groups (the minhash/ngram machinery)
+    — the aggregation shape is unchanged."""
+    import ray
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def span_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        counts: Dict[tuple, int] = {}
+        for did, text in zip(ids, texts):
+            toks = (text or "").split()
+            for i in range(len(toks) - k + 1):
+                key = (" ".join(toks[i : i + k]), did)
+                counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return pa.table(
+                {
+                    "span": pa.array([], pa.string()),
+                    id_col: pa.array([], id_type),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        spans, dids = zip(*counts.keys())
+        return pa.table(
+            {
+                "span": pa.array(list(spans), pa.string()),
+                id_col: pa.array(list(dids), id_type),
+                "occ": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    per_doc = ds.select_columns([id_col, text_col]).map_batches(
+        span_batch, batch_format="pyarrow"
+    )
+    agg = per_doc.groupby("span").aggregate(
+        ray.data.aggregate.Count(alias_name="n_docs"),
+        ray.data.aggregate.Sum("occ", alias_name="occurrences"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(
+            pc.greater_equal(batch.column("n_docs"), min_docs)
+        )
+        return pa.table(
+            {
+                "span": kept.column("span"),
+                "n_docs": kept.column("n_docs").cast(pa.int64()),
+                "occurrences": kept.column("occurrences").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def embedding_lsh_pairs(
