@@ -54,3 +54,27 @@ def test_tf_floor_only_drops_subfloor_tokens():
             assert counts[t] >= FLOOR
         for t in dropped:
             assert counts[t] < FLOOR
+
+
+def test_tf_floor_auto_below_trigger_bit_identical(monkeypatch):
+    """auto mode with the vocabulary below the trigger = floor 0 exactly."""
+    from uk_address_matcher_ray.stages.tf import collect_corpus_stats
+
+    rows = _rows()
+    tf0, num0, end0 = collect_corpus_stats(_ds(rows))
+    tfa, numa, enda = collect_corpus_stats(_ds(rows), min_token_count="auto")
+    assert tfa == tf0 and numa == num0 and enda == end0
+
+
+def test_tf_floor_auto_above_trigger_engages(monkeypatch):
+    """Tiny trigger forces the floor on: result == explicit-floor run."""
+    from uk_address_matcher_ray.stages.tf import collect_corpus_stats
+
+    monkeypatch.setenv("GRAFT_TF_FLOOR_TRIGGER", "1")
+    monkeypatch.setenv("GRAFT_TF_FLOOR", "3")
+    rows = _rows()
+    tfa, numa, enda = collect_corpus_stats(_ds(rows), min_token_count="auto")
+    monkeypatch.delenv("GRAFT_TF_FLOOR_TRIGGER")
+    monkeypatch.delenv("GRAFT_TF_FLOOR")
+    tf3, num3, end3 = collect_corpus_stats(_ds(rows), min_token_count=3)
+    assert tfa == tf3 and numa == num3 and enda == end3

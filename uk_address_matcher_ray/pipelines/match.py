@@ -312,7 +312,12 @@ def flagship_pipeline(
     # object store and spill under pressure.
     extracted = extract_addresses(pages, verify_text=verify_text).materialize()
 
-    tf, num_tf, end_tokens = collect_corpus_stats(extracted)
+    # "auto" = size-triggered vocabulary floor: the final tree task drops
+    # sub-floor tokens before anything reaches the driver once the global
+    # vocabulary exceeds GRAFT_TF_FLOOR_TRIGGER rows, so the driver dict is
+    # bounded at 100 TB while small/oracle runs stay bit-identical (floor
+    # never engages below the trigger). See collect_corpus_stats docstring.
+    tf, num_tf, end_tokens = collect_corpus_stats(extracted, min_token_count="auto")
     numeric_tf = {f"numeric_token_{i}": num_tf for i in (1, 2, 3)}
 
     def build_cleaned():

@@ -112,7 +112,7 @@ def corpus_stats_dataset(ds):
 def collect_corpus_stats(
     ds,
     end_token_min_count: int = DEFAULT_END_TOKEN_MIN_COUNT,
-    min_token_count: int = 0,
+    min_token_count: "int | str" = 0,
 ) -> Tuple[Dict[str, float], Dict[str, float], FrozenSet[str]]:
     """Full distributed pass -> (tf_dict, numeric_tf_dict, end_tokens).
 
@@ -132,8 +132,24 @@ def collect_corpus_stats(
     cleaning_steps.py:339) instead of its true sub-floor frequency — the
     reference itself applies that default to tokens absent from its TF
     table. Default 0 = off (bit-exact oracle parity).
+
+    ``min_token_count="auto"`` (the flagship default) engages the floor
+    SIZE-TRIGGERED, decided inside the final tree task where the global
+    vocabulary size is first known: if the merged table exceeds
+    ``GRAFT_TF_FLOOR_TRIGGER`` rows (default 2,000,000 ≈ 100 MB of dict on
+    the driver) the floor is ``GRAFT_TF_FLOOR`` (default 2), else 0. Below
+    the trigger the result is bit-identical to the unfloored run, so oracle
+    runs at test scale stay exact while a 100 TB run never ships its
+    billion-token noise tail to the driver.
     """
     import ray
+
+    auto_trigger = -1
+    if min_token_count == "auto":
+        import os
+
+        auto_trigger = int(os.environ.get("GRAFT_TF_FLOOR_TRIGGER", 2_000_000))
+        min_token_count = int(os.environ.get("GRAFT_TF_FLOOR", 2))
 
     partials = ds.map_batches(
         _partial_counts_batch, batch_format="pyarrow", batch_size=8192
@@ -182,6 +198,10 @@ def collect_corpus_stats(
             for k in (0, 1, 2, 3):
                 s = pc.sum(pc.if_else(pc.equal(kind_arr, k), cnt_arr, 0))
                 totals[k] = s.as_py() or 0
+            # auto mode: floor engages only above the size trigger, so
+            # small (oracle/test) corpora stay bit-identical to floor=0.
+            if auto_trigger >= 0 and t.num_rows <= auto_trigger:
+                return totals, t
             if min_token_count > 1:
                 keep = pc.or_(
                     pc.greater_equal(cnt_arr, min_token_count),
