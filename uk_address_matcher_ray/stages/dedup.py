@@ -1075,80 +1075,254 @@ def embedding_near_dup_pairs(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def _span_windows(texts: List[Optional[str]], k: int):
+    """Vectorized k-token window extraction for a batch of texts.
+
+    Tokenization is per-row ``str.split`` (C-level; mirrors the oracle's
+    ``string_split_regex(text, '\\s+')`` with empties dropped); everything
+    downstream of it is numpy: returns ``(flat_tokens, starts, doc_rep)``
+    where ``flat_tokens`` is one object array of every token in the batch,
+    ``starts[i]`` is window i's offset into it and ``doc_rep[i]`` the row
+    index that window came from."""
+    import numpy as np
+
+    toks_per_row = [(t or "").split() for t in texts]
+    lens = np.fromiter(
+        (len(t) for t in toks_per_row), dtype=np.int64, count=len(toks_per_row)
+    )
+    flat = np.empty(int(lens.sum()), dtype=object)
+    pos = 0
+    for t in toks_per_row:
+        flat[pos : pos + len(t)] = t
+        pos += len(t)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    wd = np.maximum(lens - k + 1, 0)
+    doc_rep = np.repeat(np.arange(len(texts), dtype=np.int64), wd)
+    total = int(wd.sum())
+    # window j's position within its own doc: 0..wd[d]-1, concatenated
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(wd) - wd, wd
+    )
+    starts = offs[doc_rep] + within
+    return flat, starts, doc_rep
+
+
+def _span_hashes(flat, starts, k: int):
+    """Order-sensitive 64-bit rolling hash of each k-token window: hash
+    every token ONCE (polars vectorized 64-bit string hash), then chain k
+    splitmix64 rounds over the window matrix — no span strings are ever
+    built. Collisions are resolved by the exact string pass (phase 2)."""
+    import numpy as np
+    import polars as pl
+
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.uint64)
+    th = pl.Series("t", flat, dtype=pl.Utf8).hash(seed=0).to_numpy()
+    h = np.zeros(len(starts), dtype=np.uint64)
+    for j in range(k):
+        h = _splitmix64(h ^ th[starts + j])
+    return h
+
+
+def _span_strings(flat, starts, k: int) -> pa.Array:
+    """Space-joined span strings for the given windows — one vectorized
+    polars ``concat_str`` over k strided token columns (no Python join
+    loop)."""
+    import polars as pl
+
+    if len(starts) == 0:
+        return pa.array([], pa.string())
+    df = pl.DataFrame({f"t{j}": flat[starts + j] for j in range(k)})
+    s = df.select(
+        pl.concat_str([pl.col(f"t{j}") for j in range(k)], separator=" ")
+    ).to_series()
+    return pa.array(s.to_list(), pa.string())
+
+
+def _span_finalize_kernel(id_col: str, min_docs: int):
+    """Per-partition kernel over COMPLETE span groups: aggregate globally
+    per (span, doc) first — a doc split across input batches contributes
+    ONE row to n_docs — then count distinct docs and total occurrences."""
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        per_doc = tbl.group_by(["span", id_col]).aggregate([("occ", "sum")])
+        agg = per_doc.group_by("span").aggregate(
+            [(id_col, "count"), ("occ_sum", "sum")]
+        )
+        import pyarrow.compute as pc
+
+        kept = agg.filter(
+            pc.greater_equal(agg.column(f"{id_col}_count"), min_docs)
+        )
+        return pa.table(
+            {
+                "span": kept.column("span"),
+                "n_docs": kept.column(f"{id_col}_count").cast(pa.int64()),
+                "occurrences": kept.column("occ_sum_sum").cast(pa.int64()),
+            }
+        )
+
+    return kernel
+
+
+def _span_exchange_legacy(ds, id_col: str, text_col: str, k: int, id_type):
+    """Oracle-parity exchange: (span STRING, doc, occ) combined per batch.
+    ~k tokens of string payload per window — the shape the hashed exchange
+    replaces at scale."""
+
+    def span_batch(batch: pa.Table) -> pa.Table:
+        flat, starts, doc_rep = _span_windows(
+            batch.column(text_col).to_pylist(), k
+        )
+        spans = _span_strings(flat, starts, k)
+        t = pa.table(
+            {
+                "span": spans,
+                id_col: batch.column(id_col).take(pa.array(doc_rep)),
+            }
+        )
+        return t.group_by(["span", id_col]).aggregate([([], "count_all")]).rename_columns(
+            ["span", id_col, "occ"]
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        span_batch, batch_format="pyarrow"
+    )
+
+
+def _span_exchange_hashed(ds, id_col: str, text_col: str, k: int, id_type):
+    """Scale exchange: (span_hash u64, doc, occ) — fixed 8-byte keys instead
+    of k-token strings (~8x fewer exchange bytes at k=8; measured in
+    tests/test_duplicate_spans_hashed.py)."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        flat, starts, doc_rep = _span_windows(
+            batch.column(text_col).to_pylist(), k
+        )
+        h = _span_hashes(flat, starts, k)
+        t = pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                id_col: batch.column(id_col).take(pa.array(doc_rep)),
+            }
+        )
+        return t.group_by(["h", id_col]).aggregate([([], "count_all")]).rename_columns(
+            ["h", id_col, "occ"]
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        hash_batch, batch_format="pyarrow"
+    )
+
+
 def duplicate_spans(
     ds,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    hashed: Optional[bool] = None,
 ):
     """Exact duplicate-SPAN detection — the core primitive of exact
     substring dedup for training corpora (find every k-token window that
     recurs across documents, e.g. boilerplate/licence blocks).
 
-    Per batch: whitespace-tokenize, emit every k-token window pre-aggregated
-    to DISTINCT (span, doc, occurrences) rows (the combiner bounds the
-    shuffle at one row per distinct span per doc per batch); ONE
-    groupby(span) then counts distinct documents (rows) and sums
-    occurrences; spans in >= ``min_docs`` documents survive.
+    Two exchange strategies, both EXACT (bit-identical output, same oracle):
 
-    Scale note: the exchange carries span STRINGS (k tokens each) so the
-    driver oracle can compare exactly; at 100 TB key the shuffle by a
-    64-bit span hash and verify within groups (the minhash/ngram machinery)
-    — the aggregation shape is unchanged."""
+    * ``hashed=True`` (default; knob ``GRAFT_SPAN_HASH_EXCHANGE``): the
+      100 TB shape. Phase 1 shuffles only ``(span_hash u64, doc, occ)``
+      fixed-width rows — ~8x fewer bytes than span strings at k=8 — and
+      keeps hashes whose DISTINCT-doc count reaches ``min_docs``. Hash
+      collisions can only over-merge, so survivors are a superset of the
+      true answer. Phase 2 re-scans the corpus, builds span strings ONLY
+      for windows whose hash survived (membership via a broadcast sorted
+      hash array — ``ray.put`` once, ``np.searchsorted`` per batch; swap in
+      a Bloom filter if the survivor set outgrows worker heaps), then one
+      small string exchange groups by the true span and re-applies the
+      distinct-doc filter, which exactly cancels any collision
+      over-merge.
+    * ``hashed=False``: single string exchange — every window's k-token
+      span string crosses the all-to-all. Kept for A/B measurement.
+
+    Both paths aggregate per (span, doc) GLOBALLY before counting docs, so
+    a doc_id whose rows straddle input batches is still counted once."""
+    import os
+
+    import numpy as np
     import ray
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    from uk_address_matcher_ray.stages.grouped import grouped_map
 
-    def span_batch(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
-        counts: Dict[tuple, int] = {}
-        for did, text in zip(ids, texts):
-            toks = (text or "").split()
-            for i in range(len(toks) - k + 1):
-                key = (" ".join(toks[i : i + k]), did)
-                counts[key] = counts.get(key, 0) + 1
-        if not counts:
-            return pa.table(
-                {
-                    "span": pa.array([], pa.string()),
-                    id_col: pa.array([], id_type),
-                    "occ": pa.array([], pa.int64()),
-                }
+    if hashed is None:
+        hashed = os.environ.get("GRAFT_SPAN_HASH_EXCHANGE", "1") != "0"
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema(
+        [
+            pa.field("span", pa.string()),
+            pa.field("n_docs", pa.int64()),
+            pa.field("occurrences", pa.int64()),
+        ]
+    )
+    finalize = _span_finalize_kernel(id_col, min_docs)
+
+    if not hashed:
+        per_doc = _span_exchange_legacy(ds, id_col, text_col, k, id_type)
+        return grouped_map(per_doc, "span", None, out_schema, fn_table=finalize)
+
+    # ---- phase 1: hash-only exchange -> surviving span hashes -----------
+    keyed = _span_exchange_hashed(ds, id_col, text_col, k, id_type)
+
+    def phase1_kernel(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        per_doc = tbl.group_by(["h", id_col]).aggregate([])
+        agg = per_doc.group_by("h").aggregate([(id_col, "count")])
+        kept = agg.filter(
+            pc.greater_equal(agg.column(f"{id_col}_count"), min_docs)
+        )
+        return pa.table({"h": kept.column("h")})
+
+    surv_schema = pa.schema([pa.field("h", pa.uint64())])
+    surv_ds = grouped_map(keyed, "h", None, surv_schema, fn_table=phase1_kernel)
+    surv_tables = ray.get(surv_ds.to_arrow_refs())
+    surv = np.sort(
+        pa.concat_tables(surv_tables).column("h").to_numpy(zero_copy_only=False)
+    )
+    surv_ref = ray.put(surv)
+
+    # ---- phase 2: strings only for surviving hashes ----------------------
+    def survivor_spans(batch: pa.Table) -> pa.Table:
+        surv_arr = ray.get(surv_ref)
+        flat, starts, doc_rep = _span_windows(
+            batch.column(text_col).to_pylist(), k
+        )
+        h = _span_hashes(flat, starts, k)
+        if len(h):
+            idx = np.searchsorted(surv_arr, h)
+            idx[idx >= len(surv_arr)] = max(len(surv_arr) - 1, 0)
+            mask = (
+                (surv_arr[idx] == h)
+                if len(surv_arr)
+                else np.zeros(len(h), dtype=bool)
             )
-        spans, dids = zip(*counts.keys())
-        return pa.table(
+        else:
+            mask = np.zeros(0, dtype=bool)
+        spans = _span_strings(flat[:], starts[mask], k)
+        t = pa.table(
             {
-                "span": pa.array(list(spans), pa.string()),
-                id_col: pa.array(list(dids), id_type),
-                "occ": pa.array(list(counts.values()), pa.int64()),
+                "span": spans,
+                id_col: batch.column(id_col).take(pa.array(doc_rep[mask])),
             }
+        )
+        return t.group_by(["span", id_col]).aggregate([([], "count_all")]).rename_columns(
+            ["span", id_col, "occ"]
         )
 
     per_doc = ds.select_columns([id_col, text_col]).map_batches(
-        span_batch, batch_format="pyarrow"
+        survivor_spans, batch_format="pyarrow"
     )
-    agg = per_doc.groupby("span").aggregate(
-        ray.data.aggregate.Count(alias_name="n_docs"),
-        ray.data.aggregate.Sum("occ", alias_name="occurrences"),
-    )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        kept = batch.filter(
-            pc.greater_equal(batch.column("n_docs"), min_docs)
-        )
-        return pa.table(
-            {
-                "span": kept.column("span"),
-                "n_docs": kept.column("n_docs").cast(pa.int64()),
-                "occurrences": kept.column("occurrences").cast(pa.int64()),
-            }
-        )
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return grouped_map(per_doc, "span", None, out_schema, fn_table=finalize)
 
 
 def embedding_lsh_pairs(
