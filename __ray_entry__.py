@@ -827,10 +827,12 @@ FROM agg WHERE n_docs >= 2
 def _q_embedding_lsh(sf_dir: str):
     """Approximate cosine near-dup via random-hyperplane LSH — the corpus-
     scale embedding dedup path. The synth embeddings are near-orthogonal, so
-    the query derives deterministic near-duplicates (per-id-seeded
-    perturbations of every 5th vector, id+1e6) and reports the verified
-    pairs at cosine >= 0.9. No SQL oracle (hyperplane signs are not
-    SQL-expressible); subset-of-exact + recall gates live in
+    the query derives deterministic near-duplicates (integer-hash uniform
+    perturbations of every 5th vector, id+1e6 — a formula numpy and DuckDB
+    compute bit-identically) and reports the verified pairs at cosine >=
+    0.9. Oracle: oracle_extras.embedding_lsh_sql mirrors the full LSH
+    (literal hyperplane sign bits -> band-slice collision join -> Hamming
+    prefilter -> exact cosine); recall/subset gates additionally live in
     tests/test_embedding_lsh.py."""
     import numpy as np
     import pyarrow as pa
@@ -849,9 +851,15 @@ def _q_embedding_lsh(sf_dir: str):
         out_vecs = [list(map(float, v)) for v in vecs]
         for i, v in zip(ids, vecs):
             if i % 5 == 0:
-                rng = np.random.default_rng(int(i))
                 a = np.asarray(v, dtype=np.float64)
-                p = a + 0.03 * np.linalg.norm(a) * rng.standard_normal(len(a))
+                jj = np.arange(len(a), dtype=np.int64)
+                hh = (
+                    (np.int64(i) * len(a) + jj + 1) * np.int64(2654435761)
+                ) % np.int64(4294967296)
+                u = (hh % np.int64(2001) - np.int64(1000)).astype(
+                    np.float64
+                ) / 1000.0
+                p = a + 0.03 * np.linalg.norm(a) * u
                 out_ids.append(int(i) + 1_000_000)
                 out_vecs.append([float(x) for x in p])
         return pa.table(
@@ -1002,6 +1010,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
             oracle_extras.ngram_jaccard_sql(_DOCS_VARIANTS_SQL, **NGRAM),
         ),
         "embedding_near_dup": oracle_extras.embedding_near_dup_sql(NEAR_DUP_COS),
+        "embedding_lsh_near_dup": oracle_extras.embedding_lsh_sql(threshold=0.9),
         "ann_topk": oracle_extras.ann_topk_sql(k=ANN_K),
         "ivf_topk": oracle_extras.ivf_topk_sql(k=ANN_K),
         "text_stats": oracle_extras.text_stats_sql(),

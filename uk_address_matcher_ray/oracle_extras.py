@@ -922,3 +922,84 @@ SELECT unique_id_r, reward,
          ELSE 'false positive' END AS truth_status
 FROM rew
 """
+
+
+def embedding_lsh_sql(
+    threshold: float = 0.9,
+    bands: int = 8,
+    sig_slack_sd: float = 3.0,
+    dim: int = 64,
+    seed: int = 0xE5D0_57A1,
+) -> str:
+    """Exact mirror of stages/dedup.embedding_lsh_pairs over the
+    __ray_entry__ augmented input (every vec_id % 5 == 0 gains a
+    hash-perturbed near-duplicate at id+1e6; the perturbation is an
+    integer-hash uniform so numpy and SQL compute it bit-identically).
+
+    The LSH internals ARE relational: band collision is slice equality
+    (the engine's splitmix64 bucket key is a bijection of the slice, so it
+    never changes collision sets), salting preserves meet-exactly-once,
+    and the Hamming prefilter is integer. Sign bits come from the same
+    seeded hyperplane matrix embedded as DOUBLE literals; float-sum orders
+    differ from numpy at ~1e-15, far below the sign/threshold margins of
+    the synth embeddings (same tolerance argument as ivf_topk_sql)."""
+    import numpy as np
+
+    planes = np.random.default_rng(np.random.PCG64(seed)).standard_normal(
+        (dim, 64)
+    )
+    p_flip = float(np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi)
+    max_h = int(
+        np.ceil(
+            64 * p_flip + sig_slack_sd * np.sqrt(64 * p_flip * (1 - p_flip))
+        )
+    )
+    width = 64 // bands
+    wmask = (1 << width) - 1
+
+    sig_terms = []
+    for h in range(64):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[:, h]) + "]"
+        sig_terms.append(
+            f"CASE WHEN list_inner_product(vn, {lit}) >= 0 "
+            f"THEN CAST('{1 << h}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+        )
+    sig_expr = "(" + "\n + ".join(sig_terms) + ")"
+
+    band_conds = " OR ".join(
+        f"((a.sig >> {b * width}) & CAST({wmask} AS UBIGINT)) = "
+        f"((b.sig >> {b * width}) & CAST({wmask} AS UBIGINT))"
+        for b in range(bands)
+    )
+
+    pert_u = (
+        f"(CAST((((vec_id * {dim} + j + 1) * 2654435761) % 4294967296) "
+        f"% 2001 - 1000 AS DOUBLE) / 1000.0)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(v, t -> t * t)), (p, q) -> p + q))"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pert AS (
+    SELECT vec_id + 1000000 AS vec_id,
+        list_transform(range({dim}), j -> v[j + 1] + 0.03 * nrm * {pert_u}) AS v
+    FROM (SELECT vec_id, v, {nrm} AS nrm FROM base WHERE vec_id % 5 = 0) s
+),
+aug AS MATERIALIZED (SELECT * FROM base UNION ALL SELECT * FROM pert),
+normed AS MATERIALIZED (SELECT vec_id, {_normalize_sql('v')} AS vn FROM aug),
+sigs AS MATERIALIZED (
+    SELECT vec_id, vn, CAST({sig_expr} AS UBIGINT) AS sig FROM normed
+),
+cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.vn AS va, b.vn AS vb
+    FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_h} AND ({band_conds})
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine
+FROM (SELECT id_a, id_b, {_dot_sql('va', 'vb')} AS cos FROM cand) t
+WHERE cos >= {threshold!r}
+"""
