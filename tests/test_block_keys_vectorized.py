@@ -102,3 +102,31 @@ def test_emission_lists_salted_multiset(batch, seed):
     got = list(zip([int(x) for x in take_idx], [int(x) for x in rules],
                    out_keys.to_pylist()))
     assert sorted(got) == sorted(exp)
+
+
+def test_non_string_col_columns_match_legacy():
+    """'col:' blocking columns of non-string type must stringify identically
+    in both emitters (bools: 'True'/'False', not Arrow's 'true'/'false')."""
+    from dataclasses import replace
+
+    from uk_address_matcher_ray.state.model import BlockingRule
+
+    model = replace(
+        MatchModel(),
+        blocking_rules=(
+            BlockingRule(("col:flag", "col:score"), ("col:flag", "col:score")),
+        ),
+    )
+    batch = pa.table(
+        {
+            "unique_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "flag": pa.array([True, False, None, True], pa.bool_()),
+            "score": pa.array([1.5, -0.0, 2.0, None], pa.float64()),
+        }
+    )
+    for side in (0, 1):
+        legacy = batch_rule_keys(batch, model, side)
+        vec = batch_rule_keys_arrays(batch, model, side)
+        assert _triples(*vec) == _triples(*legacy)
+        # and the string content really is Python str(): 'True', not 'true'
+        assert any("True" in k for k in legacy[2])

@@ -121,3 +121,11 @@ def test_passthrough_columns_parity(data, n_groups):
     assert canon(via_table) == canon(via_pydict)
     for r in via_table:
         assert r["__src_idx_l"] >= 1000 and r["__src_idx_r"] >= 2000
+
+    # the per-group __call__ path (process_rows) must fill passthrough too —
+    # regression: it used to drop them and from_pylist null-filled silently
+    via_call = []
+    for g in groups:
+        if g:
+            via_call.extend(stage(pa_.Table.from_pylist(g)).to_pylist())
+    assert canon(via_call) == canon(via_table)

@@ -247,7 +247,14 @@ def batch_rule_keys_arrays(batch: pa.Table, model: MatchModel, side: int):
             return null_str
         arr = as_arr(batch.column(name))
         if not pa.types.is_string(arr.type):
-            arr = arr.cast(pa.string())  # str(v) for col: test columns
+            # Python str(v), matching the legacy row path exactly: Arrow
+            # cast(string) renders bools 'true'/'false' (vs 'True') and
+            # floats differently, which would fork key spaces between the
+            # two emitters for non-string col:/retain columns.
+            arr = pa.array(
+                [None if v is None else str(v) for v in arr.to_pylist()],
+                pa.string(),
+            )
         return arr
 
     def list_elem(name, idx):

@@ -455,7 +455,7 @@ class ImproveStage:
         if self.dedup_first:
             rows = dedup_pairs_in_group(rows)
         out = rescore_group(rows, **self.params)
-        if out and self.retain_columns:
+        if out and (self.retain_columns or self.passthrough):
             by_l = {r["unique_id_l"]: r for r in rows}
             for rec in out:
                 src = by_l.get(rec["unique_id_l"], {})
@@ -463,6 +463,10 @@ class ImproveStage:
                     for suffix in ("_l", "_r"):
                         v = src.get(f"{col}{suffix}")
                         rec[f"{col}{suffix}"] = None if v is None else str(v)
+                # mirror process_table_pydict: passthrough values come from
+                # the selected source row (unambiguous under dedup_first)
+                for nm, _typ in self.passthrough:
+                    rec[nm] = src.get(nm)
         return out
 
     # columns the rescore kernel actually reads; everything else can be

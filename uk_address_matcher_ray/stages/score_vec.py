@@ -146,7 +146,13 @@ class _HistCol:
         )
         if len(tcode):
             order = np.argsort(tcode, kind="stable")
-            rf_bits = np.ascontiguousarray(rf_np).view(np.int64)
+            # canonicalize ±0.0 to one bit pattern: the legacy tuple keys
+            # compare rel_freq with Python float equality, where -0.0 == 0.0.
+            # NaN caveat: bitwise treats same-bit NaNs as equal while the
+            # legacy path only matches identical objects — unreachable for
+            # corpus TFs (rel_freq is always a finite ratio).
+            rf_bits = np.ascontiguousarray(rf_np).view(np.int64).copy()
+            rf_bits[rf_np == 0.0] = 0
             tc_s = tcode[order]
             rf_s = rf_bits[order]
             same = tc_s[1:] == tc_s[:-1]

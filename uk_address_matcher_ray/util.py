@@ -114,8 +114,11 @@ def _timer_actor(create: bool = False):
                 self.acc = {}
 
         try:
+            # job-scoped (NOT detached): the collector is only ever read by
+            # the driver of the same job, and a detached named actor would
+            # leak and accumulate totals across separate runs on one cluster
             actor = _Collector.options(
-                name="graft_timers", namespace="graft", lifetime="detached"
+                name="graft_timers", namespace="graft"
             ).remote()
         except ValueError:  # lost the creation race to another worker
             actor = ray.get_actor("graft_timers", namespace="graft")
