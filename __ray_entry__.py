@@ -37,22 +37,50 @@ def _custkeys(sf_dir: str):
 
 
 def _synth_tables(sf_dir: str):
+    """Canonical/messy input tables, synthesized DISTRIBUTED: the Python
+    string generators run inside map_batches over a small key Dataset and
+    the driver only concatenates the query-sized Arrow blocks (the serial
+    per-row generator loop used to sit inside every timed query window)."""
+    import pyarrow as pa
+    import ray
+
     from uk_address_matcher_ray.sources import synth
+    from uk_address_matcher_ray.util import dataset_from_table
 
     keys = _custkeys(sf_dir)
-    return synth.canonical_table(keys), synth.messy_table(keys)
+    keys_ds = dataset_from_table(pa.table({"k": pa.array(keys, pa.int64())}))
+
+    def collect(fn):
+        def run(batch: pa.Table) -> pa.Table:
+            return fn(batch.column("k").to_pylist())
+
+        ds = keys_ds.map_batches(run, batch_format="pyarrow")
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tbls).combine_chunks()
+
+    return collect(synth.canonical_table), collect(synth.messy_table)
 
 
 def _corpus_assets(union_tbl):
-    """On-the-fly TF + numeric TF + end tokens over the union corpus."""
-    from uk_address_matcher_ray.stages import tf as tf_mod
+    """On-the-fly TF + numeric TF + end tokens over the union corpus,
+    counted distributed (per-batch partial Counters + one vocabulary-sized
+    groupby) instead of a driver-side pass over every address string."""
+    from collections import Counter
 
-    addrs = union_tbl.column("address_concat").to_pylist()
-    tok_counts, num_counts, end_counts, _nt123 = tf_mod.corpus_token_stats(addrs)
+    from uk_address_matcher_ray.stages import tf as tf_mod
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    agg = tf_mod.corpus_stats_dataset(
+        dataset_from_table(union_tbl.select(["address_concat"]))
+    ).take_all()
+    by_kind: dict = {0: Counter(), 1: Counter(), 2: Counter()}
+    for r in agg:
+        if r["kind"] in by_kind:
+            by_kind[r["kind"]][r["token"]] = r["sum(count)"]
     return (
-        tf_mod.rel_freq_table(tok_counts),
-        tf_mod.rel_freq_table(num_counts),
-        tf_mod.end_token_set(end_counts),
+        tf_mod.rel_freq_table(by_kind[0]),
+        tf_mod.rel_freq_table(by_kind[1]),
+        tf_mod.end_token_set(by_kind[2]),
     )
 
 
