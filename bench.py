@@ -7,10 +7,13 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
 {"metric": ..., "value": seconds, "unit": "sec", "queries": {...},
  "sf": ..., "num_cpus": N, "counters": {...}}.
 
---scaling: runs the headline ER pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input (the sandbox evidence plan for
-the two-cluster-size criterion, BASELINE.md) and reports both throughputs
-plus scaling efficiency = thr32 / (4 * thr8).
+--scaling: runs the headline ER pipeline in FRESH processes at two
+parallelism levels (default num_cpus=4 then 16, i.e. N and 4N; override via
+GRAFT_SCALING_CPUS) on the same input — the sandbox evidence plan for the
+two-cluster-size criterion, BASELINE.md — and reports both throughputs plus
+scaling efficiency = thr_4N / (4 * thr_N), with per-leg cpu_ref samples and
+a throttle-rejection rule (legs sampled while the host ran >1.3x slower
+than the session median are discarded).
 """
 
 from __future__ import annotations
@@ -188,13 +191,14 @@ def run_scaling() -> dict:
     leg runs later), so single-shot leg pairs routinely compare a throttled
     leg against an unthrottled one. Alternating repeats and taking per-leg
     minima compares like with like; every sample is recorded in counters."""
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
-    # N and 4N CPUs; default 8/32. 4/16 is the second evidence pair — this
-    # box saturates beyond ~16 workers (host oversubscription: 16- and
-    # 32-CPU walls are equal within noise, busy-loop ceiling ~0.83), so the
-    # 8->32 ratio measures the host, not the engine. See BENCH/BASELINE.md.
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # N and 4N CPUs; default 4/16 — the honest evidence pair on this box:
+    # it saturates beyond ~16 workers (host oversubscription: 16- and
+    # 32-CPU walls are equal within noise, busy-loop ceiling ~0.83), so an
+    # 8->32 ratio measures the host's cliff, not the engine. See
+    # BENCH/BASELINE.md.
     lo, hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
     )
     samples = {lo: [], hi: []}
     for _rep in range(repeats):
@@ -215,9 +219,28 @@ def run_scaling() -> dict:
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             samples[n].append(json.loads(line))
-    out = {
-        n: min(runs, key=lambda r: r["value"]) for n, runs in samples.items()
+    # Throttle rejection: this VM's effective core speed swings 3-5x; a leg
+    # sampled during a throttle window poisons the ratio in either
+    # direction. Reject samples whose cpu_ref exceeds 1.3x the session
+    # median before taking per-leg bests (fall back to the raw best — and
+    # say so — if a leg loses every sample).
+    all_refs = sorted(
+        r["counters"]["cpu_ref_sec"] for runs in samples.values() for r in runs
+    )
+    med_ref = all_refs[len(all_refs) // 2]
+    cut = 1.3 * med_ref
+    rejected = {
+        n: sum(1 for r in runs if r["counters"]["cpu_ref_sec"] > cut)
+        for n, runs in samples.items()
     }
+    out = {}
+    throttled_leg = []
+    for n, runs in samples.items():
+        clean = [r for r in runs if r["counters"]["cpu_ref_sec"] <= cut]
+        if not clean:
+            clean = runs
+            throttled_leg.append(n)
+        out[n] = min(clean, key=lambda r: r["value"])
     thr_lo = out[lo]["counters"]["messy_per_sec"]
     thr_hi = out[hi]["counters"]["messy_per_sec"]
     eff = thr_hi / (4.0 * thr_lo)
@@ -247,6 +270,10 @@ def run_scaling() -> dict:
             f"samples_{hi}cpu": [
                 (r["value"], r["counters"]["cpu_ref_sec"]) for r in samples[hi]
             ],
+            "cpu_ref_median": med_ref,
+            "throttle_cut": round(cut, 3),
+            "throttle_rejected": rejected,
+            "all_samples_throttled_legs": throttled_leg,
         },
     }
     return result

@@ -71,3 +71,83 @@ def test_driver_entry_smoke():
     assert len(rows) >= 0
     if rows:
         assert {"unique_id_r", "unique_id_l", "match_weight"} <= set(rows[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flagship_kill_after_stage_resume_bit_identical(tmp_path):
+    """Kill-after-stage-k contract (SURVEY §5): a run that dies AFTER the
+    cleaned_tagged checkpoint landed but BEFORE improved_pairs (including a
+    half-written .tmp stage dir) must, on re-run, (a) skip re-executing the
+    completed stage, (b) rebuild the unfinished one, (c) produce output
+    bit-identical to an uninterrupted checkpointed run."""
+    import ray
+
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    pages_m, pages_c = _pages()
+
+    def rows_of(pairs):
+        return sorted(
+            (r["unique_id_r"], r["unique_id_l"], r["match_weight"])
+            for r in pairs.take_all()
+        )
+
+    # reference: uninterrupted checkpointed run at its own root
+    ref_run = PipelineRun(root=str(tmp_path / "ref"))
+    ref_pairs, _ = flagship_pipeline(
+        dataset_from_table(pages_m, target_blocks=4),
+        dataset_from_table(pages_c, target_blocks=4),
+        checkpoint_run=ref_run,
+    )
+    rows_ref = rows_of(ref_pairs)
+
+    class KillBefore(PipelineRun):
+        """Raises when asked to RUN the named stage (cache hits pass)."""
+
+        def __init__(self, root, kill_stage):
+            super().__init__(root=root)
+            self._kill = kill_stage
+
+        def stage(self, name, fingerprint, build, counters=None):
+            if name == self._kill and not self.is_complete(name, fingerprint):
+                raise RuntimeError(f"simulated crash before {name}")
+            return super().stage(name, fingerprint, build, counters)
+
+    root = str(tmp_path / "killed")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        flagship_pipeline(
+            dataset_from_table(pages_m, target_blocks=4),
+            dataset_from_table(pages_c, target_blocks=4),
+            checkpoint_run=KillBefore(root, "improved_pairs"),
+        )
+    assert os.path.exists(os.path.join(root, "cleaned_tagged", "_MANIFEST.json"))
+    assert not os.path.exists(os.path.join(root, "improved_pairs", "_MANIFEST.json"))
+
+    # a mid-write crash leaves a half-written .tmp dir: must be ignored+wiped
+    tmp_stage = os.path.join(root, "improved_pairs.tmp")
+    os.makedirs(tmp_stage, exist_ok=True)
+    with open(os.path.join(tmp_stage, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+
+    class Recording(PipelineRun):
+        def __init__(self, root):
+            super().__init__(root=root)
+            self.builds = []
+
+        def stage(self, name, fingerprint, build, counters=None):
+            def wrapped():
+                self.builds.append(name)
+                return build()
+
+            return super().stage(name, fingerprint, wrapped, counters)
+
+    resume = Recording(root)
+    pairs2, labels2 = flagship_pipeline(
+        dataset_from_table(pages_m, target_blocks=4),
+        dataset_from_table(pages_c, target_blocks=4),
+        checkpoint_run=resume,
+    )
+    assert resume.builds == ["improved_pairs"]  # cleaned stage NOT re-run
+    assert rows_of(pairs2) == rows_ref
+    assert labels2.count() > 0
+    assert not os.path.exists(tmp_stage)
