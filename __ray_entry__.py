@@ -953,6 +953,53 @@ def _q_media_decode(sf_dir: str):
     )
 
 
+def _q_media_decode_jpeg(sf_dir: str):
+    """REAL baseline-JPEG decode (pure-numpy Huffman+IDCT codec,
+    functions/jpeg.py): one 32x32 4:2:0 JPEG per messy record, four 16x16
+    constant-color macroblocks (color = (k*7 + by*31 + bx*13 + c*101) % 256),
+    restart markers every MCU. Constant integer-YCbCr blocks survive the
+    quant-8 round trip bit-exactly (module docstring), so the oracle
+    computes the decoded pixels in closed form (YCbCr round trip with the
+    codec's floor(x+0.5) rounding) and aggregates the same grid features."""
+    import numpy as np
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.multimodal import extract_media_features
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    _canon, messy = _synth_tables(sf_dir)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        from uk_address_matcher_ray.functions.jpeg import encode_jpeg
+
+        ids = batch.column("unique_id").to_pylist()
+        payloads = []
+        for uid in ids:
+            k = int(uid[1:])
+            img = np.zeros((32, 32, 3), dtype=np.uint8)
+            for by in range(2):
+                for bx in range(2):
+                    col = [(k * 7 + by * 31 + bx * 13 + c * 101) % 256 for c in range(3)]
+                    img[by * 16 : by * 16 + 16, bx * 16 : bx * 16 + 16] = col
+            payloads.append(
+                encode_jpeg(img, subsampling="4:2:0", restart_interval=1)
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = dataset_from_table(messy).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    return extract_media_features(media, use_real_decoder=True).select_columns(
+        ["media_id", "features"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clean_features": _q_clean_features,
@@ -976,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_lsh_near_dup": _q_embedding_lsh,
+        "media_decode_jpeg": _q_media_decode_jpeg,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "text_stats": _q_text_stats,
@@ -1073,6 +1121,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "tf_build": _tf_build_oracle_sql(),
         "media_features": oracle_extras.media_features_sql(dim=16),
         "media_decode": oracle_extras.media_decode_sql(),
+        "media_decode_jpeg": oracle_extras.media_decode_jpeg_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
             f"SELECT unique_id, address_concat FROM ({_union_input_sql()})"

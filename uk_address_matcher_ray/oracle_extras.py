@@ -221,6 +221,52 @@ FROM f GROUP BY k
 """
 
 
+def media_decode_jpeg_sql() -> str:
+    """Mirror of media_decode_jpeg: the Ray side encodes a 32x32 4:2:0
+    baseline JPEG per messy record (4 constant-color 16x16 macroblocks,
+    quant table all 8s, functions/jpeg.py) and DECODES it with the
+    pure-numpy codec. Constant integer-YCbCr macroblocks round-trip
+    bit-exactly, so the decoded pixel is the closed-form YCbCr round trip
+    with the codec's documented floor(x+0.5) rounding; the 16x16-resized
+    4x4 grid feature is then one exact integer sum per cell:
+    (16*(R'+G'+B') / 48) / 255 — identical doubles to
+    multimodal.image_grid_features."""
+    return """
+WITH ks AS (
+    SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 != 0
+),
+mb AS (
+    SELECT k, by.r AS by, bx.r AS bx,
+           CAST((k * 7 + by.r * 31 + bx.r * 13 + 0 * 101) % 256 AS DOUBLE) AS r0,
+           CAST((k * 7 + by.r * 31 + bx.r * 13 + 1 * 101) % 256 AS DOUBLE) AS g0,
+           CAST((k * 7 + by.r * 31 + bx.r * 13 + 2 * 101) % 256 AS DOUBLE) AS b0
+    FROM ks, range(2) by(r), range(2) bx(r)
+),
+ycc AS (
+    SELECT k, by, bx,
+           floor(0.299 * r0 + 0.587 * g0 + 0.114 * b0 + 0.5) AS y,
+           floor(128.0 - 0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 0.5) AS cb,
+           floor(128.0 + 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 0.5) AS cr
+    FROM mb
+),
+rgb AS (
+    SELECT k, by, bx,
+           least(255, greatest(0, floor(y + 1.402 * (cr - 128.0) + 0.5))) AS r2,
+           least(255, greatest(0, floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5))) AS g2,
+           least(255, greatest(0, floor(y + 1.772 * (cb - 128.0) + 0.5))) AS b2
+    FROM ycc
+),
+cells AS (
+    SELECT k, (by * 2 + gy.r) * 4 + (bx * 2 + gx.r) AS cell,
+           (CAST(16 * (r2 + g2 + b2) AS DOUBLE) / 48.0) / 255.0 AS fv
+    FROM rgb, range(2) gy(r), range(2) gx(r)
+)
+SELECT 'm' || CAST(k AS VARCHAR) AS media_id,
+       list(fv ORDER BY cell) AS features
+FROM cells GROUP BY k
+"""
+
+
 def media_features_sql(dim: int = 16) -> str:
     """Mirror of extract_media_features over the synth messy pages: rebuilds
     the exact page bytes (sources/webpages.render_html, UTF-8 — the © footer

@@ -147,15 +147,21 @@ def decode_wav(payload: bytes):
 
 
 def _decode_image(payload: bytes):
-    """Image decode: real for BMP and PPM/PGM (pure numpy). JPEG/PNG need a
-    codec library (PIL / opencv) that is NOT in this container — that magic
-    raises to document the integration point."""
+    """Image decode: real for BMP, PPM/PGM and baseline JPEG (all pure
+    numpy; JPEG via functions/jpeg.py — Huffman + IDCT + subsampling +
+    restart markers). PNG needs zlib-inflate tuning + a codec library not
+    in this container — that magic raises to document the integration
+    point."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from uk_address_matcher_ray.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP/PPM decode in this container; JPEG/PNG require PIL/opencv"
+        "BMP/PPM/baseline-JPEG decode in this container; PNG requires PIL"
     )
 
 
