@@ -97,12 +97,14 @@ def test_wav_float32_roundtrip():
 
 
 def test_unsupported_codecs_raise():
-    # PNG is the remaining stubbed image codec (JPEG is now real —
-    # functions/jpeg.py; a truncated JPEG is a ValueError, not a stub)
+    # JPEG and PNG are now real decoders (functions/jpeg.py, png.py);
+    # truncated payloads are ValueErrors, unknown magics stay stubs
     with pytest.raises(NotImplementedError):
-        mm._decode_image(b"\x89PNG\r\n\x1a\npngish")
+        mm._decode_image(b"RIFF....WEBPwebpish")
     with pytest.raises(ValueError):
         mm._decode_image(b"\xff\xd8\xff\xe0jpegish")
+    with pytest.raises(ValueError):
+        mm._decode_image(b"\x89PNG\r\n\x1a\npngish")
     with pytest.raises(NotImplementedError):
         mm._decode_audio(b"ID3\x03mp3ish")
 

@@ -147,11 +147,10 @@ def decode_wav(payload: bytes):
 
 
 def _decode_image(payload: bytes):
-    """Image decode: real for BMP, PPM/PGM and baseline JPEG (all pure
-    numpy; JPEG via functions/jpeg.py — Huffman + IDCT + subsampling +
-    restart markers). PNG needs zlib-inflate tuning + a codec library not
-    in this container — that magic raises to document the integration
-    point."""
+    """Image decode: real for BMP, PPM/PGM, baseline JPEG (functions/jpeg.py
+    — pure-numpy Huffman + IDCT + subsampling + restart markers) and PNG
+    (functions/png.py — stdlib-zlib inflate + filter reconstruction).
+    Remaining codecs (WebP/TIFF/GIF) raise to document the boundary."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
@@ -160,8 +159,13 @@ def _decode_image(payload: bytes):
         from uk_address_matcher_ray.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from uk_address_matcher_ray.functions.png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "BMP/PPM/baseline-JPEG decode in this container; PNG requires PIL"
+        "BMP/PPM/baseline-JPEG/PNG decode in this container; other image "
+        "codecs (WebP/TIFF/GIF) remain integration points"
     )
 
 
