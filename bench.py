@@ -12,8 +12,8 @@ parallelism levels (default num_cpus=4 then 16, i.e. N and 4N; override via
 GRAFT_SCALING_CPUS) on the same input — the sandbox evidence plan for the
 two-cluster-size criterion, BASELINE.md — and reports both throughputs plus
 scaling efficiency = thr_4N / (4 * thr_N), with per-leg cpu_ref samples and
-a throttle-rejection rule (legs sampled while the host ran >1.3x slower
-than the session median are discarded).
+a throttle-rejection rule (samples taken while the host ran >1.3x slower
+than the session's fastest observed cpu_ref are discarded).
 """
 
 from __future__ import annotations
@@ -221,13 +221,15 @@ def run_scaling() -> dict:
             samples[n].append(json.loads(line))
     # Throttle rejection: this VM's effective core speed swings 3-5x; a leg
     # sampled during a throttle window poisons the ratio in either
-    # direction. Reject samples whose cpu_ref exceeds 1.3x the session
-    # median before taking per-leg bests (fall back to the raw best — and
-    # say so — if a leg loses every sample).
+    # direction. cpu_ref measures machine speed per sample; the session
+    # MINIMUM is the least-throttled observation (a median can itself be a
+    # throttled sample when repeats are small), so reject samples whose
+    # cpu_ref exceeds 1.3x that floor before taking per-leg bests (fall
+    # back to the raw best — and say so — if a leg loses every sample).
     all_refs = sorted(
         r["counters"]["cpu_ref_sec"] for runs in samples.values() for r in runs
     )
-    med_ref = all_refs[len(all_refs) // 2]
+    med_ref = all_refs[0]
     cut = 1.3 * med_ref
     rejected = {
         n: sum(1 for r in runs if r["counters"]["cpu_ref_sec"] > cut)
@@ -270,7 +272,7 @@ def run_scaling() -> dict:
             f"samples_{hi}cpu": [
                 (r["value"], r["counters"]["cpu_ref_sec"]) for r in samples[hi]
             ],
-            "cpu_ref_median": med_ref,
+            "cpu_ref_floor": med_ref,
             "throttle_cut": round(cut, 3),
             "throttle_rejected": rejected,
             "all_samples_throttled_legs": throttled_leg,
