@@ -36,11 +36,18 @@ def _custkeys(sf_dir: str):
     return sorted(t.column("c_custkey").to_pylist())
 
 
+_SYNTH_DRIVER_MAX = 30_000  # keys; crossover measured at sf0.1 (NOTES.md)
+
+
 def _synth_tables(sf_dir: str):
-    """Canonical/messy input tables, synthesized DISTRIBUTED: the Python
-    string generators run inside map_batches over a small key Dataset and
-    the driver only concatenates the query-sized Arrow blocks (the serial
-    per-row generator loop used to sit inside every timed query window)."""
+    """Canonical/messy input tables. Above ``_SYNTH_DRIVER_MAX`` keys the
+    Python string generators run DISTRIBUTED inside map_batches over a key
+    Dataset and the driver only concatenates Arrow blocks (the serial
+    per-row loop used to sit inside every timed query window at x64+);
+    below it, two extra Dataset jobs cost more than the ~0.5 s of driver
+    synthesis they'd save, so the small path stays driver-side. Outputs
+    are bit-identical either way (same generator, order-preserving
+    collect)."""
     import pyarrow as pa
     import ray
 
@@ -48,6 +55,8 @@ def _synth_tables(sf_dir: str):
     from uk_address_matcher_ray.util import dataset_from_table
 
     keys = _custkeys(sf_dir)
+    if len(keys) <= _SYNTH_DRIVER_MAX:
+        return synth.canonical_table(keys), synth.messy_table(keys)
     keys_ds = dataset_from_table(pa.table({"k": pa.array(keys, pa.int64())}))
 
     def collect(fn):
@@ -62,14 +71,25 @@ def _synth_tables(sf_dir: str):
 
 
 def _corpus_assets(union_tbl):
-    """On-the-fly TF + numeric TF + end tokens over the union corpus,
-    counted distributed (per-batch partial Counters + one vocabulary-sized
-    groupby) instead of a driver-side pass over every address string."""
+    """On-the-fly TF + numeric TF + end tokens over the union corpus.
+    Above the same size gate as ``_synth_tables``, counted distributed
+    (per-batch partial Counters + one vocabulary-sized groupby) instead of
+    a driver-side pass over every address string; identical integer counts
+    -> identical dicts either way (asserted in tests/test_entry_queries
+    transitively by every hash-green query)."""
     from collections import Counter
 
     from uk_address_matcher_ray.stages import tf as tf_mod
     from uk_address_matcher_ray.util import dataset_from_table
 
+    if union_tbl.num_rows <= 2 * _SYNTH_DRIVER_MAX:
+        addrs = union_tbl.column("address_concat").to_pylist()
+        tok, num, end, _nt = tf_mod.corpus_token_stats(addrs)
+        return (
+            tf_mod.rel_freq_table(tok),
+            tf_mod.rel_freq_table(num),
+            tf_mod.end_token_set(end),
+        )
     agg = tf_mod.corpus_stats_dataset(
         dataset_from_table(union_tbl.select(["address_concat"]))
     ).take_all()
