@@ -973,6 +973,72 @@ def _q_media_decode(sf_dir: str):
     )
 
 
+def _q_events_asof(sf_dir: str):
+    """Distributed as-of join (stages/joins.py): each purchase event gets
+    the user's latest signup at-or-before it — one key-hash exchange, a
+    lexsort + maximum.accumulate kernel over complete user timelines.
+    Oracle: DuckDB's native ASOF JOIN. Output projects the matched ts and
+    the lag (tie-invariant columns; see the module docstring)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from uk_address_matcher_ray.stages.joins import asof_join
+
+    def only(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("event_type"), kind))
+
+        return f
+
+    ev = f"{sf_dir}/events.parquet"
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    left = ray.data.read_parquet(ev, columns=cols).map_batches(
+        only("purchase"), batch_format="pyarrow"
+    )
+    right = ray.data.read_parquet(ev, columns=cols).map_batches(
+        only("signup"), batch_format="pyarrow"
+    )
+    joined = asof_join(left, right, key="user_id", ts="ts", right_cols=["ts"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        lag = pc.divide(
+            pc.cast(
+                pc.subtract(
+                    batch.column("ts").cast(pa.int64()),
+                    batch.column("ts_r").cast(pa.int64()),
+                ),
+                pa.float64(),
+            ),
+            1_000_000.0,
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "purchase_value": batch.column("value"),
+                "signup_ts": batch.column("ts_r"),
+                "lag_sec": lag,
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+_EVENTS_ASOF_SQL = """
+SELECT l.event_id,
+       l.user_id,
+       l.ts,
+       l.value AS purchase_value,
+       r.ts AS signup_ts,
+       CAST(epoch_us(l.ts) - epoch_us(r.ts) AS DOUBLE) / 1000000.0 AS lag_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def _q_media_decode_png(sf_dir: str):
     """REAL PNG decode (stdlib-zlib inflate + filter reconstruction,
     functions/png.py): the same deterministic 16x16 pixel formula as
@@ -1087,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_near_dup": _q_embedding_lsh,
         "media_decode_jpeg": _q_media_decode_jpeg,
         "media_decode_png": _q_media_decode_png,
+        "events_asof_join": _q_events_asof,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "text_stats": _q_text_stats,
@@ -1188,6 +1255,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         # PNG is lossless: decoded pixels == the synthesis formula, so the
         # oracle is the same pixel-formula aggregation as media_decode
         "media_decode_png": oracle_extras.media_decode_sql(),
+        "events_asof_join": _EVENTS_ASOF_SQL,
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
             f"SELECT unique_id, address_concat FROM ({_union_input_sql()})"

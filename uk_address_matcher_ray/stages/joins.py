@@ -1,0 +1,167 @@
+"""Distributed temporal joins over ray.data Datasets.
+
+``asof_join``: for every left row (key, ts), attach the right row with the
+greatest right ts <= left ts for the same key — DuckDB's
+``l ASOF JOIN r ON l.key = r.key AND l.ts >= r.ts`` (inner). Ray Data has
+no asof primitive; this composes one tagged union + ONE key-hash exchange
+(stages/grouped.grouped_map — complete key groups per task, no Dataset
+all-to-all job below the row gate, global sort path above it) + a fully
+vectorized per-partition kernel (one lexsort + one maximum.accumulate).
+
+Partitioning assumption (documented per the driver brief): all rows of one
+key co-locate in a task — the same contract as groupby().map_groups; a
+single key's rows must fit in a worker's heap. Keys are hash-distributed,
+so skew means one HOT key, not one hot partition; salting does not apply
+(the carry-forward needs the whole key timeline).
+
+Tie semantics: among right rows sharing the maximal ts, the kernel keeps
+the LAST under a (ts, tiebreak...) lexsort, deterministically when
+``right_tiebreak`` names a unique column. DuckDB leaves the tied pick
+unspecified — oracle queries should project tie-invariant outputs (the
+matched ts itself, deltas against it) unless right keys are unique per ts.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+_SIDE = "__asof_side"
+
+
+def _conform(ds, schema: pa.Schema, side: int):
+    """Project a side onto the union schema (missing columns -> nulls)."""
+
+    def conv(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for f in schema:
+            if f.name == _SIDE:
+                cols.append(pa.array([side] * n, pa.int8()))
+            elif f.name in batch.column_names:
+                cols.append(batch.column(f.name).cast(f.type).combine_chunks())
+            else:
+                cols.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_r",
+    right_tiebreak: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+):
+    """-> Dataset of every left row that has an as-of match, with
+    ``right_cols`` (and the matched right ``ts``) appended as
+    ``<name><suffix>`` columns. Inner semantics (unmatched left rows drop),
+    matching DuckDB's default ASOF JOIN."""
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    l_fields = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    r_fields = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+    if key not in l_fields or key not in r_fields:
+        raise ValueError(f"key column {key!r} missing from a side")
+    if ts not in l_fields or ts not in r_fields:
+        raise ValueError(f"ts column {ts!r} missing from a side")
+
+    carry: List[str] = [ts] + [c for c in right_cols if c != ts]
+    if right_tiebreak and right_tiebreak not in carry:
+        carry.append(right_tiebreak)
+
+    # union schema: key, ts, side, every left column, every carried right
+    # column under a private name (avoids collisions with left names)
+    fields = [pa.field(key, l_fields[key]), pa.field(ts, l_fields[ts])]
+    fields.append(pa.field(_SIDE, pa.int8()))
+    for n in left_schema.names:
+        if n not in (key, ts):
+            fields.append(pa.field(n, l_fields[n]))
+    priv = {c: f"__r_{c}" for c in carry}
+    for c in carry:
+        fields.append(pa.field(priv[c], r_fields[c]))
+    union_schema = pa.schema(fields)
+
+    # right side: key/ts for ordering + carried values under private names
+    def conv_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for f in union_schema:
+            if f.name == _SIDE:
+                cols.append(pa.array([0] * n, pa.int8()))
+            elif f.name in (key, ts):
+                cols.append(batch.column(f.name).cast(f.type).combine_chunks())
+            elif f.name.startswith("__r_") and f.name[4:] in batch.column_names:
+                cols.append(
+                    batch.column(f.name[4:]).cast(f.type).combine_chunks()
+                )
+            else:
+                cols.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    tagged_left = _conform(left_ds, union_schema, 1)
+    tagged_right = right_ds.map_batches(conv_right, batch_format="pyarrow")
+    union = tagged_left.union(tagged_right)
+
+    out_fields = [pa.field(n, t) for n, t in zip(left_schema.names, left_schema.types)]
+    out_fields += [pa.field(f"{c}{suffix}", r_fields[c]) for c in carry]
+    out_schema = pa.schema(out_fields)
+    left_names = list(left_schema.names)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        kcol = tbl.column(key)
+        karr = (
+            kcol.to_numpy(zero_copy_only=False)
+            if pa.types.is_integer(kcol.type)
+            else np.asarray(kcol.to_pylist(), dtype=object)
+        )
+        tarr = tbl.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        side = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
+        if right_tiebreak:
+            tb = (
+                tbl.column(priv[right_tiebreak])
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            tb = np.where(side == 0, np.nan_to_num(tb, nan=0), 0)
+            order = np.lexsort((side, tb, tarr, karr))
+        else:
+            order = np.lexsort((side, tarr, karr))
+        k_s, t_s, side_s = karr[order], tarr[order], side[order]
+        # carry the latest right row index forward within the sort
+        carry_idx = np.maximum.accumulate(
+            np.where(side_s == 0, np.arange(n, dtype=np.int64), -1)
+        )
+        is_left = side_s == 1
+        valid = is_left & (carry_idx >= 0)
+        # a carried index from a previous key has a different key value
+        lv = np.flatnonzero(valid)
+        if len(lv):
+            same_key = k_s[carry_idx[lv]] == k_s[lv]
+            lv = lv[same_key]
+        if len(lv) == 0:
+            return out_schema.empty_table()
+        left_orig = pa.array(order[lv], pa.int64())
+        right_orig = pa.array(order[carry_idx[lv]], pa.int64())
+        cols = [tbl.column(nm).take(left_orig) for nm in left_names]
+        cols += [tbl.column(priv[c]).take(right_orig) for c in carry]
+        return pa.Table.from_arrays(
+            [c.combine_chunks() for c in cols], schema=out_schema
+        )
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    return grouped_map(
+        union, key, None, out_schema, fn_table=kernel,
+        num_partitions=num_partitions,
+    )
