@@ -1026,6 +1026,114 @@ def _q_events_asof(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 h inactivity closes a session
+
+
+def _q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (stages/sessions.py): per-user activity
+    sessions over ALL events (new session when >6h since the previous
+    event), one key-hash exchange + a lexsort/reduceat kernel. Oracle:
+    DuckDB lag()/running-sum window chain. Money sums ride as integer
+    cents (events_hourly convention)."""
+    import ray
+
+    from uk_address_matcher_ray.stages.sessions import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return sessionize(
+        ev,
+        key="user_id",
+        ts="ts",
+        gap=SESSION_GAP_US,
+        value="value",
+        tiebreak="event_id",
+    )
+
+
+_USER_SESSIONS_SQL = f"""
+WITH d AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+    FROM d
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM s GROUP BY user_id, session_id
+"""
+
+
+RANGE_JOIN_WINDOW_US = 86_400 * 1_000_000  # +/- 1 day
+
+
+def _q_events_range(sf_dir: str):
+    """Bucketed time-window join (stages/joins.py range_join): purchase x
+    error event pairs of the same user within +/-1 day. Right rows land in
+    one window-width bucket, left rows replicate to bucket +/-1 — each
+    qualifying pair meets exactly once; hot users spread across their time
+    buckets (unlike asof's whole-timeline co-location)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from uk_address_matcher_ray.stages.joins import range_join
+
+    def only(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("event_type"), kind))
+
+        return f
+
+    ev = f"{sf_dir}/events.parquet"
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    left = ray.data.read_parquet(ev, columns=cols).map_batches(
+        only("purchase"), batch_format="pyarrow"
+    )
+    right = ray.data.read_parquet(ev, columns=cols).map_batches(
+        only("error"), batch_format="pyarrow"
+    )
+    joined = range_join(
+        left,
+        right,
+        key="user_id",
+        ts="ts",
+        window=RANGE_JOIN_WINDOW_US,
+        right_cols=["ts", "event_id", "value"],
+    )
+    return joined.select_columns(
+        ["event_id", "user_id", "ts", "value", "event_id_r", "ts_r", "value_r"]
+    )
+
+
+_EVENTS_RANGE_SQL = f"""
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.event_id AS event_id_r, r.ts AS ts_r, r.value AS value_r
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id
+ AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - {RANGE_JOIN_WINDOW_US}
+                        AND epoch_us(l.ts) + {RANGE_JOIN_WINDOW_US}
+"""
+
+
 _EVENTS_ASOF_SQL = """
 SELECT l.event_id,
        l.user_id,
@@ -1154,6 +1262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_jpeg": _q_media_decode_jpeg,
         "media_decode_png": _q_media_decode_png,
         "events_asof_join": _q_events_asof,
+        "events_range_join": _q_events_range,
+        "user_sessions": _q_user_sessions,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "text_stats": _q_text_stats,
@@ -1256,6 +1366,8 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         # oracle is the same pixel-formula aggregation as media_decode
         "media_decode_png": oracle_extras.media_decode_sql(),
         "events_asof_join": _EVENTS_ASOF_SQL,
+        "events_range_join": _EVENTS_RANGE_SQL,
+        "user_sessions": _USER_SESSIONS_SQL,
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
             f"SELECT unique_id, address_concat FROM ({_union_input_sql()})"

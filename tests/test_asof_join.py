@@ -118,3 +118,54 @@ def test_asof_string_keys_and_extra_cols():
     assert len(out) == 1
     r = out[0]
     assert (r["id"], r["ts_r"], r["v_r"], r["note"]) == (1, 10, 1.5, "x")
+
+
+def _brute_range(left_rows, right_rows, w):
+    out = []
+    for i, l in enumerate(left_rows):
+        for j, r in enumerate(right_rows):
+            if r["k"] == l["k"] and abs(r["ts"] - l["ts"]) <= w:
+                out.append((l["id"], l["k"], l["ts"], r["ts"], r["rid"]))
+    return sorted(out)
+
+
+_RIGHT_ID_SCHEMA = pa.schema(
+    [
+        pa.field("k", pa.int64()),
+        pa.field("ts", pa.int64()),
+        pa.field("rid", pa.int64()),
+    ]
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+@given(data=st.data())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_range_join_matches_brute_force(data):
+    from uk_address_matcher_ray.stages.joins import range_join
+
+    w = data.draw(st.integers(1, 5))
+    n_keys = data.draw(st.integers(1, 3))
+    ts_pool = st.integers(0, 25)
+    left_rows = [
+        {"id": i, "k": data.draw(st.integers(0, n_keys)), "ts": data.draw(ts_pool)}
+        for i in range(data.draw(st.integers(1, 12)))
+    ]
+    right_rows = [
+        {"k": data.draw(st.integers(0, n_keys)), "ts": data.draw(ts_pool), "rid": 100 + j}
+        for j in range(data.draw(st.integers(0, 12)))
+    ]
+    out = range_join(
+        _ds(left_rows, _LEFT_SCHEMA),
+        _ds(right_rows, _RIGHT_ID_SCHEMA),
+        key="k",
+        ts="ts",
+        window=w,
+        right_cols=["ts", "rid"],
+    ).take_all()
+    got = sorted((r["id"], r["k"], r["ts"], r["ts_r"], r["rid_r"]) for r in out)
+    assert got == _brute_range(left_rows, right_rows, w)

@@ -165,3 +165,159 @@ def asof_join(
         union, key, None, out_schema, fn_table=kernel,
         num_partitions=num_partitions,
     )
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    ts: str,
+    window: int,
+    right_cols: Sequence[str],
+    suffix: str = "_r",
+    num_partitions: Optional[int] = None,
+):
+    """Time-window join: every (left, right) pair with equal ``key`` and
+    ``|left.ts - right.ts| <= window`` (inclusive; ts compared as int64 —
+    microseconds for Arrow timestamps, ``window`` in the same unit).
+
+    Interval-join co-location: each RIGHT row lands in ONE time bucket of
+    width ``window``; each LEFT row replicates into its bucket ± 1, so any
+    qualifying pair co-occurs in the right row's bucket EXACTLY once (no
+    dedup pass). The exchange key is a 64-bit mix of (key-hash, bucket) —
+    purely a distribution key: group boundaries inside the kernel use the
+    real (key, bucket) columns, so hash collisions cannot cross-join. Hot
+    keys spread across their time buckets, unlike asof_join's
+    whole-timeline co-location."""
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    l_fields = dict(zip(left_schema.names, left_schema.types))
+    r_fields = dict(zip(right_schema.names, right_schema.types))
+    carry: List[str] = [ts] + [c for c in right_cols if c != ts]
+    priv = {c: f"__r_{c}" for c in carry}
+
+    fields = [
+        pa.field("__kb", pa.uint64()),
+        pa.field("__bucket", pa.int64()),
+        pa.field(key, l_fields[key]),
+        pa.field(_SIDE, pa.int8()),
+        pa.field("__ts", pa.int64()),
+    ]
+    for n in left_schema.names:
+        if n != key:
+            fields.append(pa.field(n, l_fields[n]))
+    for c in carry:
+        fields.append(pa.field(priv[c], r_fields[c]))
+    union_schema = pa.schema(fields)
+    left_names = list(left_schema.names)
+
+    def key_hash(batch: pa.Table):
+        col = batch.column(key)
+        if pa.types.is_integer(col.type):
+            return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        import polars as pl
+
+        return pl.Series("k", col.to_pylist(), dtype=pl.Utf8).hash(seed=0).to_numpy()
+
+    def conform(batch: pa.Table, side: int, buckets: np.ndarray) -> pa.Table:
+        n = batch.num_rows
+        kh = key_hash(batch)
+        kb = kh * np.uint64(0x9E3779B97F4A7C15) + buckets.astype(np.uint64)
+        tarr = batch.column(ts).cast(pa.int64())
+        cols = []
+        for f in union_schema:
+            if f.name == "__kb":
+                cols.append(pa.array(kb, pa.uint64()))
+            elif f.name == "__bucket":
+                cols.append(pa.array(buckets, pa.int64()))
+            elif f.name == _SIDE:
+                cols.append(pa.array([side] * n, pa.int8()))
+            elif f.name == "__ts":
+                cols.append(tarr.combine_chunks())
+            elif f.name == key:
+                cols.append(batch.column(key).cast(f.type).combine_chunks())
+            elif side == 1 and f.name in batch.column_names:
+                cols.append(batch.column(f.name).cast(f.type).combine_chunks())
+            elif side == 0 and f.name.startswith("__r_") and f.name[4:] in batch.column_names:
+                cols.append(batch.column(f.name[4:]).cast(f.type).combine_chunks())
+            else:
+                cols.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(cols, schema=union_schema)
+
+    def conv_right(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return conform(batch, 0, t // window)
+
+    def conv_left(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = t // window
+        reps = [conform(batch, 1, b0 + d) for d in (-1, 0, 1)]
+        return pa.concat_tables(reps).combine_chunks()
+
+    union = left_ds.map_batches(conv_left, batch_format="pyarrow").union(
+        right_ds.map_batches(conv_right, batch_format="pyarrow")
+    )
+
+    out_fields = [pa.field(n, l_fields[n]) for n in left_names]
+    out_fields += [pa.field(f"{c}{suffix}", r_fields[c]) for c in carry]
+    out_schema = pa.schema(out_fields)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        kcol = tbl.column(key)
+        karr = (
+            kcol.to_numpy(zero_copy_only=False)
+            if pa.types.is_integer(kcol.type)
+            else np.asarray(kcol.to_pylist(), dtype=object)
+        )
+        barr = tbl.column("__bucket").to_numpy(zero_copy_only=False)
+        tarr = tbl.column("__ts").to_numpy(zero_copy_only=False)
+        side = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tarr, side, barr, karr))
+        k_s, b_s, t_s, side_s = karr[order], barr[order], tarr[order], side[order]
+        # group boundaries on the REAL (key, bucket) pair
+        bound = np.ones(n, dtype=bool)
+        bound[1:] = (k_s[1:] != k_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(bound)
+        ends = np.append(starts[1:], n)
+        li_parts, ri_parts = [], []
+        for s, e in zip(starts, ends):
+            sl = side_s[s:e]
+            # rights sort before lefts (side 0 first), each sorted by ts
+            n_r = int(np.searchsorted(sl, 1))
+            if n_r == 0 or n_r == e - s:
+                continue
+            rts = t_s[s : s + n_r]
+            lts = t_s[s + n_r : e]
+            lo = np.searchsorted(rts, lts - window, side="left")
+            hi = np.searchsorted(rts, lts + window, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            l_rep = np.repeat(np.arange(len(lts), dtype=np.int64), cnt)
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            r_idx = np.repeat(lo, cnt) + within
+            li_parts.append(order[s + n_r + l_rep])
+            ri_parts.append(order[s + r_idx])
+        if not li_parts:
+            return out_schema.empty_table()
+        li = pa.array(np.concatenate(li_parts), pa.int64())
+        ri = pa.array(np.concatenate(ri_parts), pa.int64())
+        cols = [tbl.column(nm).take(li) for nm in left_names]
+        cols += [tbl.column(priv[c]).take(ri) for c in carry]
+        return pa.Table.from_arrays(
+            [c.combine_chunks() for c in cols], schema=out_schema
+        )
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    return grouped_map(
+        union, "__kb", None, out_schema, fn_table=kernel,
+        num_partitions=num_partitions,
+    )

@@ -1,0 +1,110 @@
+"""Gap-based sessionization: the streaming-window aggregate a training-data
+event pipeline needs (per-user activity sessions).
+
+``sessionize``: rows of one key sorted by (ts, tiebreak) split into
+sessions wherever the gap to the previous row EXCEEDS ``gap`` (strict >,
+matching the SQL `lag` formulation); one output row per session with
+integer-exact aggregates. ONE key-hash exchange (grouped_map complete
+groups) + a fully vectorized kernel: lexsort, boundary flags, cumsum
+session ids, ``np.add.reduceat`` per-session sums.
+
+Money sums aggregate AND OUTPUT as integer cents (round(value*100) per
+row, summed as int64) so the result is order-independent and bit-identical
+to the DuckDB oracle — same convention as events_hourly.
+
+Partitioning assumption: one key's rows co-locate (hash exchange); a hot
+key means a hot TASK, not a hot partition, and cannot be salted (session
+boundaries need the whole timeline).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def sessionize(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    gap: int,
+    value: Optional[str] = None,
+    tiebreak: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+):
+    """-> Dataset of (key, session_id, session_start, session_end,
+    n_events[, sum_value_cents]) — session_id is 1-based per key in time
+    order.
+
+    ``gap``: same unit as the int64-cast ``ts`` (microseconds for Arrow
+    timestamps). ``value``: optional money column summed as integer cents.
+    ``tiebreak``: column ordering equal timestamps deterministically."""
+    schema = ds.schema()
+    fields = dict(zip(schema.names, schema.types))
+    ts_type = fields[ts]
+
+    out_fields = [
+        pa.field(key, fields[key]),
+        pa.field("session_id", pa.int64()),
+        pa.field("session_start", ts_type),
+        pa.field("session_end", ts_type),
+        pa.field("n_events", pa.int64()),
+    ]
+    if value is not None:
+        out_fields.append(pa.field("sum_value_cents", pa.int64()))
+    out_schema = pa.schema(out_fields)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        kcol = tbl.column(key)
+        karr = (
+            kcol.to_numpy(zero_copy_only=False)
+            if pa.types.is_integer(kcol.type)
+            else np.asarray(kcol.to_pylist(), dtype=object)
+        )
+        tarr = tbl.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if tiebreak is not None:
+            tb = tbl.column(tiebreak).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tb, tarr, karr))
+        else:
+            order = np.lexsort((tarr, karr))
+        k_s, t_s = karr[order], tarr[order]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = k_s[1:] != k_s[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (t_s[1:] - t_s[:-1]) > gap
+        starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.append(starts, n))
+        # 1-based session id per key: session ordinal minus the ordinal of
+        # the key's first session
+        sess_ord = np.arange(len(starts), dtype=np.int64)
+        key_first = np.maximum.accumulate(
+            np.where(new_key[starts], sess_ord, -1)
+        )
+        sid = sess_ord - key_first + 1
+        ends = starts + counts - 1
+        cols = [
+            kcol.take(pa.array(order[starts], pa.int64())).combine_chunks(),
+            pa.array(sid, pa.int64()),
+            tbl.column(ts).take(pa.array(order[starts], pa.int64())).combine_chunks(),
+            tbl.column(ts).take(pa.array(order[ends], pa.int64())).combine_chunks(),
+            pa.array(counts.astype(np.int64), pa.int64()),
+        ]
+        if value is not None:
+            v = tbl.column(value).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            cents = np.rint(v * 100.0).astype(np.int64)[order]
+            sums = np.add.reduceat(cents, starts)
+            cols.append(pa.array(sums, pa.int64()))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    return grouped_map(
+        ds, key, None, out_schema, fn_table=kernel,
+        num_partitions=num_partitions,
+    )
