@@ -104,6 +104,9 @@ def _bench_queries(sf_dir: str) -> dict:
         "embedding_near_dup",
         "ann_topk",
         "events_hourly",
+        "events_asof_join",
+        "events_range_join",
+        "user_sessions",
         "predict_pairs",
         "match_clusters",
         "train_em",
