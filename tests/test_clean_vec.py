@@ -107,3 +107,19 @@ def test_vec_all_null_addresses():
     b = clean_batch_vec(batch, _TF, _END)
     assert a.num_rows == b.num_rows == 0
     assert a.schema == b.schema
+
+
+@given(batch=_batch())
+@settings(max_examples=40, deadline=None)
+def test_corpus_stats_vec_matches_row_spec(batch):
+    """corpus_token_stats_vec must produce the same four Counters as the
+    per-row spec pass, on the same adversarial inputs (NUL routes both
+    through the scalar path)."""
+    from uk_address_matcher_ray.stages.clean_vec import corpus_token_stats_vec
+    from uk_address_matcher_ray.stages.tf import _corpus_token_stats_rows
+
+    addrs = batch.column("address_concat").to_pylist()
+    a = _corpus_token_stats_rows(addrs)
+    b = corpus_token_stats_vec(batch.column("address_concat"))
+    for x, y in zip(a, b):
+        assert dict(x) == dict(y)

@@ -210,6 +210,90 @@ def _null_offsets(counts: np.ndarray) -> List:
     return out
 
 
+def parse_chain_vec(addr: pa.StringArray):
+    """C5-C11 over a non-null prefix-cleaned address column -> (addr
+    post-C5 i.e. original_address_concat, flat_positional, flat_letter,
+    address_without_numbers, numeric_tokens ListArray, nt1, nt2, nt3,
+    token ListArray). Shared by the cleaning stage and the corpus-stats
+    counting kernel."""
+    addr = _dedup_end_tokens_vec(addr)
+    flat_positional, flat_letter = _parse_flat_vec(addr)
+    without_raw, num_toks = _parse_numbers_vec(addr, flat_letter)
+    without = _clean_second_pass_vec(without_raw)
+    nt1, nt2, nt3 = _split_numeric_vec(num_toks)
+    tok_list = pc.split_pattern(without, " ")
+    if isinstance(tok_list, pa.ChunkedArray):
+        tok_list = tok_list.combine_chunks()
+    return (
+        addr, flat_positional, flat_letter, without,
+        num_toks, nt1, nt2, nt3, tok_list,
+    )
+
+
+def corpus_token_stats_vec(addrs):
+    """Vectorized equivalent of stages.tf.corpus_token_stats: one parse
+    chain + four ``value_counts`` instead of a per-row Python pass.
+    Returns the same four Counters (address tokens, numeric tokens, end
+    tokens, nt1-3 values); falls back to the scalar path for NUL-bearing
+    inputs (same guard as clean_batch_vec)."""
+    from collections import Counter
+
+    from uk_address_matcher_ray.functions.text import (
+        clean_address_first_pass_vec,
+    )
+
+    arr = addrs if isinstance(addrs, (pa.Array, pa.ChunkedArray)) else pa.array(
+        [a for a in addrs], pa.string()
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    cleaned = clean_address_first_pass_vec(arr)
+    if isinstance(cleaned, pa.ChunkedArray):
+        cleaned = cleaned.combine_chunks()
+    if _np(pc.match_substring(pc.fill_null(cleaned, ""), _NUL)).any():
+        from uk_address_matcher_ray.stages.tf import _corpus_token_stats_rows
+
+        return _corpus_token_stats_rows(
+            arr.to_pylist() if not isinstance(addrs, list) else addrs
+        )
+    keep = np.flatnonzero(_np(pc.is_valid(cleaned)))
+    addr = cleaned.take(pa.array(keep, pa.int64()))
+    (_a, _fp, _fl, _wo, num_toks, nt1, nt2, nt3, tok_list) = parse_chain_vec(
+        addr
+    )
+
+    def counts_of(values) -> Counter:
+        vc = pc.value_counts(values)
+        return Counter(
+            dict(
+                zip(
+                    vc.field("values").to_pylist(),
+                    vc.field("counts").to_pylist(),
+                )
+            )
+        )
+
+    tok_counts = counts_of(tok_list.values)
+    num_counts = counts_of(num_toks.values)
+    nt123 = Counter()
+    for c in (nt1, nt2, nt3):
+        vc = pc.value_counts(pc.drop_null(c))
+        for t, cnt in zip(
+            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+        ):
+            nt123[t] += cnt
+    # end tokens: each row's LAST token when non-empty (scalar spec:
+    # `if core.tokens and core.tokens[-1]`)
+    offs, flat = _flat(tok_list)
+    if len(offs) > 1:
+        last = flat.take(pa.array(offs[1:] - 1, pa.int64()))
+        last = last.filter(pc.not_equal(last, ""))
+        end_counts = counts_of(last)
+    else:
+        end_counts = Counter()
+    return tok_counts, num_counts, end_counts, nt123
+
+
 def clean_batch_vec(
     batch: pa.Table,
     tf: Dict[str, float],
@@ -238,20 +322,12 @@ def clean_batch_vec(
     pcode = pc_all.take(pa.array(keep, pa.int64()))
     n = len(addr)
 
-    # C5 -> original
-    addr = _dedup_end_tokens_vec(addr)
-    # C7
-    flat_positional, flat_letter = _parse_flat_vec(addr)
-    # C8
-    without_raw, num_toks = _parse_numbers_vec(addr, flat_letter)
-    # C9
-    without = _clean_second_pass_vec(without_raw)
-    # C10
-    nt1, nt2, nt3 = _split_numeric_vec(num_toks)
-    # C11: C9 guarantees single-space-collapsed, trimmed strings
-    tok_list = pc.split_pattern(without, " ")
-    if isinstance(tok_list, pa.ChunkedArray):
-        tok_list = tok_list.combine_chunks()
+    # C5-C11 (C11's literal-space split is valid because C9 guarantees
+    # single-space-collapsed trimmed strings)
+    (
+        addr, flat_positional, flat_letter, without,
+        num_toks, nt1, nt2, nt3, tok_list,
+    ) = parse_chain_vec(addr)
 
     # ---- T3 + P1-P5 over the flattened token array -----------------------
     offs, flat_toks = _flat(tok_list)

@@ -30,7 +30,28 @@ def corpus_token_stats(
     """One pass over raw address strings -> (address_token_counts,
     numeric_token_counts, end_token_counts, nt123_counts) using the full
     cleaning core. nt123 = the numeric_token_1..3 digit-run columns (T1's
-    numeric contribution, cleaning_steps.py:294-302)."""
+    numeric contribution, cleaning_steps.py:294-302).
+
+    Routes through the vectorized parse chain (stages/clean_vec.py, same
+    counts by differential test) unless GRAFT_CLEAN_VEC=0 pins the per-row
+    spec path below."""
+    import os
+
+    if os.environ.get("GRAFT_CLEAN_VEC", "1") != "0":
+        from uk_address_matcher_ray.stages.clean_vec import (
+            corpus_token_stats_vec,
+        )
+
+        return corpus_token_stats_vec(
+            addresses if isinstance(addresses, list) else list(addresses)
+        )
+    return _corpus_token_stats_rows(addresses)
+
+
+def _corpus_token_stats_rows(
+    addresses: Iterable[Optional[str]],
+) -> Tuple[Counter, Counter, Counter, Counter]:
+    """Per-row spec path (the semantic reference for the vectorized one)."""
     tok_counts: Counter = Counter()
     num_counts: Counter = Counter()
     end_counts: Counter = Counter()
@@ -82,8 +103,21 @@ def _partial_counts_batch(batch: pa.Table) -> pa.Table:
     kind: 0 = address token, 1 = numeric token, 2 = end token,
     3 = numeric_token_1..3 column value (T1's numeric contribution).
     """
-    addrs = batch.column("address_concat").to_pylist()
-    tok_counts, num_counts, end_counts, nt123_counts = corpus_token_stats(addrs)
+    import os
+
+    col = batch.column("address_concat").cast(pa.string())
+    if os.environ.get("GRAFT_CLEAN_VEC", "1") != "0":
+        from uk_address_matcher_ray.stages.clean_vec import (
+            corpus_token_stats_vec,
+        )
+
+        tok_counts, num_counts, end_counts, nt123_counts = (
+            corpus_token_stats_vec(col)  # zero-copy Arrow column in
+        )
+    else:
+        tok_counts, num_counts, end_counts, nt123_counts = (
+            _corpus_token_stats_rows(col.to_pylist())
+        )
     tokens: List[str] = []
     kinds: List[int] = []
     counts: List[int] = []
