@@ -85,3 +85,48 @@ def synth_web_pages(
             "lang": pa.array(["en"] * len(urls), pa.string()),
         }
     )
+
+
+def extract_text_vec(html_col):
+    """Vectorized ``extract_text`` over a binary column -> (string array —
+    null where html is null or has no <main> block, numpy bool mask of rows
+    whose entity unescape needs the Python fallback).
+
+    The RE2 chain mirrors the scalar regexes exactly; HTML5 entity
+    unescape is vectorized for the escape set ``render_html`` can emit
+    (&lt; &gt; &quot; &#39; &apos; then &amp; LAST — single-pass order, so
+    '&amp;lt;' -> '&lt;' like html.unescape). Rows whose '&' count differs
+    from their known-entity count (exotic or semicolon-less entities) are
+    flagged for the scalar path."""
+    import numpy as np
+    import pyarrow.compute as pcmp
+
+    s = html_col.cast(pa.string())  # utf-8 validation == .decode("utf-8")
+    body = pcmp.struct_field(
+        pcmp.extract_regex(s, r"(?s)<main>(?P<b>.*?)</main>"), "b"
+    )
+    body = pcmp.replace_substring_regex(
+        body, pattern=r"<br\s*/?>", replacement="\n"
+    )
+    body = pcmp.replace_substring_regex(body, pattern=r"<[^>]+>", replacement="")
+    total_amp = pcmp.count_substring(body, "&")
+    known = pcmp.count_substring_regex(
+        body, r"&(amp|lt|gt|quot|apos|#39);"
+    )
+    need_py = (
+        pcmp.fill_null(pcmp.not_equal(total_amp, known), False)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    for pat, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),  # LAST: single-pass semantics
+    ):
+        body = pcmp.replace_substring(body, pattern=pat, replacement=rep)
+    if isinstance(body, pa.ChunkedArray):
+        body = body.combine_chunks()
+    return body, need_py
