@@ -136,6 +136,27 @@ def _cpu_ref_sec() -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def _cpu_ref_par_sec(n_procs: int = 8) -> float:
+    """Parallel reference: ``n_procs`` busy-loop PROCESSES (the single-core
+    probe misses multi-core bandwidth-contention windows — observed 2x
+    parallel-throughput degradation at matched single-core cpu_ref).
+    Healthy value ~= cpu_ref_sec; a ratio >> 1.3x cpu_ref means the host's
+    parallel lanes are degraded and walls are not comparable."""
+    import multiprocessing as mp
+
+    t0 = time.monotonic()
+    with mp.get_context("fork").Pool(n_procs) as pool:
+        pool.map(_par_work, range(n_procs))
+    return round(time.monotonic() - t0, 3)
+
+
+def _par_work(_):
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    return s
+
+
 def run_once(num_cpus: int, include_queries: bool = True) -> dict:
     import ray
 
@@ -178,6 +199,7 @@ def run_once(num_cpus: int, include_queries: bool = True) -> dict:
             "cluster_nodes": n_nodes,
             "messy_per_sec": round(n_messy / flagship_sec, 1),
             "cpu_ref_sec": runs[-1][1],
+            "cpu_ref_par_sec": _cpu_ref_par_sec(),
             "flagship_runs": runs,
         },
     }
