@@ -256,14 +256,31 @@ def run_scaling() -> dict:
     )
     med_ref = all_refs[0]
     cut = 1.3 * med_ref
+    # same floor rule for the PARALLEL probe: it catches multi-core
+    # bandwidth-degradation windows invisible to the single-core probe
+    # (observed: 2x wall inflation at matched cpu_ref, par probe 1.9x)
+    par_refs = sorted(
+        r["counters"].get("cpu_ref_par_sec", 0.0)
+        for runs in samples.values()
+        for r in runs
+    )
+    par_floor = par_refs[0]
+    par_cut = 1.3 * par_floor if par_floor else float("inf")
+
+    def ok(r):
+        c = r["counters"]
+        return (
+            c["cpu_ref_sec"] <= cut
+            and c.get("cpu_ref_par_sec", 0.0) <= par_cut
+        )
+
     rejected = {
-        n: sum(1 for r in runs if r["counters"]["cpu_ref_sec"] > cut)
-        for n, runs in samples.items()
+        n: sum(1 for r in runs if not ok(r)) for n, runs in samples.items()
     }
     out = {}
     throttled_leg = []
     for n, runs in samples.items():
-        clean = [r for r in runs if r["counters"]["cpu_ref_sec"] <= cut]
+        clean = [r for r in runs if ok(r)]
         if not clean:
             clean = runs
             throttled_leg.append(n)
@@ -298,6 +315,7 @@ def run_scaling() -> dict:
                 (r["value"], r["counters"]["cpu_ref_sec"]) for r in samples[hi]
             ],
             "cpu_ref_floor": med_ref,
+            "cpu_ref_par_floor": par_floor,
             "throttle_cut": round(cut, 3),
             "throttle_rejected": rejected,
             "all_samples_throttled_legs": throttled_leg,
