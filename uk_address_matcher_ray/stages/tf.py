@@ -51,13 +51,29 @@ def corpus_token_stats(
 def _corpus_token_stats_rows(
     addresses: Iterable[Optional[str]],
 ) -> Tuple[Counter, Counter, Counter, Counter]:
-    """Per-row spec path (the semantic reference for the vectorized one)."""
+    """Per-row spec path (the semantic reference for the vectorized one).
+
+    The C1-C4 string prefix runs through the SAME vectorized kernel the
+    cleaning stage uses (functions/text.clean_address_first_pass_vec), so
+    corpus-stats token keys always match the cleaned tokens they weight —
+    Python str.upper ('ß'->'SS') vs utf8proc/DuckDB ('ß'->'ẞ') would
+    otherwise fork the two on non-ASCII input."""
+    import pyarrow as _pa
+
+    from uk_address_matcher_ray.functions.text import (
+        clean_address_first_pass_vec,
+    )
+
+    addr_list = addresses if isinstance(addresses, list) else list(addresses)
+    prepped = clean_address_first_pass_vec(
+        _pa.array(addr_list, _pa.string())
+    ).to_pylist()
     tok_counts: Counter = Counter()
     num_counts: Counter = Counter()
     end_counts: Counter = Counter()
     nt123_counts: Counter = Counter()
-    for addr in addresses:
-        core = _clean_core_row(addr, None)
+    for addr in prepped:
+        core = _clean_core_row(addr, None, prepped=True)
         if core is None:
             continue
         tok_counts.update(core.tokens)
