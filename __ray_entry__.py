@@ -600,6 +600,14 @@ def _q_text_stats(sf_dir: str):
     return text_stats_dataset(_docs(sf_dir))
 
 
+def _q_doc_repetition(sf_dir: str):
+    from uk_address_matcher_ray.stages.repetition import (
+        repetition_stats_dataset,
+    )
+
+    return repetition_stats_dataset(_docs(sf_dir))
+
+
 def _q_doc_lang_counts(sf_dir: str):
     import ray
 
@@ -1267,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "text_stats": _q_text_stats,
+        "doc_repetition": _q_doc_repetition,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
         "label_accuracy": _q_label_accuracy,
@@ -1330,6 +1339,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "ann_topk": oracle_extras.ann_topk_sql(k=ANN_K),
         "ivf_topk": oracle_extras.ivf_topk_sql(k=ANN_K),
         "text_stats": oracle_extras.text_stats_sql(),
+        "doc_repetition": oracle_extras.repetition_sql(),
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "events_hourly": oracle_extras.events_hourly_sql(),
         "label_accuracy": oracle_extras.label_accuracy_sql(pairs_sql),

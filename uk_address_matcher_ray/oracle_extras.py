@@ -1049,3 +1049,107 @@ SELECT id_a, id_b, round(cos, 6) AS cosine
 FROM (SELECT id_a, id_b, {_dot_sql('va', 'vb')} AS cos FROM cand) t
 WHERE cos >= {threshold!r}
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition stats (stages/repetition.py)
+# ---------------------------------------------------------------------------
+
+def repetition_sql() -> str:
+    """Mirrors repetition.repetition_stats_table expression-for-expression:
+    same explicit whitespace class, same line-strip set, same
+    integer-ratio float arithmetic (IEEE division is correctly rounded in
+    both engines, so values compare bit-exactly)."""
+    from uk_address_matcher_ray.stages.repetition import DEFAULT_THRESHOLDS
+
+    th = DEFAULT_THRESHOLDS
+    # RE2 patterns as SQL literals: DuckDB regular strings pass backslash
+    # sequences through to RE2 untouched.
+    nonws = r"[^ \t\r\n\f\x0b]+"
+    strip = "' ' || chr(9) || chr(13) || chr(12) || chr(11)"
+    return f"""
+WITH base AS (
+    SELECT doc_id, coalesce(text, '') AS text,
+        regexp_extract_all(coalesce(text, ''), '{nonws}') AS toks
+    FROM documents
+),
+tok AS MATERIALIZED (
+    SELECT doc_id, toks, len(toks) AS nw,
+        CASE WHEN len(toks) = 0 THEN 0
+             ELSE length(list_aggregate(toks, 'string_agg', '')) END AS wchars
+    FROM base
+),
+g2 AS (
+    SELECT doc_id,
+        unnest(list_transform(range(1, nw), i -> toks[i] || ' ' || toks[i+1])) AS g
+    FROM tok WHERE nw >= 2
+),
+top2 AS (
+    SELECT doc_id, max(cnt * (length(g) - 1)) AS topcov
+    FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+    GROUP BY 1
+),
+g3 AS MATERIALIZED (
+    SELECT doc_id, unnest(range(1, nw - 1)) AS s,
+        unnest(list_transform(range(1, nw - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+    FROM tok WHERE nw >= 3
+),
+g3dup AS (
+    SELECT doc_id, g
+    FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+    WHERE c >= 2
+),
+dupstarts AS (SELECT g3.doc_id, g3.s FROM g3 JOIN g3dup USING (doc_id, g)),
+cov AS (
+    SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, s AS pos FROM dupstarts
+        UNION ALL SELECT doc_id, s + 1 FROM dupstarts
+        UNION ALL SELECT doc_id, s + 2 FROM dupstarts)
+),
+covch AS (
+    SELECT cov.doc_id, CAST(sum(length(t.toks[cov.pos])) AS BIGINT) AS c
+    FROM cov JOIN tok t USING (doc_id) GROUP BY 1
+),
+ln AS (
+    SELECT doc_id, l FROM (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l
+        FROM base)
+    WHERE trim(l, {strip}) != ''
+),
+lagg AS (
+    SELECT doc_id,
+        CAST(sum(cnt) AS BIGINT) AS nl,
+        count(*) AS ndist,
+        CAST(sum(length(l) * cnt) AS BIGINT) AS lchars,
+        CAST(sum(CASE WHEN cnt >= 2 THEN length(l) * cnt ELSE 0 END) AS BIGINT)
+            AS dupchars
+    FROM (SELECT doc_id, l, count(*) AS cnt FROM ln GROUP BY 1, 2)
+    GROUP BY 1
+),
+stats AS (
+    SELECT t.doc_id,
+        CAST(t.nw AS BIGINT) AS n_words,
+        coalesce(lagg.nl, 0) AS n_lines,
+        CASE WHEN coalesce(lagg.nl, 0) = 0 THEN 0.0
+             ELSE 1.0 - CAST(lagg.ndist AS DOUBLE) / lagg.nl END AS dup_line_frac,
+        CASE WHEN coalesce(lagg.lchars, 0) = 0 THEN 0.0
+             ELSE CAST(lagg.dupchars AS DOUBLE) / lagg.lchars END
+            AS dup_line_char_frac,
+        CASE WHEN t.wchars = 0 OR top2.topcov IS NULL THEN 0.0
+             ELSE CAST(top2.topcov AS DOUBLE) / t.wchars END
+            AS top_2gram_char_frac,
+        CASE WHEN t.wchars = 0 OR covch.c IS NULL THEN 0.0
+             ELSE CAST(covch.c AS DOUBLE) / t.wchars END AS dup_3gram_char_frac
+    FROM tok t
+    LEFT JOIN lagg USING (doc_id)
+    LEFT JOIN top2 USING (doc_id)
+    LEFT JOIN covch USING (doc_id)
+)
+SELECT *,
+    (dup_line_frac <= {th['dup_line_frac']!r}
+     AND dup_line_char_frac <= {th['dup_line_char_frac']!r}
+     AND top_2gram_char_frac <= {th['top_2gram_char_frac']!r}
+     AND dup_3gram_char_frac <= {th['dup_3gram_char_frac']!r}) AS keep
+FROM stats
+"""
