@@ -600,6 +600,63 @@ def _q_text_stats(sf_dir: str):
     return text_stats_dataset(_docs(sf_dir))
 
 
+def _q_decontaminate(sf_dir: str):
+    """GPT-3-style benchmark decontamination: docs with doc_id % 13 == 0
+    act as the eval set; every other doc is flagged when it shares any
+    word 4-gram with it (k=4 at this corpus size for flag variance;
+    production pipelines use 8-13 — same code path, the k knob)."""
+    import numpy as np
+    import ray
+
+    from uk_address_matcher_ray.stages.decontam import (
+        benchmark_ngram_assets,
+        decontaminate,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def side(bench: bool):
+        def f(t):
+            import pyarrow as pa
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 13 == 0) if bench else (ids % 13 != 0)
+            return t.filter(pa.array(mask))
+
+        return f
+
+    assets = benchmark_ngram_assets(
+        ds.map_batches(side(True), batch_format="pyarrow"), k=4
+    )
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    return decontaminate(corpus, ray.put(assets), k=4)
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+bench AS (
+    SELECT DISTINCT array_to_string(t[i + 1 : i + 4], ' ') AS g
+    FROM (SELECT t, unnest(range(len(t) - 3)) AS i
+          FROM toks WHERE doc_id % 13 = 0 AND len(t) >= 4)
+),
+corp AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 4], ' ') AS g
+    FROM (SELECT doc_id, t, unnest(range(len(t) - 3)) AS i
+          FROM toks WHERE doc_id % 13 <> 0 AND len(t) >= 4)
+),
+hits AS (SELECT DISTINCT doc_id FROM corp JOIN bench USING (g))
+SELECT toks.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+FROM toks LEFT JOIN hits USING (doc_id)
+WHERE toks.doc_id % 13 <> 0
+"""
+
+
 def _q_doc_repetition(sf_dir: str):
     from uk_address_matcher_ray.stages.repetition import (
         repetition_stats_dataset,
@@ -1276,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
+        "decontaminate_docs": _q_decontaminate,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
         "label_accuracy": _q_label_accuracy,
@@ -1340,6 +1398,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "ivf_topk": oracle_extras.ivf_topk_sql(k=ANN_K),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
+        "decontaminate_docs": DECONTAMINATE_SQL,
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "events_hourly": oracle_extras.events_hourly_sql(),
         "label_accuracy": oracle_extras.label_accuracy_sql(pairs_sql),

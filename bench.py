@@ -101,6 +101,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "near_dedup_docs",
         "simhash_pairs",
         "text_stats",
+        "doc_repetition",
         "embedding_near_dup",
         "ann_topk",
         "events_hourly",
