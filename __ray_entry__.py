@@ -1254,6 +1254,48 @@ def _q_media_decode_png(sf_dir: str):
     )
 
 
+def _q_media_decode_tiff(sf_dir: str):
+    """REAL uncompressed-TIFF decode (functions/tiff.py, pure struct/numpy):
+    same deterministic 16x16 pixel formula as media_decode, carried through
+    TIFF encode -> distributed decode. TIFF baseline is lossless, so the
+    oracle is the identical pixel-formula SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.multimodal import extract_media_features
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    _canon, messy = _synth_tables(sf_dir)
+
+    y = np.arange(16, dtype=np.int64)[:, None, None]
+    x = np.arange(16, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        from uk_address_matcher_ray.functions.tiff import encode_tiff
+
+        ids = batch.column("unique_id").to_pylist()
+        payloads = []
+        for uid in ids:
+            k = int(uid[1:])
+            pix = ((k * 7 + y * 31 + x * 13 + c * 101) % 256).astype(np.uint8)
+            payloads.append(encode_tiff(pix))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = dataset_from_table(messy).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    return extract_media_features(media, use_real_decoder=True).select_columns(
+        ["media_id", "features"]
+    )
+
+
 def _q_media_decode_jpeg(sf_dir: str):
     """REAL baseline-JPEG decode (pure-numpy Huffman+IDCT codec,
     functions/jpeg.py): one 32x32 4:2:0 JPEG per messy record, four 16x16
@@ -1326,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_near_dup": _q_embedding_lsh,
         "media_decode_jpeg": _q_media_decode_jpeg,
         "media_decode_png": _q_media_decode_png,
+        "media_decode_tiff": _q_media_decode_tiff,
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range,
         "user_sessions": _q_user_sessions,
@@ -1434,6 +1477,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         # PNG is lossless: decoded pixels == the synthesis formula, so the
         # oracle is the same pixel-formula aggregation as media_decode
         "media_decode_png": oracle_extras.media_decode_sql(),
+        "media_decode_tiff": oracle_extras.media_decode_sql(),
         "events_asof_join": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_SQL,
         "user_sessions": _USER_SESSIONS_SQL,

@@ -102,6 +102,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "simhash_pairs",
         "text_stats",
         "doc_repetition",
+        "decontaminate_docs",
         "embedding_near_dup",
         "ann_topk",
         "events_hourly",

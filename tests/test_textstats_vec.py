@@ -15,6 +15,7 @@ from uk_address_matcher_ray.stages.textstats import (
 
 _COLS = [
     "token_count",
+    "bpe_token_count",
     "n_chars",
     "alpha_ratio",
     "punct_ratio",

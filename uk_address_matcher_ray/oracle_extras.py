@@ -724,6 +724,9 @@ feats AS (
 )
 SELECT doc_id,
     CAST(len(toks) AS BIGINT) AS token_count,
+    CAST(len(regexp_extract_all(text,
+        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\r\\n\\f\\x0b]+')) AS BIGINT)
+        AS bpe_token_count,
     CAST(n_chars AS BIGINT) AS n_chars,
     CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha / n_chars END AS alpha_ratio,
     CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / n_chars END AS punct_ratio,

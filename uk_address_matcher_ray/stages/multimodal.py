@@ -163,9 +163,14 @@ def _decode_image(payload: bytes):
         from uk_address_matcher_ray.functions.png import decode_png
 
         return decode_png(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from uk_address_matcher_ray.functions.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "BMP/PPM/baseline-JPEG/PNG decode in this container; other image "
-        "codecs (WebP/TIFF/GIF) remain integration points"
+        "BMP/PPM/baseline-JPEG/PNG/uncompressed-TIFF decode in this "
+        "container; other image codecs (WebP/GIF, compressed TIFF) remain "
+        "integration points"
     )
 
 

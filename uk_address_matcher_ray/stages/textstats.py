@@ -37,6 +37,20 @@ def token_count(text: Optional[str]) -> int:
     return len(tokens_of(text))
 
 
+# BPE-ish pre-tokenizer runs (GPT-2-style approximation, RE2-safe — no
+# lookarounds): letter runs, digit runs, symbol runs; whitespace is free.
+_BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\r\n\f\x0b]+")
+
+
+def bpe_token_count(text: Optional[str]) -> int:
+    """Approximate subword token count: one count per letter/digit/symbol
+    run (the published BPE pre-tokenizer shape minus the RE2-incompatible
+    lookahead). Upper-bounds whitespace tokens, lower-bounds true BPE."""
+    if text is None:
+        return 0
+    return len(_BPE.findall(text))
+
+
 def char_stats(text: Optional[str]) -> tuple:
     """(n_chars, alpha_ratio, punct_ratio, mean_token_len) — exact IEEE divisions
     so the DuckDB SQL mirror hashes identically."""
@@ -83,6 +97,7 @@ def _stats_row(t: Optional[str]) -> tuple:
     n, ar, pr, ml = char_stats(t)
     return (
         token_count(t),
+        bpe_token_count(t),
         n,
         ar,
         pr,
@@ -208,8 +223,13 @@ def text_stats_table(ids, texts, id_field: pa.Field) -> pa.Table:
         nz = np.nonzero(tpos)[0]
         fp[nz] = np.add.reduceat(term, doc_start[nz]) % M
 
+    bpe = pc.count_substring_regex(texts, _BPE.pattern).to_numpy(
+        zero_copy_only=False
+    )
+
     out = {
         "token_count": ntok,
+        "bpe_token_count": bpe,
         "n_chars": n_chars.astype(np.int64),
         "alpha_ratio": alpha_ratio,
         "punct_ratio": punct_ratio,
@@ -233,6 +253,7 @@ def text_stats_table(ids, texts, id_field: pa.Field) -> pa.Table:
         {
             id_field.name: ids,
             "token_count": pa.array(out["token_count"], pa.int64()),
+            "bpe_token_count": pa.array(out["bpe_token_count"], pa.int64()),
             "n_chars": pa.array(out["n_chars"], pa.int64()),
             "alpha_ratio": pa.array(out["alpha_ratio"], pa.float64()),
             "punct_ratio": pa.array(out["punct_ratio"], pa.float64()),
@@ -257,46 +278,3 @@ def text_stats_dataset(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
-
-
-def _text_stats_dataset_scalar(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Scalar row-loop path, kept as the differential reference."""
-
-    def stats_batch(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        rows = {
-            "token_count": [],
-            "n_chars": [],
-            "alpha_ratio": [],
-            "punct_ratio": [],
-            "mean_token_len": [],
-            "quality": [],
-            "lang_pred": [],
-            "fingerprint": [],
-        }
-        for t in texts:
-            n, ar, pr, ml = char_stats(t)
-            rows["token_count"].append(token_count(t))
-            rows["n_chars"].append(n)
-            rows["alpha_ratio"].append(ar)
-            rows["punct_ratio"].append(pr)
-            rows["mean_token_len"].append(ml)
-            rows["quality"].append(quality_score(t))
-            rows["lang_pred"].append(lang_id(t))
-            rows["fingerprint"].append(doc_fingerprint(t))
-        return pa.table(
-            {
-                id_col: pa.array(ids, batch.schema.field(id_col).type),
-                "token_count": pa.array(rows["token_count"], pa.int64()),
-                "n_chars": pa.array(rows["n_chars"], pa.int64()),
-                "alpha_ratio": pa.array(rows["alpha_ratio"], pa.float64()),
-                "punct_ratio": pa.array(rows["punct_ratio"], pa.float64()),
-                "mean_token_len": pa.array(rows["mean_token_len"], pa.float64()),
-                "quality": pa.array(rows["quality"], pa.float64()),
-                "lang_pred": pa.array(rows["lang_pred"], pa.string()),
-                "fingerprint": pa.array(rows["fingerprint"], pa.int64()),
-            }
-        )
-
-    return ds.map_batches(stats_batch, batch_format="pyarrow")
