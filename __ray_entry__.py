@@ -665,6 +665,151 @@ def _q_doc_repetition(sf_dir: str):
     return repetition_stats_dataset(_docs(sf_dir))
 
 
+# words replaced by newlines to synthesize multi-line documents for the
+# line-dedup query (documents.parquet text is single-line); the SQL
+# oracle applies the IDENTICAL nested replace in the same order —
+# Python str.replace and DuckDB replace are both leftmost
+# non-overlapping, so the line sets match byte-for-byte.
+_LINE_BREAK_WORDS = (" the ", " data ", " batch ", " join ")
+_LINE_DEDUP_MIN_DOCS = 5
+
+
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style boilerplate-line removal: lines recurring in >=
+    ``min_docs`` distinct documents are dropped (stages/linededup.py —
+    two-phase hash exchange + broadcast removal)."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.linededup import line_dedup_docs
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        texts = []
+        for t in batch.column("text").to_pylist():
+            s = t or ""
+            for w in _LINE_BREAK_WORDS:
+                s = s.replace(w, "\n")
+            texts.append(s)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(to_lines, batch_format="pyarrow")
+    return line_dedup_docs(ds, min_docs=_LINE_DEDUP_MIN_DOCS)
+
+
+_LINE_DEDUP_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(text,
+      ' the ', chr(10)), ' data ', chr(10)), ' batch ', chr(10)),
+      ' join ', chr(10)) AS text
+  FROM documents
+),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+flat AS (
+  SELECT doc_id, ls[i] AS line, i
+  FROM split, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g
+),
+counts AS (SELECT line, count(DISTINCT doc_id) AS nd FROM flat GROUP BY line),
+kept AS (
+  SELECT f.doc_id, f.line, f.i FROM flat f JOIN counts c ON f.line = c.line
+  WHERE c.nd < {_LINE_DEDUP_MIN_DOCS}
+),
+recon AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(r.text_clean, '') AS text_clean,
+       CAST(len(s.ls) AS BIGINT) AS n_lines,
+       CAST(len(s.ls) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM split s LEFT JOIN recon r USING (doc_id)
+"""
+
+
+def _q_redact_pii(sf_dir: str):
+    """C4-style PII scrub over documents with deterministically injected
+    e-mails / IPv4s / phone numbers (the corpus itself has none); the
+    oracle injects the identical strings in SQL.  Kernel is fully
+    vectorized RE2 (stages/pii.py) — redaction order is part of the
+    contract."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.pii import redact_pii
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            s = t or ""
+            if i % 3 != 2:
+                s += f" contact user{i}@example.com"
+            if i % 4 != 3:
+                s += f" from 10.{i % 256}.0.1"
+            if i % 5 != 4:
+                s += f" tel +44 20 7946 {(i * 7) % 10000:04d}"
+            texts.append(s)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return redact_pii(_docs(sf_dir).map_batches(inject, batch_format="pyarrow"))
+
+
+def _redact_pii_sql() -> str:
+    from uk_address_matcher_ray.stages.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    # SQL string literals: the patterns contain no single quotes; DuckDB
+    # keeps backslashes literal inside '...', matching the Python source.
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 <> 2
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 <> 3
+            THEN ' from 10.' || (doc_id % 256) || '.0.1' ELSE '' END
+    || CASE WHEN doc_id % 5 <> 4
+            THEN ' tel +44 20 7946 '
+                 || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END AS text
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g') AS t1
+  FROM injected
+),
+r2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ips,
+         regexp_replace(t1, '{IPV4_RE}', '{IP_TOKEN}', 'g') AS t2
+  FROM r1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS text_redacted,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones
+FROM r2
+"""
+
+
 def _q_doc_lang_counts(sf_dir: str):
     import ray
 
@@ -1377,6 +1522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
         "decontaminate_docs": _q_decontaminate,
+        "line_dedup_docs": _q_line_dedup,
+        "redact_pii": _q_redact_pii,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
         "label_accuracy": _q_label_accuracy,
@@ -1442,6 +1589,8 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
         "decontaminate_docs": DECONTAMINATE_SQL,
+        "line_dedup_docs": _LINE_DEDUP_SQL,
+        "redact_pii": _redact_pii_sql(),
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "events_hourly": oracle_extras.events_hourly_sql(),
         "label_accuracy": oracle_extras.label_accuracy_sql(pairs_sql),

@@ -103,6 +103,8 @@ def _bench_queries(sf_dir: str) -> dict:
         "text_stats",
         "doc_repetition",
         "decontaminate_docs",
+        "line_dedup_docs",
+        "redact_pii",
         "embedding_near_dup",
         "ann_topk",
         "events_hourly",
