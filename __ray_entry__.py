@@ -731,6 +731,126 @@ FROM split s LEFT JOIN recon r USING (doc_id)
 """
 
 
+def _url_of(i: int) -> str:
+    """Deterministic per-doc URL (mirrored verbatim by _URL_SYNTH_SQL);
+    every 41st url is schemeless so the unparsed-null path runs."""
+    if i % 41 == 40:
+        return f"no-scheme.example/x{i}"
+    sub = f"s{i % 5}." if i % 4 == 0 else ""
+    www = "www." if i % 7 == 0 else ""
+    tld = ("co.uk", "com", "org")[i % 3]
+    q = "?q=1" if i % 5 == 0 else ""
+    return f"https://{sub}{www}site{i % 37}.{tld}/p/{i}{q}"
+
+
+_URL_SYNTH_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 41 = 40 THEN 'no-scheme.example/x' || doc_id
+  ELSE 'https://'
+    || CASE WHEN doc_id % 4 = 0 THEN 's' || (doc_id % 5) || '.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END
+    || 'site' || (doc_id % 37) || '.'
+    || CASE doc_id % 3 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' ELSE 'org' END
+    || '/p/' || doc_id
+    || CASE WHEN doc_id % 5 = 0 THEN '?q=1' ELSE '' END
+  END AS url
+FROM documents
+"""
+
+
+def _docs_with_urls(sf_dir: str):
+    import pyarrow as pa
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array([_url_of(i) for i in ids], pa.string()),
+            }
+        )
+
+    import ray
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(add_url, batch_format="pyarrow")
+
+
+def _q_parse_urls(sf_dir: str):
+    """Vectorized URL parse + eTLD+1 reduction (stages/urls.py):
+    RE2 split over the Arrow buffer, registered domain computed once per
+    DISTINCT host via dictionary encoding."""
+    from uk_address_matcher_ray.stages.urls import parse_urls
+
+    return parse_urls(_docs_with_urls(sf_dir))
+
+
+def _q_domain_stats(sf_dir: str):
+    """Per-registered-domain doc and distinct-host counts: per-batch
+    partial aggregation, one domain-keyed exchange."""
+    from uk_address_matcher_ray.stages.urls import domain_doc_stats
+
+    return domain_doc_stats(_docs_with_urls(sf_dir))
+
+
+def _url_oracle_cte() -> str:
+    from uk_address_matcher_ray.stages.urls import (
+        _MULTI_LABEL_SUFFIXES,
+        URL_RE,
+    )
+
+    pat = URL_RE
+    for g in ("scheme", "host", "path", "query"):
+        pat = pat.replace(f"(?P<{g}>", "(")
+    sufs = ",".join(f"'{s}'" for s in sorted(_MULTI_LABEL_SUFFIXES))
+    return f"""
+WITH u AS ({_URL_SYNTH_SQL}),
+p AS (
+  SELECT doc_id, regexp_matches(url, '{pat}') AS ok,
+         regexp_extract(url, '{pat}', 1) AS scheme,
+         regexp_extract(url, '{pat}', 2) AS host,
+         regexp_extract(url, '{pat}', 3) AS path,
+         regexp_extract(url, '{pat}', 4) AS query
+  FROM u),
+r AS (
+  SELECT p.*,
+    CASE WHEN host <> '' AND NOT regexp_matches(host, '[^0-9.]') THEN host
+         WHEN len(string_split(host, '.')) <= 2 THEN host
+         WHEN array_to_string(string_split(host, '.')[-2:], '.')
+              IN ({sufs})
+           THEN array_to_string(string_split(host, '.')[-3:], '.')
+         ELSE array_to_string(string_split(host, '.')[-2:], '.')
+    END AS registered_domain
+  FROM p)
+"""
+
+
+def _parse_urls_sql() -> str:
+    return (
+        _url_oracle_cte()
+        + """
+SELECT doc_id,
+       CASE WHEN ok THEN scheme END AS scheme,
+       CASE WHEN ok THEN host END AS host,
+       CASE WHEN ok THEN registered_domain END AS registered_domain,
+       CASE WHEN ok THEN path END AS path,
+       CASE WHEN ok THEN query END AS query
+FROM r"""
+    )
+
+
+def _domain_stats_sql() -> str:
+    return (
+        _url_oracle_cte()
+        + """
+SELECT registered_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM r WHERE ok GROUP BY registered_domain"""
+    )
+
+
 def _q_redact_pii(sf_dir: str):
     """C4-style PII scrub over documents with deterministically injected
     e-mails / IPv4s / phone numbers (the corpus itself has none); the
@@ -1424,7 +1544,60 @@ def _q_media_decode_tiff(sf_dir: str):
         for uid in ids:
             k = int(uid[1:])
             pix = ((k * 7 + y * 31 + x * 13 + c * 101) % 256).astype(np.uint8)
-            payloads.append(encode_tiff(pix))
+            # rotate compression/predictor so the REAL TIFF-LZW, PackBits
+            # and differencing paths all run distributed (all lossless)
+            payloads.append(
+                encode_tiff(
+                    pix,
+                    compression=("none", "lzw", "packbits")[k % 3],
+                    predictor=2 if k % 5 == 1 else 1,
+                )
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = dataset_from_table(messy).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    return extract_media_features(media, use_real_decoder=True).select_columns(
+        ["media_id", "features"]
+    )
+
+
+def _q_media_decode_gif(sf_dir: str):
+    """REAL GIF decode (functions/gif.py, pure numpy LZW): the same
+    deterministic 16x16 pixel formula as media_decode, carried through
+    GIF encode (real greedy LZW, <=256 colors by construction) ->
+    distributed decode. GIF is lossless, so the oracle is the identical
+    pixel-formula SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.multimodal import extract_media_features
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    _canon, messy = _synth_tables(sf_dir)
+
+    y = np.arange(16, dtype=np.int64)[:, None, None]
+    x = np.arange(16, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        from uk_address_matcher_ray.functions.gif import encode_gif
+
+        ids = batch.column("unique_id").to_pylist()
+        payloads = []
+        for n, uid in enumerate(ids):
+            k = int(uid[1:])
+            pix = ((k * 7 + y * 31 + x * 13 + c * 101) % 256).astype(np.uint8)
+            # alternate interlaced frames so the 4-pass deinterlace runs
+            # in the distributed path too
+            payloads.append(encode_gif(pix, interlace=(k % 2 == 1)))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
@@ -1514,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_jpeg": _q_media_decode_jpeg,
         "media_decode_png": _q_media_decode_png,
         "media_decode_tiff": _q_media_decode_tiff,
+        "media_decode_gif": _q_media_decode_gif,
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range,
         "user_sessions": _q_user_sessions,
@@ -1524,6 +1698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate,
         "line_dedup_docs": _q_line_dedup,
         "redact_pii": _q_redact_pii,
+        "parse_urls": _q_parse_urls,
+        "domain_doc_stats": _q_domain_stats,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
         "label_accuracy": _q_label_accuracy,
@@ -1591,6 +1767,8 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "decontaminate_docs": DECONTAMINATE_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "redact_pii": _redact_pii_sql(),
+        "parse_urls": _parse_urls_sql(),
+        "domain_doc_stats": _domain_stats_sql(),
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "events_hourly": oracle_extras.events_hourly_sql(),
         "label_accuracy": oracle_extras.label_accuracy_sql(pairs_sql),
@@ -1627,6 +1805,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         # oracle is the same pixel-formula aggregation as media_decode
         "media_decode_png": oracle_extras.media_decode_sql(),
         "media_decode_tiff": oracle_extras.media_decode_sql(),
+        "media_decode_gif": oracle_extras.media_decode_sql(),
         "events_asof_join": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_SQL,
         "user_sessions": _USER_SESSIONS_SQL,

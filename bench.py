@@ -105,6 +105,8 @@ def _bench_queries(sf_dir: str) -> dict:
         "decontaminate_docs",
         "line_dedup_docs",
         "redact_pii",
+        "parse_urls",
+        "domain_doc_stats",
         "embedding_near_dup",
         "ann_topk",
         "events_hourly",

@@ -49,6 +49,46 @@ def main() -> None:
     # 3. text quality stats (lang-id, token counts, fingerprints)
     print("text stats sample:", text_stats_dataset(docs).take(2))
 
+    # 3b. line-level boilerplate removal (CCNet-style), PII scrub and
+    # URL/domain filters — the web-corpus hygiene trio
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.linededup import line_dedup_docs
+    from uk_address_matcher_ray.stages.pii import redact_pii
+    from uk_address_matcher_ray.stages.urls import (
+        domain_doc_stats,
+        filter_blocked_domains,
+    )
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        texts = [
+            (t or "").replace(" the ", "\n") for t in
+            batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "text": pa.array(texts, pa.string())}
+        )
+
+    lined = docs.map_batches(to_lines, batch_format="pyarrow")
+    cleaned = line_dedup_docs(lined, min_docs=5)
+    print("line-dedup sample:", cleaned.take(1))
+
+    print("pii-redacted sample:", redact_pii(docs).take(1))
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = [f"https://site{i % 11}.example.com/p/{i}" for i in ids]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "url": pa.array(urls, pa.string())}
+        )
+
+    with_urls = docs.map_batches(add_url, batch_format="pyarrow")
+    print("domain stats:", domain_doc_stats(with_urls).take(3))
+    blocked = filter_blocked_domains(with_urls, frozenset({"example.com"}))
+    print("after blocklist:", blocked.count())
+
     # 4. temporal operators over the events stream
     ev_cols = ["event_id", "ts", "user_id", "event_type", "value"]
 

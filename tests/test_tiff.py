@@ -124,7 +124,7 @@ def test_rejections():
     payload = bytearray(encode_tiff(img))
     with pytest.raises(ValueError):
         decode_tiff(b"XX" + bytes(payload)[2:])
-    # flip Compression (tag 259) value to 5 (LZW) in place
+    # flip Compression (tag 259) value to 7 (JPEG-in-TIFF) in place
     raw = bytes(payload)
     ifd_off = struct.unpack_from("<I", raw, 4)[0]
     (n,) = struct.unpack_from("<H", raw, ifd_off)
@@ -132,9 +132,51 @@ def test_rejections():
         base = ifd_off + 2 + 12 * i
         tag = struct.unpack_from("<H", raw, base)[0]
         if tag == 259:
-            payload[base + 8 : base + 10] = struct.pack("<H", 5)
+            payload[base + 8 : base + 10] = struct.pack("<H", 7)
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(payload))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    seed=st.integers(0, 2**16),
+    kind=st.sampled_from(["gray", "rgb", "rgba"]),
+    predictor=st.sampled_from([1, 2]),
+)
+def test_lzw_roundtrip_lossless(h, w, seed, kind, predictor):
+    rng = np.random.default_rng(seed)
+    shape = {"gray": (h, w), "rgb": (h, w, 3), "rgba": (h, w, 4)}[kind]
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_tiff(encode_tiff(img, compression="lzw", predictor=predictor))
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    seed=st.integers(0, 2**16),
+    runs=st.booleans(),
+)
+def test_packbits_roundtrip_lossless(h, w, seed, runs):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 3 if runs else 256, (h, w, 3), dtype=np.uint8)
+    if runs:
+        img = img * 90  # long repeat runs
+    out = decode_tiff(encode_tiff(img, compression="packbits"))
+    assert (out == img).all()
+
+
+def test_lzw_table_reset_path():
+    """A big low-entropy image drives the LZW table past 4094 codes,
+    forcing the encoder's mid-stream clear + early-change re-growth."""
+    rng = np.random.default_rng(4)
+    img = (rng.integers(0, 3, (120, 120), dtype=np.uint8) * 100)
+    out = decode_tiff(encode_tiff(img, compression="lzw"))
+    assert (out == img).all()
 
 
 def test_multimodal_dispatch_tiff():

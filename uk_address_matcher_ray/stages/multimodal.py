@@ -167,9 +167,13 @@ def _decode_image(payload: bytes):
         from uk_address_matcher_ray.functions.tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"GIF8":
+        from uk_address_matcher_ray.functions.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "BMP/PPM/baseline-JPEG/PNG/uncompressed-TIFF decode in this "
-        "container; other image codecs (WebP/GIF, compressed TIFF) remain "
+        "BMP/PPM/baseline-JPEG/PNG/TIFF(none+LZW+PackBits)/GIF decode in "
+        "this container; other image codecs (WebP, JPEG-in-TIFF) remain "
         "integration points"
     )
 
