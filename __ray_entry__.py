@@ -594,6 +594,33 @@ def _q_ivf_topk(sf_dir: str):
     return out.map_batches(round_batch, batch_format="pyarrow")
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Coarse k-means cluster label per embedding (the SemDeDup / data-mix
+    primitive): trained via streaming partial-sum Lloyd passes, assigned in
+    one zero-shuffle map_batches against the broadcast centroid matrix."""
+    import ray
+
+    from uk_address_matcher_ray.stages.similarity import kmeans_assign
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_assign(ds)
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup: within-cluster smaller-id cosine flags, one cid-keyed
+    exchange, tiled pairwise so memory is tile x cluster."""
+    import ray
+
+    from uk_address_matcher_ray.stages.similarity import semdedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(ds, threshold=NEAR_DUP_COS)
+
+
 def _q_text_stats(sf_dir: str):
     from uk_address_matcher_ray.stages.textstats import text_stats_dataset
 
@@ -1693,6 +1720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup_docs": _q_semdedup,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
         "decontaminate_docs": _q_decontaminate,
@@ -1762,6 +1791,8 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "embedding_lsh_near_dup": oracle_extras.embedding_lsh_sql(threshold=0.9),
         "ann_topk": oracle_extras.ann_topk_sql(k=ANN_K),
         "ivf_topk": oracle_extras.ivf_topk_sql(k=ANN_K),
+        "kmeans_clusters": oracle_extras.kmeans_clusters_sql(),
+        "semdedup_docs": oracle_extras.semdedup_sql(threshold=NEAR_DUP_COS),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
         "decontaminate_docs": DECONTAMINATE_SQL,

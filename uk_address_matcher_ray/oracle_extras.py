@@ -580,22 +580,13 @@ def _normalize_sql(x: str) -> str:
     )
 
 
-def ivf_topk_sql(
-    k: int,
-    num_centroids: int = 16,
-    nprobe: int = 4,
-    iters: int = 3,
-    dim: int = 64,
-    n_queries: int = 5,
-) -> str:
-    """Exact mirror of stages/similarity.ivf_topk: Lloyd iterations unrolled
-    as CTE chains (assignment = ROW_NUMBER over dot DESC / cid ASC, matching
-    numpy argmax's first-max tie break; empty clusters keep their previous
-    centroid via LEFT JOIN), final top-k restricted to each query's nprobe
-    probed buckets. Float-sum orders differ from numpy at ~1e-15 — hidden by
-    the 6-digit rounding both sides apply (same tolerance as ann_topk); the
-    discrete argmax/probe choices only flip on sub-1e-12 dot ties, absent in
-    the synth embeddings."""
+def _kmeans_ctes(num_centroids: int, iters: int, dim: int) -> list:
+    """CTE chain mirroring stages/similarity.train_centroids + the final
+    nearest-centroid assignment: Lloyd iterations unrolled (assignment =
+    ROW_NUMBER over dot DESC / cid ASC, matching numpy argmax's first-max
+    tie break; empty clusters keep their previous centroid via LEFT JOIN).
+    Ends at ``af(vec_id, v, cid)`` — shared by ivf_topk_sql,
+    kmeans_clusters_sql and semdedup_sql."""
     ctes = [
         "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings)",
         f"norm AS MATERIALIZED (SELECT vec_id, {_normalize_sql('v0')} AS v FROM e)",
@@ -632,6 +623,25 @@ def ivf_topk_sql(
         f"PARTITION BY n.vec_id ORDER BY {dot_a} DESC, c.cid) AS rn "
         f"FROM norm n CROSS JOIN {cf} c) t WHERE rn = 1)"
     )
+    return ctes
+
+
+def ivf_topk_sql(
+    k: int,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    dim: int = 64,
+    n_queries: int = 5,
+) -> str:
+    """Exact mirror of stages/similarity.ivf_topk: the shared Lloyd CTE
+    chain (_kmeans_ctes), final top-k restricted to each query's nprobe
+    probed buckets. Float-sum orders differ from numpy at ~1e-15 — hidden by
+    the 6-digit rounding both sides apply (same tolerance as ann_topk); the
+    discrete argmax/probe choices only flip on sub-1e-12 dot ties, absent in
+    the synth embeddings."""
+    ctes = _kmeans_ctes(num_centroids, iters, dim)
+    cf = f"c{iters}"
     ctes.append(f"q AS (SELECT * FROM norm ORDER BY vec_id LIMIT {n_queries})")
     dot_q = _dot_sql("q.v", "c.cv")
     ctes.append(
@@ -655,6 +665,47 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine,
     ) AS BIGINT) AS rank
 FROM scored
 QUALIFY rank <= {k}
+"""
+
+
+def kmeans_clusters_sql(
+    num_centroids: int = 16, iters: int = 3, dim: int = 64
+) -> str:
+    """Mirror of stages/similarity.kmeans_assign: the shared Lloyd chain's
+    final assignment. Discrete output — exact unless a dot tie flips the
+    argmax at sub-1e-12, absent in the synth embeddings."""
+    body = ",\n".join(_kmeans_ctes(num_centroids, iters, dim))
+    return f"""
+WITH {body}
+SELECT vec_id, cid FROM af
+"""
+
+
+def semdedup_sql(
+    threshold: float = 0.9,
+    num_centroids: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    """Mirror of stages/similarity.semdedup: within-cluster max cosine to a
+    smaller-id cluster-mate (LEFT JOIN keeps each cluster's lowest id with
+    a null max). is_dup compares the UNROUNDED max on both sides — the
+    threshold sits far from any synth cosine, so 1e-15 sum-order noise
+    cannot flip it (same tolerance argument as ivf_topk_sql)."""
+    ctes = _kmeans_ctes(num_centroids, iters, dim)
+    dot = _dot_sql("a.v", "b.v")
+    ctes.append(
+        f"mx AS (SELECT a.vec_id, max({dot}) AS m "
+        f"FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id "
+        f"GROUP BY a.vec_id)"
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT a.vec_id, a.cid,
+    round(mx.m, 6) AS max_cos_smaller,
+    COALESCE(mx.m >= {threshold!r}, FALSE) AS is_dup
+FROM af a LEFT JOIN mx USING (vec_id)
 """
 
 

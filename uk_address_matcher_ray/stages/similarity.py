@@ -1,4 +1,4 @@
-"""Similarity search over an embedding column (list<float>).
+"""Similarity search and embedding-space dedup over a list<float> column.
 
 * ``brute_force_topk`` — the baseline: the (small) query matrix is broadcast
   via ``ray.put``; every batch computes a numpy block matmul and emits its
@@ -8,6 +8,14 @@
   seeded init, few Lloyd iterations via Dataset aggregations), vectors
   bucketed by nearest centroid; queries probe ``nprobe`` nearest buckets so
   only those partitions are scanned.
+* ``kmeans_assign`` — the quantizer exposed as a clustering operator:
+  every vector labelled with its nearest trained centroid (the
+  cluster-then-process primitive behind SemDeDup / cluster-balanced data
+  mixing).
+* ``semdedup`` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster
+  the embeddings, then flag near-duplicates WITHIN each cluster by
+  pairwise cosine — the clustering bounds the quadratic so the pairwise
+  step never crosses cluster boundaries.
 """
 
 from __future__ import annotations
@@ -250,4 +258,127 @@ def ivf_topk(
 
     return partials.groupby("query_id").map_groups(
         final_topk, batch_format="pyarrow"
+    )
+
+
+def kmeans_assign(
+    ds,
+    num_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """-> Dataset(id, cid): each vector labelled with its nearest trained
+    centroid (argmax cosine; ties -> lowest cid, numpy argmax first-max).
+
+    Training cost is ``iters`` streaming passes of partial-sum
+    aggregations (train_centroids); assignment is one row-local
+    map_batches against the broadcast (num_centroids × dim) matrix —
+    zero shuffles, so the operator scales as pure map parallelism."""
+    import numpy as np
+    import ray
+
+    cents = train_centroids(
+        ds, num_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _normalized_batch(batch, vec_col)
+        a = np.argmax(mat @ c.T, axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cid": pa.array(a, pa.int32()),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def semdedup(
+    ds,
+    threshold: float = 0.9,
+    num_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tile_rows: int = 1024,
+):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the coarse
+    k-means quantizer, then WITHIN each cluster flag every vector whose
+    cosine to a SMALLER-id cluster-mate reaches ``threshold`` (the
+    deterministic keep-lowest-id form of the paper's greedy pass).
+
+    -> Dataset(id, cid, max_cos_smaller, is_dup); ``max_cos_smaller`` is
+    null for the cluster's lowest id (nothing to compare against).
+
+    Scale shape: ONE exchange keyed on the int32 cluster id (rows carry
+    id + vector, nothing else); the per-cluster pairwise step runs in
+    ``tile_rows``-row tiles so peak memory is tile × cluster, not
+    cluster². Cluster sizes bound the quadratic — that is SemDeDup's
+    own design; at corpus scale pick num_centroids so the expected
+    cluster fits a task (the paper uses 50k clusters for LAION), and
+    sub-shard any residual hot cluster the same way block.py salts hot
+    blocking keys."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    cents = train_centroids(
+        ds, num_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    cref = ray.put(cents)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _normalized_batch(batch, vec_col)
+        a = np.argmax(mat @ c.T, axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+                "cid": pa.array(a, pa.int32()),
+            }
+        )
+
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        bucketize, batch_format="pyarrow"
+    )
+
+    def per_cluster(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group.column(id_col)))
+        n = g.num_rows
+        mat = _normalized_batch(g, vec_col)
+        maxp = np.full(n, -np.inf)
+        for s in range(0, n, tile_rows):
+            e = min(s + tile_rows, n)
+            sims = mat[s:e] @ mat[:e].T  # rows s..e vs every id-rank < e
+            rows = np.arange(s, e)[:, None]
+            cols = np.arange(e)[None, :]
+            np.copyto(sims, -np.inf, where=cols >= rows)
+            if e:
+                maxp[s:e] = sims.max(axis=1)
+        has_prior = np.isfinite(maxp)
+        return pa.table(
+            {
+                id_col: g.column(id_col),
+                "cid": g.column("cid"),
+                "max_cos_smaller": pc.round(
+                    pa.array(
+                        np.where(has_prior, maxp, 0.0),
+                        pa.float64(),
+                        mask=~has_prior,
+                    ),
+                    ndigits=6,
+                ),
+                "is_dup": pa.array(maxp >= threshold),
+            }
+        )
+
+    return bucketed.groupby("cid").map_groups(
+        per_cluster, batch_format="pyarrow"
     )
