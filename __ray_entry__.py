@@ -770,17 +770,21 @@ def _url_of(i: int) -> str:
     return f"https://{sub}{www}site{i % 37}.{tld}/p/{i}{q}"
 
 
-_URL_SYNTH_SQL = """
-SELECT doc_id,
-  CASE WHEN doc_id % 41 = 40 THEN 'no-scheme.example/x' || doc_id
+def _url_synth_case(e: str) -> str:
+    """The SQL CASE mirroring _url_of(<e>) verbatim."""
+    return f"""CASE WHEN {e} % 41 = 40 THEN 'no-scheme.example/x' || {e}
   ELSE 'https://'
-    || CASE WHEN doc_id % 4 = 0 THEN 's' || (doc_id % 5) || '.' ELSE '' END
-    || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END
-    || 'site' || (doc_id % 37) || '.'
-    || CASE doc_id % 3 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' ELSE 'org' END
-    || '/p/' || doc_id
-    || CASE WHEN doc_id % 5 = 0 THEN '?q=1' ELSE '' END
-  END AS url
+    || CASE WHEN {e} % 4 = 0 THEN 's' || ({e} % 5) || '.' ELSE '' END
+    || CASE WHEN {e} % 7 = 0 THEN 'www.' ELSE '' END
+    || 'site' || ({e} % 37) || '.'
+    || CASE {e} % 3 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' ELSE 'org' END
+    || '/p/' || {e}
+    || CASE WHEN {e} % 5 = 0 THEN '?q=1' ELSE '' END
+  END"""
+
+
+_URL_SYNTH_SQL = f"""
+SELECT doc_id, {_url_synth_case('doc_id')} AS url
 FROM documents
 """
 
@@ -802,6 +806,55 @@ def _docs_with_urls(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(add_url, batch_format="pyarrow")
+
+
+def _docs_with_snapshots(sf_dir: str):
+    """(doc_id, url, fetch_ts): doc i is a re-crawl of url _url_of(i % 120)
+    at ts (i // 120) % 2 — each url gets several fetches, max-ts ties exist
+    (resolved by min doc_id). Mirrored verbatim by the SQL oracle."""
+    import pyarrow as pa
+    import ray
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array([_url_of(i % 120) for i in ids], pa.string()),
+                "fetch_ts": pa.array(
+                    [(i // 120) % 2 for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(add, batch_format="pyarrow")
+
+
+def _q_url_dedup(sf_dir: str):
+    """Cross-snapshot URL dedup (stages/urls.py): keep the newest fetch per
+    exact URL; per-batch pre-reduction, one url-keyed grouped pass."""
+    from uk_address_matcher_ray.stages.urls import url_dedup
+
+    return url_dedup(_docs_with_snapshots(sf_dir))
+
+
+def _url_dedup_sql() -> str:
+    case = _url_synth_case("(doc_id % 120)")
+    return f"""
+WITH f AS (
+  SELECT doc_id, {case} AS url, (doc_id // 120) % 2 AS fetch_ts
+  FROM documents
+)
+SELECT url, doc_id, fetch_ts FROM (
+  SELECT url, doc_id, fetch_ts,
+         ROW_NUMBER() OVER (
+             PARTITION BY url ORDER BY fetch_ts DESC, doc_id
+         ) AS rn
+  FROM f
+) t WHERE rn = 1
+"""
 
 
 def _q_parse_urls(sf_dir: str):
@@ -1729,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "parse_urls": _q_parse_urls,
         "domain_doc_stats": _q_domain_stats,
+        "url_dedup_docs": _q_url_dedup,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
         "label_accuracy": _q_label_accuracy,
@@ -1800,6 +1854,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "redact_pii": _redact_pii_sql(),
         "parse_urls": _parse_urls_sql(),
         "domain_doc_stats": _domain_stats_sql(),
+        "url_dedup_docs": _url_dedup_sql(),
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "events_hourly": oracle_extras.events_hourly_sql(),
         "label_accuracy": oracle_extras.label_accuracy_sql(pairs_sql),

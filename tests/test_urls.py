@@ -115,3 +115,35 @@ def test_filter_blocked_domains():
         ).take_all()
     )
     assert kept2 == [0, 1, 3, 5]
+
+
+def test_url_dedup_keeps_newest_then_min_id():
+    import random
+
+    from uk_address_matcher_ray.stages.urls import url_dedup
+
+    rng = random.Random(11)
+    rows = [
+        (i, f"https://s{rng.randrange(8)}.example.com/p{rng.randrange(5)}",
+         rng.randrange(3))
+        for i in range(200)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "url": pa.array([r[1] for r in rows], pa.string()),
+            "fetch_ts": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    # brute-force winner per url: max ts, tie -> min id
+    want = {}
+    for i, u, t in rows:
+        cur = want.get(u)
+        if cur is None or (t, -i) > (cur[1], -cur[0]):
+            want[u] = (i, t)
+    import ray
+
+    out = url_dedup(ray.data.from_arrow(tbl)).take_all()
+    got = {r["url"]: (r["doc_id"], r["fetch_ts"]) for r in out}
+    assert len(out) == len(got) == len(want)
+    assert got == want

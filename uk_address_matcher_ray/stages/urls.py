@@ -189,3 +189,67 @@ def filter_blocked_domains(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def _best_per_url(
+    tbl: pa.Table, url_col: str, ts_col: str, id_col: str
+) -> pa.Table:
+    """One row per url: max ts, ties -> min id (sort + run-starts take)."""
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            (url_col, "ascending"),
+            (ts_col, "descending"),
+            (id_col, "ascending"),
+        ],
+    )
+    s = tbl.take(idx)
+    urls = s.column(url_col).to_numpy(zero_copy_only=False)
+    if len(urls) == 0:
+        return s
+    starts = np.concatenate(
+        [[0], np.flatnonzero(urls[1:] != urls[:-1]) + 1]
+    )
+    return s.take(pa.array(starts, pa.int64()))
+
+
+def url_dedup(
+    ds,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+):
+    """Cross-snapshot URL dedup: keep the NEWEST fetch per exact URL
+    (max ``ts_col``; ties -> min ``id_col``) — the re-crawl collapse every
+    Common-Crawl-style pipeline runs before content dedup.
+
+    -> Dataset(url, id, ts) with one row per distinct url.
+
+    Scale shape: per-batch pre-reduction (the same best-per-url kernel run
+    WITHIN each batch — re-crawls of a url cluster inside snapshot shards)
+    so the exchange carries distinct-urls-per-batch rows; one url-keyed
+    grouped pass resolves the global winner. The key is the url string
+    itself (short, and the exchange is already distinct-per-batch) — no
+    hash-collision risk to reason about."""
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    in_schema = ds.schema()
+    types = {n: t for n, t in zip(in_schema.names, in_schema.types)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _best_per_url(
+            batch.select([url_col, id_col, ts_col]), url_col, ts_col, id_col
+        )
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        return _best_per_url(tbl, url_col, ts_col, id_col)
+
+    out_schema = pa.schema(
+        [
+            pa.field(url_col, types[url_col]),
+            pa.field(id_col, types[id_col]),
+            pa.field(ts_col, types[ts_col]),
+        ]
+    )
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_map(pre, url_col, None, out_schema, fn_table=finalize)
