@@ -621,6 +621,23 @@ def _q_semdedup(sf_dir: str):
     return semdedup(ds, threshold=NEAR_DUP_COS)
 
 
+MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic data-mixing sampler (stages/sampling.py): per-language
+    rates, md5 sample key, zero shuffles — the same row keeps/drops on any
+    cluster size or re-run."""
+    import ray
+
+    from uk_address_matcher_ray.stages.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(ds, MIX_RATES)
+
+
 def _q_text_stats(sf_dir: str):
     from uk_address_matcher_ray.stages.textstats import text_stats_dataset
 
@@ -1775,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup_docs": _q_semdedup,
+        "stratified_sample": _q_stratified_sample,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
         "decontaminate_docs": _q_decontaminate,
@@ -1800,6 +1818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray import oracle, oracle_scoring, oracle_extras, oracle_train
+    from uk_address_matcher_ray.stages import sampling
 
     union_input = _union_input_sql()
     pairs_sql = _pairs_oracle_sql()
@@ -1847,6 +1866,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "ivf_topk": oracle_extras.ivf_topk_sql(k=ANN_K),
         "kmeans_clusters": oracle_extras.kmeans_clusters_sql(),
         "semdedup_docs": oracle_extras.semdedup_sql(threshold=NEAR_DUP_COS),
+        "stratified_sample": sampling.stratified_sample_sql(MIX_RATES),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
         "decontaminate_docs": DECONTAMINATE_SQL,

@@ -1,0 +1,126 @@
+"""Deterministic stratified sampling — the data-mixing primitive.
+
+Training-data pipelines re-weight sources/languages/quality buckets by
+sampling each stratum at its own rate ("data mixing": C4 vs books vs
+code proportions, language balancing, quality-bucket upsampling caps).
+At 100 TB the sampler must be a pure row-local function — no
+coordination, no shuffle, no RNG state — so the same row makes the same
+keep/drop decision on any cluster size, any block order, any re-run,
+and a resumed job never double-samples.
+
+Decision rule: keep row iff ``md5(f"{seed}:{id}")[:8] < hex(floor(rate *
+2^32))`` — an 8-hex-digit lowercase string compare, which equals the
+uint32 numeric compare (fixed width, lexicographic = numeric). md5 is
+chosen over a faster integer mix because the DuckDB oracle can compute
+the identical key (``md5(seed || ':' || CAST(id AS VARCHAR))``); a
+production swap to splitmix64-on-int-ids is one function.
+
+Scale shape: zero shuffles — one ``map_batches`` filter; the rate table
+is a tiny dict captured in the closure (per-worker constant). The md5
+per row is the only per-row Python; it is ~1 us/row and row-local, so it
+scales as pure map parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Mapping, Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _threshold_hex(rate: float) -> Optional[str]:
+    """8-hex-char keep threshold; None means keep-all (rate >= 1)."""
+    if rate >= 1.0:
+        return None
+    if rate <= 0.0:
+        return "00000000"
+    return format(int(rate * (1 << 32)), "08x")
+
+
+def sample_key(id_val, seed: int = 0) -> str:
+    """The row's 8-hex-char sample key (uniform over [0, 2^32))."""
+    return hashlib.md5(f"{seed}:{id_val}".encode()).hexdigest()[:8]
+
+
+def stratified_sample(
+    ds,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    seed: int = 0,
+):
+    """-> Dataset(id, stratum, sample_key): rows kept at each stratum's
+    rate. ``sample_key`` is emitted for auditability (the decision is
+    recomputable from the row alone)."""
+    rates = dict(rates)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [sample_key(i, seed) for i in ids]
+        # threshold per row via the batch's dictionary-encoded strata
+        s = batch.column(stratum_col)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        d = s.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        import pyarrow.compute as pc
+
+        thr_by_code = [
+            _threshold_hex(rates.get(v, default_rate))
+            for v in d.dictionary.to_pylist()
+        ]
+        # null stratum -> default rate (mirrors SQL CASE ... ELSE default)
+        thr_null = _threshold_hex(default_rate)
+        codes = pc.fill_null(d.indices, -1).to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (
+                (t := thr_by_code[c] if c >= 0 else thr_null) is None
+                or keys[j] < t
+                for j, c in enumerate(codes)
+            ),
+            bool,
+            len(ids),
+        )
+        out = pa.table(
+            {
+                id_col: batch.column(id_col),
+                "stratum": s,
+                "sample_key": pa.array(keys, pa.string()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def stratified_sample_sql(
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    seed: int = 0,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror: identical md5 key, identical hex-string compare."""
+    branches = []
+    for v in sorted(rates):
+        t = _threshold_hex(rates[v])
+        cond = "TRUE" if t is None else f"sample_key < '{t}'"
+        branches.append(f"WHEN '{v}' THEN {cond}")
+    dt = _threshold_hex(default_rate)
+    default = "TRUE" if dt is None else f"sample_key < '{dt}'"
+    case = f"CASE stratum {' '.join(branches)} ELSE {default} END"
+    return f"""
+WITH keyed AS (
+  SELECT {id_col}, {stratum_col} AS stratum,
+         substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)
+             AS sample_key
+  FROM {table}
+)
+SELECT {id_col}, stratum, sample_key FROM keyed
+WHERE {case}
+"""
