@@ -624,6 +624,28 @@ def _q_semdedup(sf_dir: str):
 MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
 
 
+def _q_quality_scores(sf_dir: str):
+    """GPT-3-style quality classifier (stages/classifier.py): hashed-token
+    logistic regression trained by full-batch GD partial-sum passes
+    (labels: lang == 'en'), scored in one zero-shuffle pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from uk_address_matcher_ray.stages.classifier import quality_classifier
+
+    def add_label(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_curated",
+            pc.equal(batch.column("lang"), "en").cast(pa.int64()),
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(add_label, batch_format="pyarrow")
+    return quality_classifier(ds, label_col="is_curated")
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic data-mixing sampler (stages/sampling.py): per-language
     rates, md5 sample key, zero shuffles — the same row keeps/drops on any
@@ -1793,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup_docs": _q_semdedup,
         "stratified_sample": _q_stratified_sample,
+        "quality_scores": _q_quality_scores,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
         "decontaminate_docs": _q_decontaminate,
@@ -1867,6 +1890,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "kmeans_clusters": oracle_extras.kmeans_clusters_sql(),
         "semdedup_docs": oracle_extras.semdedup_sql(threshold=NEAR_DUP_COS),
         "stratified_sample": sampling.stratified_sample_sql(MIX_RATES),
+        "quality_scores": oracle_extras.quality_classifier_sql(),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
         "decontaminate_docs": DECONTAMINATE_SQL,

@@ -709,6 +709,73 @@ FROM af a LEFT JOIN mx USING (vec_id)
 """
 
 
+def quality_classifier_sql(
+    dim: int = 16,
+    iters: int = 3,
+    lr: float = 1.0,
+    label_expr: str = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+) -> str:
+    """Mirror of stages/classifier.quality_classifier: identical md5
+    hashing-trick buckets, full-batch GD iterations unrolled as CTE chains
+    (the Lloyd-unroll pattern of _kmeans_ctes). Float sum orders differ
+    from numpy at ~1e-15 — hidden by the 6-digit rounding both sides apply
+    to the smooth sigmoid output (no discrete branch to flip)."""
+    d1 = dim + 1
+    tok_split = (
+        "list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),"
+        " '\\s+'), t -> t != '')"
+    )
+    ctes = [
+        f"docs AS (SELECT doc_id, text, {label_expr} AS y FROM documents)",
+        f"toks AS (SELECT doc_id, unnest({tok_split}) AS tok FROM docs)",
+        (
+            "bkt AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8))"
+            f" AS UBIGINT) % {dim} AS b FROM toks)"
+        ),
+        "cnt AS (SELECT doc_id, b, count(*) AS c FROM bkt GROUP BY doc_id, b)",
+        "ntok AS (SELECT doc_id, count(*) AS n FROM bkt GROUP BY doc_id)",
+        f"dims AS (SELECT unnest(range(0, {dim})) AS i)",
+        (
+            "feat AS MATERIALIZED (SELECT d.doc_id, any_value(d.y) AS y, "
+            "list(CASE WHEN n.n IS NULL THEN 0.0 ELSE coalesce(c.c, 0)"
+            " / CAST(n.n AS DOUBLE) END ORDER BY dm.i) || [1.0] AS x "
+            "FROM docs d CROSS JOIN dims dm "
+            "LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.b = dm.i "
+            "LEFT JOIN ntok n ON n.doc_id = d.doc_id "
+            "GROUP BY d.doc_id)"
+        ),
+        "nn AS (SELECT count(*) AS n FROM feat)",
+        f"w0 AS (SELECT [{', '.join(['0.0'] * d1)}]::DOUBLE[] AS w)",
+    ]
+    for t in range(1, iters + 1):
+        dot = _dot_sql("f.x", "w.w")
+        ctes.append(
+            f"s{t} AS (SELECT f.doc_id, f.y, f.x, "
+            f"1.0 / (1.0 + exp(-({dot}))) AS s "
+            f"FROM feat f CROSS JOIN w{t - 1} w)"
+        )
+        ctes.append(
+            f"g{t} AS (SELECT list(gs ORDER BY k) AS g FROM ("
+            f"SELECT k.k AS k, sum((s.s - s.y) * s.x[k.k])"
+            f" / (SELECT n FROM nn) AS gs "
+            f"FROM s{t} s CROSS JOIN (SELECT unnest(range(1, {d1 + 1}))"
+            f" AS k) k GROUP BY k.k) t)"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT list_transform(range(1, {d1 + 1}), "
+            f"k -> w.w[k] - {lr!r} * g.g[k]) AS w "
+            f"FROM w{t - 1} w CROSS JOIN g{t} g)"
+        )
+    dot_f = _dot_sql("f.x", "w.w")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT f.doc_id,
+    round(1.0 / (1.0 + exp(-({dot_f}))), 6) AS quality_score
+FROM feat f CROSS JOIN w{iters} w
+"""
+
+
 def ann_topk_sql(k: int, n_queries: int = 5) -> str:
     cos = _cosine_sql("q.v", "e.v")
     return f"""
