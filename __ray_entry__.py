@@ -646,6 +646,20 @@ def _q_quality_scores(sf_dir: str):
     return quality_classifier(ds, label_col="is_curated")
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality filter (stages/lm.py): add-k bigram LM
+    trained by tree-merged partial counts, scored in one zero-shuffle
+    broadcast pass."""
+    import ray
+
+    from uk_address_matcher_ray.stages.lm import lm_perplexity
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lm_perplexity(ds)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic data-mixing sampler (stages/sampling.py): per-language
     rates, md5 sample key, zero shuffles — the same row keeps/drops on any
@@ -1816,6 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_docs": _q_semdedup,
         "stratified_sample": _q_stratified_sample,
         "quality_scores": _q_quality_scores,
+        "lm_perplexity": _q_lm_perplexity,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
         "decontaminate_docs": _q_decontaminate,
@@ -1841,7 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray import oracle, oracle_scoring, oracle_extras, oracle_train
-    from uk_address_matcher_ray.stages import sampling
+    from uk_address_matcher_ray.stages import lm, sampling
 
     union_input = _union_input_sql()
     pairs_sql = _pairs_oracle_sql()
@@ -1891,6 +1906,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "semdedup_docs": oracle_extras.semdedup_sql(threshold=NEAR_DUP_COS),
         "stratified_sample": sampling.stratified_sample_sql(MIX_RATES),
         "quality_scores": oracle_extras.quality_classifier_sql(),
+        "lm_perplexity": lm.lm_perplexity_sql(),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
         "decontaminate_docs": DECONTAMINATE_SQL,
