@@ -714,6 +714,47 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(corpus, ray.put(assets), k=4)
 
 
+_BLOOM_PRED = "doc_id % 13 = 0"
+_BLOOM_KW = dict(k=4, m_bits=1 << 17, k_hashes=3)
+
+
+def _q_bloom_decontaminate(sf_dir: str):
+    """Dolma/BFF-style Bloom decontamination (stages/bloom.py): blocklist
+    side streams into a fixed 4096-bit filter (tree-OR of per-batch
+    partials), corpus side flagged in one broadcast pass. The oracle
+    reproduces the filter bit-for-bit, false positives included."""
+    import numpy as np
+    import ray
+
+    from uk_address_matcher_ray.stages.bloom import (
+        bloom_build,
+        bloom_filter_docs,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def side(bench: bool):
+        def f(t):
+            import pyarrow as pa
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 13 == 0) if bench else (ids % 13 != 0)
+            return t.filter(pa.array(mask))
+
+        return f
+
+    bits = bloom_build(
+        ds.map_batches(side(True), batch_format="pyarrow"), **_BLOOM_KW
+    )
+    return bloom_filter_docs(
+        ds.map_batches(side(False), batch_format="pyarrow"),
+        ray.put(bits),
+        **_BLOOM_KW,
+    )
+
+
 DECONTAMINATE_SQL = """
 WITH toks AS (
     SELECT doc_id,
@@ -1834,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
         "decontaminate_docs": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "line_dedup_docs": _q_line_dedup,
         "redact_pii": _q_redact_pii,
         "parse_urls": _q_parse_urls,
@@ -1856,7 +1898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray import oracle, oracle_scoring, oracle_extras, oracle_train
-    from uk_address_matcher_ray.stages import lm, sampling
+    from uk_address_matcher_ray.stages import bloom, lm, sampling
 
     union_input = _union_input_sql()
     pairs_sql = _pairs_oracle_sql()
@@ -1910,6 +1952,9 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
         "decontaminate_docs": DECONTAMINATE_SQL,
+        "bloom_decontaminate": bloom.bloom_decontaminate_sql(
+            _BLOOM_PRED, **_BLOOM_KW
+        ),
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "redact_pii": _redact_pii_sql(),
         "parse_urls": _parse_urls_sql(),
