@@ -646,6 +646,20 @@ def _q_quality_scores(sf_dir: str):
     return quality_classifier(ds, label_col="is_curated")
 
 
+def _q_group_cap(sf_dir: str):
+    """C4-style per-group document cap (stages/sampling.group_cap): keep
+    at most 20 docs per language by deterministic md5 rank — per-batch
+    partial top-cap bounds the exchange to cap rows per (group, batch)."""
+    import ray
+
+    from uk_address_matcher_ray.stages.sampling import group_cap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return group_cap(ds, 20)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality filter (stages/lm.py): add-k bigram LM
     trained by tree-merged partial counts, scored in one zero-shuffle
@@ -1872,6 +1886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "quality_scores": _q_quality_scores,
         "lm_perplexity": _q_lm_perplexity,
+        "group_cap_docs": _q_group_cap,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
         "decontaminate_docs": _q_decontaminate,
@@ -1949,6 +1964,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "stratified_sample": sampling.stratified_sample_sql(MIX_RATES),
         "quality_scores": oracle_extras.quality_classifier_sql(),
         "lm_perplexity": lm.lm_perplexity_sql(),
+        "group_cap_docs": sampling.group_cap_sql(20),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
         "decontaminate_docs": DECONTAMINATE_SQL,

@@ -124,3 +124,132 @@ WITH keyed AS (
 SELECT {id_col}, stratum, sample_key FROM keyed
 WHERE {case}
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group cap (domain/language balancing)
+# ---------------------------------------------------------------------------
+
+def _topcap_kernel(tbl: pa.Table, cap: int, group_col: str, id_col: str) -> pa.Table:
+    """Keep the ``cap`` rows with the smallest (sample_key, id) per group.
+
+    Sort by (group, key, id), then rank-within-group via numpy run
+    boundaries — no Python loop, no per-group slicing."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return tbl
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            (group_col, "ascending"),
+            ("sample_key", "ascending"),
+            (id_col, "ascending"),
+        ],
+    )
+    s = tbl.take(order)
+    g = s.column(group_col)
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    enc = g.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    import pyarrow.compute as pc2
+
+    codes = pc2.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+    n = len(codes)
+    idx = np.arange(n, dtype=np.int64)
+    newg = np.empty(n, dtype=bool)
+    newg[0] = True
+    newg[1:] = codes[1:] != codes[:-1]
+    starts = np.maximum.accumulate(np.where(newg, idx, 0))
+    return s.filter(pa.array(idx - starts < cap))
+
+
+def group_cap(
+    ds,
+    cap: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Keep at most ``cap`` rows per group — the domain/language balancing
+    primitive (C4 caps pages per domain; multilingual mixes cap docs per
+    language). Rows are chosen by the deterministic md5 ``sample_key``
+    (smallest ``cap`` keys win, id tie-break), so the selection is a
+    uniform random-N-per-group that is reproducible on any cluster size
+    and SQL-mirrorable as ``row_number() OVER (PARTITION BY group ORDER BY
+    sample_key, id) <= cap``.
+
+    Scale shape: the per-batch partial keeps at most ``cap`` rows per
+    (group, batch) — the global winners are necessarily batch-local
+    winners — so the grouped exchange carries O(cap x groups-per-batch)
+    rows, never the corpus; the grouped pass re-applies the same kernel
+    over complete groups. Hot groups cost cap rows per upstream batch,
+    bounded and skew-immune.
+
+    -> Dataset(id, group, sample_key), the surviving rows.
+    """
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    group_type = types[group_col]
+    id_type = types[id_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keyed = pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                "sample_key": pa.array(
+                    [sample_key(i, seed) for i in ids], pa.string()
+                ),
+            }
+        )
+        return _topcap_kernel(keyed, cap, group_col, id_col)
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field(group_col, group_type),
+            pa.field("sample_key", pa.string()),
+        ]
+    )
+    pre = ds.select_columns([id_col, group_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return grouped_map(
+        pre,
+        group_col,
+        None,
+        out_schema,
+        fn_table=lambda t: _topcap_kernel(t, cap, group_col, id_col).select(
+            [id_col, group_col, "sample_key"]
+        ),
+    )
+
+
+def group_cap_sql(
+    cap: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``group_cap``: identical md5 key and tie-break."""
+    return f"""
+WITH keyed AS (
+  SELECT {id_col}, {group_col},
+         substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)
+             AS sample_key
+  FROM {table}
+),
+rnk AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY {group_col} ORDER BY sample_key, {id_col}) AS rn
+  FROM keyed
+)
+SELECT {id_col}, {group_col}, sample_key FROM rnk WHERE rn <= {cap}
+"""
