@@ -646,6 +646,23 @@ def _q_quality_scores(sf_dir: str):
     return quality_classifier(ds, label_col="is_curated")
 
 
+_QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Exact per-language length quantiles (stages/quantiles.py):
+    histogram partials + per-group type-1 quantile finalize — threshold
+    picking for quality filters without a corpus sort."""
+    import ray
+
+    from uk_address_matcher_ray.stages.quantiles import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_quantiles(ds, _QUANTILE_QS, "n_chars", "lang")
+
+
 def _q_group_cap(sf_dir: str):
     """C4-style per-group document cap (stages/sampling.group_cap): keep
     at most 20 docs per language by deterministic md5 rank — per-batch
@@ -1887,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "lm_perplexity": _q_lm_perplexity,
         "group_cap_docs": _q_group_cap,
+        "length_quantiles": _q_length_quantiles,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
         "decontaminate_docs": _q_decontaminate,
@@ -1913,7 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray import oracle, oracle_scoring, oracle_extras, oracle_train
-    from uk_address_matcher_ray.stages import bloom, lm, sampling
+    from uk_address_matcher_ray.stages import bloom, lm, quantiles, sampling
 
     union_input = _union_input_sql()
     pairs_sql = _pairs_oracle_sql()
@@ -1965,6 +1983,9 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "quality_scores": oracle_extras.quality_classifier_sql(),
         "lm_perplexity": lm.lm_perplexity_sql(),
         "group_cap_docs": sampling.group_cap_sql(20),
+        "length_quantiles": quantiles.grouped_quantiles_sql(
+            _QUANTILE_QS, "n_chars", "lang"
+        ),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
         "decontaminate_docs": DECONTAMINATE_SQL,
