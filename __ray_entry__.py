@@ -646,6 +646,65 @@ def _q_quality_scores(sf_dir: str):
     return quality_classifier(ds, label_col="is_curated")
 
 
+# HTML synthesized from document text (documents.parquet is plain text);
+# the SQL below applies the IDENTICAL nested replaces — both Python
+# str.replace and DuckDB replace are leftmost non-overlapping.
+_HTML_PREFIX = (
+    '<html><head><title>T</title><script>if (x < 1) { y = "</b>"; }'
+    "</script><style>.c{color:red}</style></head><body><p>"
+)
+_HTML_SUFFIX = '</p><div>footer <a href="/f">home</a></div></body></html>'
+
+
+def _html_of(text: str) -> str:
+    body = (
+        (text or "")
+        .replace(" the ", "</p>\n<p>")
+        .replace(" data ", ' <a href="https://ex.com/a">click here</a> ')
+        .replace(" batch ", "<br/>")
+    )
+    return _HTML_PREFIX + body + _HTML_SUFFIX
+
+
+_HTML_SYNTH_SQL = (
+    "'" + _HTML_PREFIX.replace("'", "''") + "' || "
+    "replace(replace(replace(coalesce(text, ''),"
+    " ' the ', '</p>' || chr(10) || '<p>'),"
+    " ' data ', ' <a href=\"https://ex.com/a\">click here</a> '),"
+    " ' batch ', '<br/>')"
+    " || '" + _HTML_SUFFIX.replace("'", "''") + "'"
+)
+
+
+def _q_extract_html(sf_dir: str):
+    """Web-text ingestion (stages/html.py): script/style removal, anchor
+    link-density stats, block-tag line breaks, tag strip, entity decode,
+    whitespace normalize — one zero-shuffle row-local pass."""
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.html import extract_text
+
+    def add_html(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "html": pa.array(
+                    [
+                        _html_of(t)
+                        for t in batch.column("text").to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(add_html, batch_format="pyarrow")
+    return extract_text(ds)
+
+
 _QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]
 
 
@@ -1905,6 +1964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "group_cap_docs": _q_group_cap,
         "length_quantiles": _q_length_quantiles,
+        "extract_html_text": _q_extract_html,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
         "decontaminate_docs": _q_decontaminate,
@@ -1931,7 +1991,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray import oracle, oracle_scoring, oracle_extras, oracle_train
-    from uk_address_matcher_ray.stages import bloom, lm, quantiles, sampling
+    from uk_address_matcher_ray.stages import (
+        bloom,
+        html,
+        lm,
+        quantiles,
+        sampling,
+    )
 
     union_input = _union_input_sql()
     pairs_sql = _pairs_oracle_sql()
@@ -1985,6 +2051,9 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "group_cap_docs": sampling.group_cap_sql(20),
         "length_quantiles": quantiles.grouped_quantiles_sql(
             _QUANTILE_QS, "n_chars", "lang"
+        ),
+        "extract_html_text": html.extract_text_sql(
+            _HTML_SYNTH_SQL, "documents"
         ),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),

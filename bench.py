@@ -103,6 +103,11 @@ def _bench_queries(sf_dir: str) -> dict:
         "text_stats",
         "doc_repetition",
         "decontaminate_docs",
+        "bloom_decontaminate",
+        "lm_perplexity",
+        "quality_scores",
+        "group_cap_docs",
+        "length_quantiles",
         "line_dedup_docs",
         "redact_pii",
         "parse_urls",
