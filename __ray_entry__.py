@@ -705,6 +705,53 @@ def _q_extract_html(sf_dir: str):
     return extract_text(ds)
 
 
+# messy-text synth for the normalization query: decomposed Unicode
+# (combining acute), CRLF/CR newlines, a control byte, whitespace runs —
+# mirrored verbatim by the SQL (same nested leftmost non-overlapping
+# replaces; chr(769) = U+0301 combining acute)
+def _messy_of(text: str) -> str:
+    return (
+        (text or "")
+        .replace(" the ", " the\u0301 ")  # decomposed: e + U+0301
+        .replace(" data ", "\r\ndata\r")
+        .replace(" batch ", " ba\x07tch   ")
+    )
+
+
+_MESSY_SYNTH_SQL = (
+    "replace(replace(replace(coalesce(text, ''),"
+    " ' the ', ' the' || chr(769) || ' '),"
+    " ' data ', chr(13) || chr(10) || 'data' || chr(13)),"
+    " ' batch ', ' ba' || chr(7) || 'tch   ')"
+)
+
+
+def _q_normalize_docs(sf_dir: str):
+    """ftfy-lite text normalization (stages/normalize.py): NFC, newline
+    canonicalization, control-char scrub, whitespace collapse — the
+    byte-sensitivity gate in front of every hash/dedup op."""
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.normalize import normalize_text
+
+    def mess(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(
+                    [_messy_of(t) for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(mess, batch_format="pyarrow")
+    return normalize_text(ds)
+
+
 _QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]
 
 
@@ -720,6 +767,33 @@ def _q_length_quantiles(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
     )
     return grouped_quantiles(ds, _QUANTILE_QS, "n_chars", "lang")
+
+
+def _q_curate_docs(sf_dir: str):
+    """End-to-end curation showcase (pipelines/curate.py): fused
+    stats+filter pass, skinny md5-keyed exact-dedup exchange — the text
+    never rides the shuffle."""
+    import ray
+
+    from uk_address_matcher_ray.pipelines.curate import curate_docs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return curate_docs(ds)
+
+
+def _q_ngram_topk(sf_dir: str):
+    """Per-language top-5 word bigrams (stages/ngram_topk.py): distinct-
+    gram partials, one group-keyed exchange, deterministic tie-break."""
+    import ray
+
+    from uk_address_matcher_ray.stages.ngram_topk import ngram_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return ngram_topk(ds, 5, n=2)
 
 
 def _q_group_cap(sf_dir: str):
@@ -1965,6 +2039,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_cap_docs": _q_group_cap,
         "length_quantiles": _q_length_quantiles,
         "extract_html_text": _q_extract_html,
+        "normalize_docs": _q_normalize_docs,
+        "ngram_topk": _q_ngram_topk,
+        "curate_docs": _q_curate_docs,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
         "decontaminate_docs": _q_decontaminate,
@@ -1991,10 +2068,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray import oracle, oracle_scoring, oracle_extras, oracle_train
+    from uk_address_matcher_ray.pipelines import curate
     from uk_address_matcher_ray.stages import (
         bloom,
         html,
         lm,
+        ngram_topk,
+        normalize,
         quantiles,
         sampling,
     )
@@ -2055,6 +2135,11 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "extract_html_text": html.extract_text_sql(
             _HTML_SYNTH_SQL, "documents"
         ),
+        "normalize_docs": normalize.normalize_text_sql(
+            _MESSY_SYNTH_SQL, "documents"
+        ),
+        "ngram_topk": ngram_topk.ngram_topk_sql(5, n=2),
+        "curate_docs": curate.curate_docs_sql(oracle_extras.text_stats_sql()),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
         "decontaminate_docs": DECONTAMINATE_SQL,
