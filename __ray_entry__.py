@@ -1503,6 +1503,67 @@ def _q_media_features(sf_dir: str):
     )
 
 
+# image synth for the dHash queries: one 16x16 PPM per messy record —
+# pixel(c) = ((k//2)*37 + y*31 + x*13 + c*101 + pert) % 256 with a
+# top-left red-patch perturbation on odd k, so (2m, 2m+1) are designed
+# near-dup twins. Mirrored verbatim in oracle_extras._DHASH_CTE.
+def _dhash_synth_media(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    _canon, messy = _synth_tables(sf_dir)
+
+    y = np.arange(16, dtype=np.int64)[:, None, None]
+    x = np.arange(16, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    pert_mask = (y < 2) & (x < 2) & (c == 0)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("unique_id").to_pylist()
+        payloads = []
+        for uid in ids:
+            k = int(uid[1:])
+            pix = (k // 2) * 37 + y * 31 + x * 13 + c * 101
+            if k % 2 == 1:
+                pix = pix + pert_mask * 120
+            pix = pix % 256
+            payloads.append(
+                b"P6\n16 16\n255\n" + pix.astype(np.uint8).tobytes()
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return dataset_from_table(messy).map_batches(to_media, batch_format="pyarrow")
+
+
+def _q_image_dhash(sf_dir: str):
+    """Perceptual image hashing (stages/imagehash.py): decode each
+    synthesized PPM in the task, emit the 64-bit integer-exact dHash —
+    8 bytes/image leave the stage. Oracle recomputes the hash from the
+    pixel formula in pure integer SQL."""
+    from uk_address_matcher_ray.stages.imagehash import image_dhash
+
+    return image_dhash(_dhash_synth_media(sf_dir))
+
+
+def _q_image_near_dup(sf_dir: str):
+    """Image near-dup pairs: dHash + the generic banded-Hamming join
+    (stages/dedup.hamming_pairs — exact for max_hamming < bands, shared
+    with simhash). Oracle brute-forces bit_count(xor) over the
+    recomputed hashes."""
+    from uk_address_matcher_ray.stages.imagehash import image_near_dup_pairs
+
+    return image_near_dup_pairs(
+        _dhash_synth_media(sf_dir), max_hamming=3, bands=4
+    )
+
+
 def _q_duplicate_spans(sf_dir: str):
     """Exact duplicate k-token span detection over the documents table —
     the exact-substring-dedup primitive (boilerplate/licence blocks)."""
@@ -2059,6 +2120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacent_tokens": _q_adjacent_tokens,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
+        "image_dhash": _q_image_dhash,
+        "image_near_dup": _q_image_near_dup,
     }
 
 
@@ -2182,6 +2245,8 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "tf_build": _tf_build_oracle_sql(),
         "media_features": oracle_extras.media_features_sql(dim=16),
         "media_decode": oracle_extras.media_decode_sql(),
+        "image_dhash": oracle_extras.image_dhash_sql(),
+        "image_near_dup": oracle_extras.image_near_dup_sql(max_hamming=3),
         "media_decode_jpeg": oracle_extras.media_decode_jpeg_sql(),
         # PNG is lossless: decoded pixels == the synthesis formula, so the
         # oracle is the same pixel-formula aggregation as media_decode

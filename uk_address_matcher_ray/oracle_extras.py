@@ -1274,3 +1274,76 @@ SELECT *,
      AND dup_3gram_char_frac <= {th['dup_3gram_char_frac']!r}) AS keep
 FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing (stages/imagehash.py)
+# ---------------------------------------------------------------------------
+
+_DHASH_CTE = """
+WITH ks AS (
+    SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 != 0
+),
+gray AS (
+    SELECT k, (y.r * 8) // 16 AS cy, (x.r * 9) // 16 AS cx,
+           (299 * (((k // 2) * 37 + y.r * 31 + x.r * 13 + 0 * 101
+                    + CASE WHEN k % 2 = 1 AND y.r < 2 AND x.r < 2
+                           THEN 120 ELSE 0 END) % 256)
+            + 587 * (((k // 2) * 37 + y.r * 31 + x.r * 13 + 1 * 101) % 256)
+            + 114 * (((k // 2) * 37 + y.r * 31 + x.r * 13 + 2 * 101) % 256)
+           ) // 1000 AS g
+    FROM ks, range(16) y(r), range(16) x(r)
+),
+cells AS (
+    SELECT k, cy, cx, SUM(g) // COUNT(*) AS m FROM gray GROUP BY 1, 2, 3
+),
+bits AS (
+    SELECT a.k, a.cy * 8 + a.cx AS idx,
+           CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+    FROM cells a JOIN cells b ON a.k = b.k AND a.cy = b.cy AND b.cx = a.cx + 1
+    WHERE a.cx < 8
+),
+dh AS (
+    SELECT k,
+           CAST(SUM(CAST(bit AS HUGEINT) * (1::HUGEINT << idx)) AS UBIGINT)
+               AS dhash
+    FROM bits GROUP BY k
+)
+"""
+
+
+def image_dhash_sql() -> str:
+    """Mirror of the image_dhash query: the Ray side synthesizes one 16x16
+    PPM per messy record — pixel(c) = ((k//2)*37 + y*31 + x*13 + c*101
+    + [k odd & y<2 & x<2 & c=0]*120) % 256 (odd k = even k's image with a
+    perturbed top-left red patch, so (2m, 2m+1) are designed near-dups) —
+    DECODES it with the pure-numpy decoder and computes the module
+    docstring's integer-exact dHash. Every step (luma //1000, index
+    cells, mean //, gradient bits, bit sum) is restated here verbatim in
+    integer SQL, so the UBIGINT hashes are identical."""
+    return (
+        _DHASH_CTE
+        + """
+SELECT 'm' || CAST(k AS VARCHAR) AS media_id, dhash FROM dh
+"""
+    )
+
+
+def image_near_dup_sql(max_hamming: int = 3) -> str:
+    """Mirror of image_near_dup_pairs: brute-force pair join over the
+    recomputed dHashes — exact because the engine's banded join is exact
+    for max_hamming < bands (stages/dedup.hamming_pairs pigeonhole
+    argument). String ids compare lexicographically on both sides."""
+    return (
+        _DHASH_CTE
+        + f"""
+, named AS (
+    SELECT 'm' || CAST(k AS VARCHAR) AS mid, dhash FROM dh
+)
+SELECT least(a.mid, b.mid) AS id_a,
+       greatest(a.mid, b.mid) AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM named a JOIN named b ON a.mid < b.mid
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+"""
+    )

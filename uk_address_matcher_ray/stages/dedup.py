@@ -868,11 +868,46 @@ def simhash_pairs(
     rows with an exactly identical pair set. The in-bucket kernel is
     vectorized (numpy XOR + 16-bit-LUT popcount over the pair index arrays);
     cross-band duplicate pairs collapse in a composite-key grouped_map."""
+    sigs = simhash_signatures(ds, id_col, text_col)
+    return hamming_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        hot_bucket_rows=hot_bucket_rows,
+    )
+
+
+def hamming_pairs(
+    sig_ds,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    hot_bucket_rows: int = 4096,
+):
+    """Generic banded-Hamming pair join over an EXISTING 64-bit signature
+    column — the scale shape shared by simhash text near-dup and image
+    perceptual-hash near-dup (stages/imagehash.py).
+
+    Exactness: a pair at Hamming distance d <= max_hamming differs in at
+    most max_hamming bit positions, so with ``bands`` disjoint bands and
+    ``max_hamming < bands`` at least one band is identical (pigeonhole) —
+    the banded join finds EVERY qualifying pair, it is not approximate.
+    All the simhash_pairs scale machinery applies: fixed-size
+    (bucket, id, sig) exchange rows, grid salting for hot buckets,
+    vectorized in-bucket popcount, cross-band collapse."""
     import numpy as np
 
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
-    sigs = simhash_signatures(ds, id_col, text_col).materialize()
+    if not max_hamming < bands:
+        raise ValueError(
+            f"banded join is exact only for max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    sigs = sig_ds.materialize()
     ssch = sigs.schema()
     id_type = dict(zip(ssch.names, ssch.types))[id_col]
     width = 64 // bands
@@ -882,7 +917,7 @@ def simhash_pairs(
     band_seeds = _splitmix64(np.arange(bands, dtype=np.uint64) << np.uint64(32))
 
     def bkeys_of(tbl: pa.Table):
-        s = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = tbl.column(sig_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         cols = [
             _splitmix64(band_seeds[b] ^ ((s >> np.uint64(b * width)) & wmask))
             for b in range(bands)
@@ -902,7 +937,7 @@ def simhash_pairs(
             {
                 "bkey": pa.array(bkey, pa.uint64()),
                 id_col: batch.column(id_col).take(take),
-                "simhash": batch.column("simhash").take(take),
+                sig_col: batch.column(sig_col).take(take),
                 "cs": pa.array(cs, pa.int32()),
                 "ct": pa.array(ct, pa.int32()),
                 "salt": pa.array(salt, pa.int32()),
@@ -922,7 +957,7 @@ def simhash_pairs(
     def pair_kernel(tbl: pa.Table) -> pa.Table:
         bk = tbl.column("bkey").to_numpy(zero_copy_only=False)
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
-        ss = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ss = tbl.column(sig_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         css = tbl.column("cs").to_numpy(zero_copy_only=False)
         cts = tbl.column("ct").to_numpy(zero_copy_only=False)
         salts = tbl.column("salt").to_numpy(zero_copy_only=False)
