@@ -1503,6 +1503,48 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_media_resize(sf_dir: str):
+    """Bilinear image resize (multimodal.resize_bilinear): media_decode's
+    synthesized 16x16 PPMs decoded in the task and resized to 10x7 with
+    the documented IEEE-expression contract; emits the resized pixels in
+    (y, x, c) order so the oracle's line-by-line restatement of the
+    interpolation is compared value-for-value."""
+    import numpy as np
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.multimodal import (
+        _decode_image,
+        resize_bilinear,
+    )
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    _canon, messy = _synth_tables(sf_dir)
+
+    y = np.arange(16, dtype=np.int64)[:, None, None]
+    x = np.arange(16, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+
+    def resize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("unique_id").to_pylist()
+        pixels = []
+        for uid in ids:
+            k = int(uid[1:])
+            pix = (k * 7 + y * 31 + x * 13 + c * 101) % 256
+            payload = b"P6\n16 16\n255\n" + pix.astype(np.uint8).tobytes()
+            small = resize_bilinear(_decode_image(payload), 10, 7)
+            pixels.append(small.ravel().astype(np.int32))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "pixels": pa.array(
+                    [p.tolist() for p in pixels], pa.list_(pa.int32())
+                ),
+            }
+        )
+
+    return dataset_from_table(messy).map_batches(resize, batch_format="pyarrow")
+
+
 # image synth for the dHash queries: one 16x16 PPM per messy record —
 # pixel(c) = ((k//2)*37 + y*31 + x*13 + c*101 + pert) % 256 with a
 # top-left red-patch perturbation on odd k, so (2m, 2m+1) are designed
@@ -2122,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "image_dhash": _q_image_dhash,
         "image_near_dup": _q_image_near_dup,
+        "media_resize": _q_media_resize,
     }
 
 
@@ -2247,6 +2290,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "media_decode": oracle_extras.media_decode_sql(),
         "image_dhash": oracle_extras.image_dhash_sql(),
         "image_near_dup": oracle_extras.image_near_dup_sql(max_hamming=3),
+        "media_resize": oracle_extras.media_resize_sql(),
         "media_decode_jpeg": oracle_extras.media_decode_jpeg_sql(),
         # PNG is lossless: decoded pixels == the synthesis formula, so the
         # oracle is the same pixel-formula aggregation as media_decode

@@ -1347,3 +1347,56 @@ FROM named a JOIN named b ON a.mid < b.mid
 WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
 """
     )
+
+
+def media_resize_sql(out_h: int = 10, out_w: int = 7, in_h: int = 16, in_w: int = 16) -> str:
+    """Mirror of media_resize: the Ray side synthesizes media_decode's 16x16
+    PPM (pixel = (k*7 + y*31 + x*13 + c*101) % 256), DECODES it and resizes
+    with multimodal.resize_bilinear. The oracle restates the resize's
+    documented expression shape line by line — every op one IEEE double in
+    the same association — so the rounded pixels are identical."""
+
+    def pix(yy: str, xx: str) -> str:
+        return (
+            f"CAST((k * 7 + ({yy}) * 31 + ({xx}) * 13 + c.r * 101) % 256"
+            " AS DOUBLE)"
+        )
+
+    t1 = f"((1 - fx) * {pix('y0', 'x0')} + fx * {pix('y0', 'x0 + 1')})"
+    t2 = f"((1 - fx) * {pix('y0 + 1', 'x0')} + fx * {pix('y0 + 1', 'x0 + 1')})"
+    return f"""
+WITH ks AS (
+    SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 != 0
+),
+oy AS (
+    SELECT t.r AS j,
+           LEAST(GREATEST((t.r + 0.5) * ({in_h}.0 / {out_h}.0) - 0.5, 0.0),
+                 {in_h - 1}.0) AS syc
+    FROM range({out_h}) t(r)
+),
+oyi AS (
+    SELECT j, CAST(LEAST(FLOOR(syc), {in_h - 2}.0) AS BIGINT) AS y0,
+           syc - CAST(LEAST(FLOOR(syc), {in_h - 2}.0) AS BIGINT) AS fy
+    FROM oy
+),
+ox AS (
+    SELECT t.r AS i,
+           LEAST(GREATEST((t.r + 0.5) * ({in_w}.0 / {out_w}.0) - 0.5, 0.0),
+                 {in_w - 1}.0) AS sxc
+    FROM range({out_w}) t(r)
+),
+oxi AS (
+    SELECT i, CAST(LEAST(FLOOR(sxc), {in_w - 2}.0) AS BIGINT) AS x0,
+           sxc - CAST(LEAST(FLOOR(sxc), {in_w - 2}.0) AS BIGINT) AS fx
+    FROM ox
+),
+vals AS (
+    SELECT k, j, i, c.r AS c,
+           CAST(LEAST(255.0, GREATEST(0.0,
+               FLOOR(((1 - fy) * {t1} + fy * {t2}) + 0.5))) AS INT) AS px
+    FROM ks, oyi, oxi, range(3) c(r)
+)
+SELECT 'm' || CAST(k AS VARCHAR) AS media_id,
+       list(px ORDER BY j, i, c) AS pixels
+FROM vals GROUP BY k
+"""

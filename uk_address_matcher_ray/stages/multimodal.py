@@ -200,6 +200,54 @@ def resize_nearest(img, out_h: int, out_w: int):
     return img[ri][:, ci]
 
 
+def resize_bilinear(img, out_h: int, out_w: int):
+    """Deterministic bilinear resize of an HxW[xC] uint8 array (half-pixel
+    centers, edge-clamped) — the standard training-data image resize.
+
+    Exactness contract (the DuckDB oracle restates each line verbatim, so
+    resized pixels are bit-identical doubles before the final round):
+
+        s   = (i + 0.5) * (in / out) - 0.5          # source coordinate
+        sc  = min(max(s, 0.0), in - 1)               # edge clamp
+        i0  = min(floor(sc), in - 2)  (as int)       # left/top neighbor
+        f   = sc - i0                                # fractional weight
+        t1  = (1 - fx) * v00 + fx * v01
+        t2  = (1 - fx) * v10 + fx * v11
+        v   = (1 - fy) * t1 + fy * t2
+        out = min(255, max(0, floor(v + 0.5)))
+
+    Every step is one IEEE-double op evaluated in this exact association
+    on both engines. Requires in_h >= 2 and in_w >= 2 (use resize_nearest
+    for degenerate strips)."""
+    import numpy as np
+
+    a = np.asarray(img)
+    h, w = a.shape[0], a.shape[1]
+    if h < 2 or w < 2:
+        raise ValueError(f"bilinear needs h>=2 and w>=2, got {h}x{w}")
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    sy = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    sx = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    syc = np.minimum(np.maximum(sy, 0.0), float(h - 1))
+    sxc = np.minimum(np.maximum(sx, 0.0), float(w - 1))
+    y0 = np.minimum(np.floor(syc), float(h - 2)).astype(np.int64)
+    x0 = np.minimum(np.floor(sxc), float(w - 2)).astype(np.int64)
+    fy = (syc - y0)[:, None, None]
+    fx = (sxc - x0)[None, :, None]
+    af = a.astype(np.float64)
+    v00 = af[np.ix_(y0, x0)]
+    v01 = af[np.ix_(y0, x0 + 1)]
+    v10 = af[np.ix_(y0 + 1, x0)]
+    v11 = af[np.ix_(y0 + 1, x0 + 1)]
+    t1 = (1.0 - fx) * v00 + fx * v01
+    t2 = (1.0 - fx) * v10 + fx * v11
+    v = (1.0 - fy) * t1 + fy * t2
+    out = np.minimum(255.0, np.maximum(0.0, np.floor(v + 0.5))).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
 def image_grid_features(img, grid: int = 4):
     """gridxgrid mean-brightness features (row-major, floats in [0, 1]).
 
