@@ -1503,6 +1503,73 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_video_frames(sf_dir: str):
+    """REAL video frame sampling (multimodal.sample_video_frames): one
+    RAWV clip per messy record (16x12 RGB, 6 + k%5 frames @10fps, pixel
+    = (k*7 + f*59 + y*31 + x*13 + c*101) % 256), every 2nd frame decoded
+    in the task and reduced to its integer mean luma — skinny
+    (id, frame_idx, ts_ms, luma) rows; the pixels never leave the task.
+    Oracle recomputes every sampled frame's luma from the formula."""
+    import numpy as np
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.multimodal import (
+        encode_rawv,
+        sample_video_frames,
+    )
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    _canon, messy = _synth_tables(sf_dir)
+
+    y = np.arange(12, dtype=np.int64)[None, :, None, None]
+    x = np.arange(16, dtype=np.int64)[None, None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, None, :]
+
+    def to_video(batch: pa.Table) -> pa.Table:
+        ids = batch.column("unique_id").to_pylist()
+        payloads = []
+        for uid in ids:
+            k = int(uid[1:])
+            n = 6 + k % 5
+            f = np.arange(n, dtype=np.int64)[:, None, None, None]
+            pix = (k * 7 + f * 59 + y * 31 + x * 13 + c * 101) % 256
+            payloads.append(encode_rawv(pix.astype(np.uint8), fps=10))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    vids = dataset_from_table(messy).map_batches(to_video, batch_format="pyarrow")
+    return sample_video_frames(vids, every_n=2)
+
+
+VIDEO_FRAMES_SQL = """
+WITH ks AS (
+    SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 != 0
+),
+fr AS (
+    SELECT k, f.r AS f
+    FROM ks, range(11) f(r)
+    WHERE f.r < 6 + k % 5 AND f.r % 2 = 0
+),
+g AS (
+    SELECT k, f,
+           (299 * ((k * 7 + f * 59 + y.r * 31 + x.r * 13 + 0 * 101) % 256)
+            + 587 * ((k * 7 + f * 59 + y.r * 31 + x.r * 13 + 1 * 101) % 256)
+            + 114 * ((k * 7 + f * 59 + y.r * 31 + x.r * 13 + 2 * 101) % 256)
+           ) // 1000 AS gray
+    FROM fr, range(12) y(r), range(16) x(r)
+)
+SELECT 'm' || CAST(k AS VARCHAR) AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(f * 1000 // 10 AS INT) AS ts_ms,
+       CAST(SUM(gray) // 192 AS BIGINT) AS luma
+FROM g GROUP BY k, f
+"""
+
+
 def _q_media_resize(sf_dir: str):
     """Bilinear image resize (multimodal.resize_bilinear): media_decode's
     synthesized 16x16 PPMs decoded in the task and resized to 10x7 with
@@ -2165,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash": _q_image_dhash,
         "image_near_dup": _q_image_near_dup,
         "media_resize": _q_media_resize,
+        "video_frames": _q_video_frames,
     }
 
 
@@ -2291,6 +2359,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "image_dhash": oracle_extras.image_dhash_sql(),
         "image_near_dup": oracle_extras.image_near_dup_sql(max_hamming=3),
         "media_resize": oracle_extras.media_resize_sql(),
+        "video_frames": VIDEO_FRAMES_SQL,
         "media_decode_jpeg": oracle_extras.media_decode_jpeg_sql(),
         # PNG is lossless: decoded pixels == the synthesis formula, so the
         # oracle is the same pixel-formula aggregation as media_decode
