@@ -769,6 +769,21 @@ def _q_length_quantiles(sf_dir: str):
     return grouped_quantiles(ds, _QUANTILE_QS, "n_chars", "lang")
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """Per-document top-5 TF-IDF keywords (stages/tfidf.py): tree-merged
+    vocabulary-bounded DF partials broadcast once, zero-shuffle row-local
+    scoring, (score desc, token asc) tie-break mirrored by the oracle's
+    window ORDER BY."""
+    import ray
+
+    from uk_address_matcher_ray.stages.tfidf import tfidf_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_topk(ds, k=5)
+
+
 def _q_curate_docs(sf_dir: str):
     """End-to-end curation showcase (pipelines/curate.py): fused
     stats+filter pass, skinny md5-keyed exact-dedup exchange — the text
@@ -2211,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_html_text": _q_extract_html,
         "normalize_docs": _q_normalize_docs,
         "ngram_topk": _q_ngram_topk,
+        "tfidf_topk": _q_tfidf_topk,
         "curate_docs": _q_curate_docs,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
@@ -2251,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
         normalize,
         quantiles,
         sampling,
+        tfidf,
     )
 
     union_input = _union_input_sql()
@@ -2313,6 +2330,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
             _MESSY_SYNTH_SQL, "documents"
         ),
         "ngram_topk": ngram_topk.ngram_topk_sql(5, n=2),
+        "tfidf_topk": tfidf.tfidf_topk_sql(k=5),
         "curate_docs": curate.curate_docs_sql(oracle_extras.text_stats_sql()),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
