@@ -1585,6 +1585,79 @@ FROM g GROUP BY k, f
 """
 
 
+def _q_audio_power(sf_dir: str):
+    """Windowed audio power + silence detection
+    (multimodal.audio_power_windows): one 16-bit PCM mono WAV per messy
+    record — sample s(i) = ((k*31 + i*17) % 4096) - 2048, zeroed on every
+    third 256-window (designed silence), 1024 + (k%4)*256 samples @8kHz —
+    decoded raw in the task, integer power per full window. Oracle
+    recomputes power = SUM(s*s)//256 from the same formula."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.multimodal import audio_power_windows
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    _canon, messy = _synth_tables(sf_dir)
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        ids = batch.column("unique_id").to_pylist()
+        payloads = []
+        for uid in ids:
+            k = int(uid[1:])
+            n = 1024 + (k % 4) * 256
+            i = np.arange(n, dtype=np.int64)
+            v = ((k * 31 + i * 17) % 4096) - 2048
+            v[(i // 256) % 3 == 2] = 0
+            pcm = v.astype("<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVE"
+                + b"fmt "
+                + struct.pack("<I", len(fmt))
+                + fmt
+                + b"data"
+                + struct.pack("<I", len(pcm))
+                + pcm
+            )
+            payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    wavs = dataset_from_table(messy).map_batches(to_wav, batch_format="pyarrow")
+    return audio_power_windows(wavs, window=256, silence_below=1000)
+
+
+AUDIO_POWER_SQL = """
+WITH ks AS (
+    SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 != 0
+),
+s AS (
+    SELECT k, i.r AS i,
+           CASE WHEN (i.r // 256) % 3 = 2 THEN 0
+                ELSE ((k * 31 + i.r * 17) % 4096) - 2048 END AS v
+    FROM ks, range(1792) i(r)
+    WHERE i.r < 1024 + (k % 4) * 256
+),
+w AS (
+    SELECT k, i // 256 AS win_idx, CAST(SUM(v * v) // 256 AS BIGINT) AS power
+    FROM s GROUP BY 1, 2
+)
+SELECT 'm' || CAST(k AS VARCHAR) AS media_id,
+       CAST(win_idx AS INT) AS win_idx,
+       CAST(win_idx * 256 * 1000 // 8000 AS INT) AS start_ms,
+       power,
+       power < 1000 AS silent
+FROM w
+"""
+
+
 def _q_media_resize(sf_dir: str):
     """Bilinear image resize (multimodal.resize_bilinear): media_decode's
     synthesized 16x16 PPMs decoded in the task and resized to 10x7 with
@@ -2249,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": _q_image_near_dup,
         "media_resize": _q_media_resize,
         "video_frames": _q_video_frames,
+        "audio_power": _q_audio_power,
     }
 
 
@@ -2378,6 +2452,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "image_near_dup": oracle_extras.image_near_dup_sql(max_hamming=3),
         "media_resize": oracle_extras.media_resize_sql(),
         "video_frames": VIDEO_FRAMES_SQL,
+        "audio_power": AUDIO_POWER_SQL,
         "media_decode_jpeg": oracle_extras.media_decode_jpeg_sql(),
         # PNG is lossless: decoded pixels == the synthesis formula, so the
         # oracle is the same pixel-formula aggregation as media_decode

@@ -106,14 +106,9 @@ def decode_ppm(payload: bytes):
     return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
 
 
-def decode_wav(payload: bytes):
-    """WAV (RIFF) -> (sample_rate, float64 array shaped (frames, channels)).
-
-    PCM 8-bit (unsigned), 16-bit (signed) and IEEE float32; samples
-    normalized to [-1, 1] with the usual conventions."""
+def _wav_fmt_data(payload: bytes):
+    """RIFF chunk walk -> (fmt tuple, data bytes)."""
     import struct
-
-    import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -131,6 +126,32 @@ def decode_wav(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    return fmt, data
+
+
+def decode_wav_raw(payload: bytes):
+    """WAV (16-bit PCM only) -> (sample_rate, int64 array (frames, channels))
+    of the RAW quantized sample values — the integer domain the windowed
+    power operator (audio_power_windows) and its SQL oracle share."""
+    import numpy as np
+
+    fmt, data = _wav_fmt_data(payload)
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if not (audio_fmt == 1 and bits == 16):
+        raise NotImplementedError("raw sample access is 16-bit PCM only")
+    x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    frames = len(x) // channels
+    return rate, x[: frames * channels].reshape(frames, channels)
+
+
+def decode_wav(payload: bytes):
+    """WAV (RIFF) -> (sample_rate, float64 array shaped (frames, channels)).
+
+    PCM 8-bit (unsigned), 16-bit (signed) and IEEE float32; samples
+    normalized to [-1, 1] with the usual conventions."""
+    import numpy as np
+
+    fmt, data = _wav_fmt_data(payload)
     audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
     if audio_fmt == 1 and bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
@@ -506,6 +527,61 @@ def sample_video_frames(
                 "frame_idx": pa.array(out_idx, pa.int32()),
                 "ts_ms": pa.array(out_ts, pa.int32()),
                 "luma": pa.array(out_luma, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def audio_power_windows(
+    ds,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    window: int = 256,
+    silence_below: int = 1000,
+):
+    """Windowed audio power + silence flags — the segmentation primitive
+    speech/VAD pipelines run before transcription or silence trimming.
+
+    Operates in the RAW int16 sample domain (decode_wav_raw) so every
+    number is integer-exact and the DuckDB oracle recomputes it from the
+    synthesis formula:
+
+        power(win)  = sum(s^2 for s in window) // window      (channel 0)
+        silent(win) = power < silence_below
+        start_ms    = win_idx * window * 1000 // rate
+
+    Only full windows are emitted (trailing partial dropped — stated by
+    the oracle too). Row-local map_batches over opaque payloads; output
+    rows are 4 ints + a bool per window, the samples never leave the
+    task. Compressed codecs raise in decode (documented boundary)."""
+    import numpy as np
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        payloads = batch.column(payload_col).to_pylist()
+        out_id, out_idx, out_ms, out_pow, out_sil = [], [], [], [], []
+        for mid, payload in zip(ids, payloads):
+            rate, samples = decode_wav_raw(payload)
+            ch0 = samples[:, 0]
+            n_win = len(ch0) // window
+            if n_win == 0:
+                continue
+            trimmed = ch0[: n_win * window].reshape(n_win, window)
+            power = (trimmed * trimmed).sum(axis=1) // window
+            for i in range(n_win):
+                out_id.append(mid)
+                out_idx.append(i)
+                out_ms.append(i * window * 1000 // rate)
+                out_pow.append(int(power[i]))
+                out_sil.append(bool(power[i] < silence_below))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.string()),
+                "win_idx": pa.array(out_idx, pa.int32()),
+                "start_ms": pa.array(out_ms, pa.int32()),
+                "power": pa.array(out_pow, pa.int64()),
+                "silent": pa.array(out_sil, pa.bool_()),
             }
         )
 
