@@ -1585,19 +1585,16 @@ FROM g GROUP BY k, f
 """
 
 
-def _q_audio_power(sf_dir: str):
-    """Windowed audio power + silence detection
-    (multimodal.audio_power_windows): one 16-bit PCM mono WAV per messy
-    record — sample s(i) = ((k*31 + i*17) % 4096) - 2048, zeroed on every
-    third 256-window (designed silence), 1024 + (k%4)*256 samples @8kHz —
-    decoded raw in the task, integer power per full window. Oracle
-    recomputes power = SUM(s*s)//256 from the same formula."""
+# audio synth shared by audio_power / audio_resample: one 16-bit PCM mono
+# WAV per messy record — sample s(i) = ((k*31 + i*17) % 4096) - 2048,
+# zeroed on every third 256-window (designed silence), 1024 + (k%4)*256
+# samples @8kHz. Mirrored verbatim by the oracles.
+def _audio_synth_wavs(sf_dir: str):
     import struct
 
     import numpy as np
     import pyarrow as pa
 
-    from uk_address_matcher_ray.stages.multimodal import audio_power_windows
     from uk_address_matcher_ray.util import dataset_from_table
 
     _canon, messy = _synth_tables(sf_dir)
@@ -1630,8 +1627,29 @@ def _q_audio_power(sf_dir: str):
             }
         )
 
-    wavs = dataset_from_table(messy).map_batches(to_wav, batch_format="pyarrow")
-    return audio_power_windows(wavs, window=256, silence_below=1000)
+    return dataset_from_table(messy).map_batches(to_wav, batch_format="pyarrow")
+
+
+def _q_audio_power(sf_dir: str):
+    """Windowed audio power + silence detection
+    (multimodal.audio_power_windows): the shared synth WAVs decoded raw
+    in the task, integer power per full 256-sample window. Oracle
+    recomputes power = SUM(s*s)//256 from the sample formula."""
+    from uk_address_matcher_ray.stages.multimodal import audio_power_windows
+
+    return audio_power_windows(
+        _audio_synth_wavs(sf_dir), window=256, silence_below=1000
+    )
+
+
+def _q_audio_resample(sf_dir: str):
+    """Linear audio resample 8kHz -> 5kHz (multimodal.audio_resample):
+    channel 0 resampled with resample_linear's IEEE expression contract;
+    emits the full resampled sample list so the oracle's line-by-line
+    restatement is compared value-for-value."""
+    from uk_address_matcher_ray.stages.multimodal import audio_resample
+
+    return audio_resample(_audio_synth_wavs(sf_dir), out_rate=5000)
 
 
 AUDIO_POWER_SQL = """
@@ -2323,6 +2341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "video_frames": _q_video_frames,
         "audio_power": _q_audio_power,
+        "audio_resample": _q_audio_resample,
     }
 
 
@@ -2453,6 +2472,9 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "media_resize": oracle_extras.media_resize_sql(),
         "video_frames": VIDEO_FRAMES_SQL,
         "audio_power": AUDIO_POWER_SQL,
+        "audio_resample": oracle_extras.audio_resample_sql(
+            out_rate=5000, in_rate=8000
+        ),
         "media_decode_jpeg": oracle_extras.media_decode_jpeg_sql(),
         # PNG is lossless: decoded pixels == the synthesis formula, so the
         # oracle is the same pixel-formula aggregation as media_decode

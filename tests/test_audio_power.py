@@ -73,3 +73,42 @@ def test_power_uses_channel_zero(ray_session):
         ray.data.from_arrow(tbl), window=4, silence_below=1
     ).take_all()
     assert len(rows) == 1 and rows[0]["power"] == 9
+
+
+def test_resample_linear_matches_scalar_reference():
+    import math
+
+    from uk_address_matcher_ray.stages.multimodal import resample_linear
+
+    raw = np.array([((5 * 31 + i * 17) % 4096) - 2048 for i in range(97)])
+    for out_n in (97, 60, 13, 200):
+        got = resample_linear(raw, out_n)
+        n = len(raw)
+        for i, g in enumerate(got):
+            s = (i + 0.5) * (n / out_n) - 0.5
+            sc = min(max(s, 0.0), float(n - 1))
+            i0 = int(min(math.floor(sc), float(n - 2)))
+            f = sc - i0
+            v = (1 - f) * float(raw[i0]) + f * float(raw[i0 + 1])
+            assert g == int(math.floor(v + 0.5)), (out_n, i)
+
+
+def test_audio_resample_stage(ray_session):
+    import ray
+
+    from uk_address_matcher_ray.stages.multimodal import (
+        audio_resample,
+        resample_linear,
+    )
+
+    raw = np.arange(-100, 100, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "media_id": pa.array(["r1"], pa.string()),
+            "payload": pa.array([_wav16(raw, rate=8000)], pa.binary()),
+        }
+    )
+    rows = audio_resample(ray.data.from_arrow(tbl), out_rate=5000).take_all()
+    assert rows[0]["out_rate"] == 5000
+    want = resample_linear(raw, len(raw) * 5000 // 8000)
+    assert rows[0]["samples"] == want.tolist()

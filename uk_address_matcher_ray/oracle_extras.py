@@ -1400,3 +1400,54 @@ SELECT 'm' || CAST(k AS VARCHAR) AS media_id,
        list(px ORDER BY j, i, c) AS pixels
 FROM vals GROUP BY k
 """
+
+
+def audio_resample_sql(out_rate: int = 5000, in_rate: int = 8000) -> str:
+    """Mirror of audio_resample: the Ray side synthesizes audio_power's
+    16-bit PCM WAVs (sample(j) = ((k*31 + j*17) % 4096) - 2048, zeroed on
+    every third 256-window, n = 1024 + (k%4)*256 @8kHz), decodes raw and
+    resamples channel 0 to out_rate with resample_linear's documented
+    IEEE expression contract — restated here line by line."""
+
+    def sample(j: str) -> str:
+        return (
+            f"CAST(CASE WHEN (({j}) // 256) % 3 = 2 THEN 0"
+            f" ELSE ((k * 31 + ({j}) * 17) % 4096) - 2048 END AS DOUBLE)"
+        )
+
+    return f"""
+WITH ks AS (
+    SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 != 0
+),
+prm AS (
+    SELECT k, 1024 + (k % 4) * 256 AS n,
+           (1024 + (k % 4) * 256) * {out_rate} // {in_rate} AS out_n
+    FROM ks
+),
+idx AS (
+    SELECT k, n, out_n, i.r AS i
+    FROM prm, range(2048) i(r) WHERE i.r < out_n
+),
+sc AS (
+    SELECT k, n, i,
+           LEAST(GREATEST((i + 0.5) * (CAST(n AS DOUBLE) / out_n) - 0.5,
+                          0.0), CAST(n - 1 AS DOUBLE)) AS s
+    FROM idx
+),
+ii AS (
+    SELECT k, n, i,
+           CAST(LEAST(FLOOR(s), CAST(n - 2 AS DOUBLE)) AS BIGINT) AS i0,
+           s - CAST(LEAST(FLOOR(s), CAST(n - 2 AS DOUBLE)) AS BIGINT) AS f
+    FROM sc
+),
+v AS (
+    SELECT k, i,
+           CAST(FLOOR(((1 - f) * {sample('i0')} + f * {sample('i0 + 1')})
+                      + 0.5) AS INT) AS px
+    FROM ii
+)
+SELECT 'm' || CAST(k AS VARCHAR) AS media_id,
+       CAST({out_rate} AS INT) AS out_rate,
+       list(px ORDER BY i) AS samples
+FROM v GROUP BY k
+"""

@@ -586,3 +586,67 @@ def audio_power_windows(
         )
 
     return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def resample_linear(samples, out_n: int):
+    """Deterministic 1-D linear resample (half-sample centers, edge
+    clamped) — the audio analogue of resize_bilinear, sharing its IEEE
+    expression contract so the DuckDB oracle restates it line by line:
+
+        s  = (i + 0.5) * (n / out_n) - 0.5
+        sc = min(max(s, 0.0), n - 1)
+        i0 = min(floor(sc), n - 2)  (as int)
+        f  = sc - i0
+        v  = (1 - f) * v0 + f * v1
+        out = floor(v + 0.5)  (as int)
+
+    ``samples``: 1-D int array (raw 16-bit PCM domain). Requires n >= 2."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x)
+    if n < 2:
+        raise ValueError("linear resample needs at least 2 samples")
+    s = (np.arange(out_n, dtype=np.float64) + 0.5) * (n / out_n) - 0.5
+    sc = np.minimum(np.maximum(s, 0.0), float(n - 1))
+    i0 = np.minimum(np.floor(sc), float(n - 2)).astype(np.int64)
+    f = sc - i0
+    v = (1.0 - f) * x[i0] + f * x[i0 + 1]
+    return np.floor(v + 0.5).astype(np.int64)
+
+
+def audio_resample(
+    ds,
+    out_rate: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+):
+    """Resample each 16-bit PCM payload's channel 0 to ``out_rate`` —
+    the sample-rate normalization pass in front of any audio model
+    (Whisper-style pipelines resample everything to one rate first).
+
+    out_n = n * out_rate // in_rate (integer); values stay in the raw
+    int16 domain via the resample_linear contract. Row-local; emits
+    (id, out_rate, samples list<int32>)."""
+    import numpy as np
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        payloads = batch.column(payload_col).to_pylist()
+        out_id, out_samp = [], []
+        for mid, payload in zip(ids, payloads):
+            rate, samples = decode_wav_raw(payload)
+            ch0 = samples[:, 0]
+            out_n = len(ch0) * out_rate // rate
+            res = resample_linear(ch0, out_n)
+            out_id.append(mid)
+            out_samp.append(res.astype(np.int32).tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.string()),
+                "out_rate": pa.array([out_rate] * len(out_id), pa.int32()),
+                "samples": pa.array(out_samp, pa.list_(pa.int32())),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
