@@ -811,6 +811,39 @@ def _q_ngram_topk(sf_dir: str):
     return ngram_topk(ds, 5, n=2)
 
 
+_TOKENS_LEN_SQL = (
+    "len(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),"
+    " '\\s+'), x -> x != ''))"
+)
+
+
+def _q_token_budget(sf_dir: str):
+    """Token-budget data mixing (stages/sampling.token_budget_cap): keep
+    each language's md5-rank prefix of documents while the running
+    whitespace-token sum stays <= 2000 — the mixing primitive stated in
+    token space. Oracle: the same window cumsum predicate in DuckDB."""
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.dedup import _tokens
+    from uk_address_matcher_ray.stages.sampling import token_budget_cap
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        toks = [len(_tokens(t)) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "token_count": pa.array(toks, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).map_batches(count_tokens, batch_format="pyarrow")
+    return token_budget_cap(ds, budget=2000, group_col="lang")
+
+
 def _q_group_cap(sf_dir: str):
     """C4-style per-group document cap (stages/sampling.group_cap): keep
     at most 20 docs per language by deterministic md5 rank — per-batch
@@ -2313,6 +2346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "lm_perplexity": _q_lm_perplexity,
         "group_cap_docs": _q_group_cap,
+        "token_budget_docs": _q_token_budget,
         "length_quantiles": _q_length_quantiles,
         "extract_html_text": _q_extract_html,
         "normalize_docs": _q_normalize_docs,
@@ -2413,6 +2447,9 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "quality_scores": oracle_extras.quality_classifier_sql(),
         "lm_perplexity": lm.lm_perplexity_sql(),
         "group_cap_docs": sampling.group_cap_sql(20),
+        "token_budget_docs": sampling.token_budget_cap_sql(
+            2000, tokens_expr=_TOKENS_LEN_SQL
+        ),
         "length_quantiles": quantiles.grouped_quantiles_sql(
             _QUANTILE_QS, "n_chars", "lang"
         ),

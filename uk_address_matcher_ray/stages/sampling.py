@@ -253,3 +253,145 @@ rnk AS (
 )
 SELECT {id_col}, {group_col}, sample_key FROM rnk WHERE rn <= {cap}
 """
+
+
+def _budget_kernel(
+    tbl: pa.Table, budget: int, group_col: str, id_col: str, tokens_col: str
+) -> pa.Table:
+    """Keep each group's md5-rank prefix while the running token sum stays
+    <= budget (inclusive prefix — the first overflowing row is dropped
+    along with everything ranked after it that would also overflow)."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return tbl
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            (group_col, "ascending"),
+            ("sample_key", "ascending"),
+            (id_col, "ascending"),
+        ],
+    )
+    s = tbl.take(order)
+    g = s.column(group_col)
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    enc = g.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+    toks = s.column(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(codes)
+    newg = np.empty(n, dtype=bool)
+    newg[0] = True
+    newg[1:] = codes[1:] != codes[:-1]
+    cs = np.cumsum(toks)
+    # subtract the cumsum just before each group's first row
+    base_at_start = np.where(newg, cs - toks, 0)
+    base = np.maximum.accumulate(np.where(newg, base_at_start, 0))
+    prefix_incl = cs - base
+    return s.filter(pa.array(prefix_incl <= budget))
+
+
+def token_budget_cap(
+    ds,
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "token_count",
+    seed: int = 0,
+):
+    """Keep rows per group until a TOKEN budget is reached — the data-mixing
+    primitive stated in token space ("200B tokens of web, 30B of code"),
+    where ``group_cap`` states it in document space.
+
+    Rows are ranked by the deterministic md5 ``sample_key`` (id
+    tie-break) and kept while the inclusive running token sum stays
+    <= ``budget`` — i.e. the SQL window ``SUM(tokens) OVER (PARTITION BY
+    group ORDER BY sample_key, id ROWS UNBOUNDED PRECEDING) <= budget``.
+    Greedy-prefix semantics: a huge row at rank r that overflows is
+    dropped, and so is any later row whose inclusive prefix still
+    overflows (later SMALLER rows are NOT pulled forward — the selection
+    stays a pure rank-prefix predicate, reproducible on any cluster
+    size / block order / resume).
+
+    Scale shape (the group_cap argument, restated for budgets): a row's
+    batch-local inclusive prefix is a LOWER bound on its global prefix —
+    batch rows are a subset of the group's rows ranked ahead of it — so
+    the per-batch partial safely drops every row whose batch-local
+    prefix already exceeds the budget.  The exchange then carries at
+    most budget/min_tokens rows per (group, batch) and the grouped pass
+    re-applies the same kernel over complete groups.
+
+    -> Dataset(id, group, tokens, sample_key), the surviving rows.
+    """
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keyed = pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                tokens_col: batch.column(tokens_col),
+                "sample_key": pa.array(
+                    [sample_key(i, seed) for i in ids], pa.string()
+                ),
+            }
+        )
+        return _budget_kernel(keyed, budget, group_col, id_col, tokens_col)
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, types[id_col]),
+            pa.field(group_col, types[group_col]),
+            pa.field(tokens_col, types[tokens_col]),
+            pa.field("sample_key", pa.string()),
+        ]
+    )
+    pre = ds.select_columns([id_col, group_col, tokens_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return grouped_map(
+        pre,
+        group_col,
+        None,
+        out_schema,
+        fn_table=lambda t: _budget_kernel(
+            t, budget, group_col, id_col, tokens_col
+        ).select([id_col, group_col, tokens_col, "sample_key"]),
+    )
+
+
+def token_budget_cap_sql(
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_expr: str = "token_count",
+    seed: int = 0,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``token_budget_cap``: identical md5 key, tie-break
+    and inclusive-prefix predicate."""
+    return f"""
+WITH keyed AS (
+  SELECT {id_col}, {group_col}, {tokens_expr} AS tok,
+         substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)
+             AS sample_key
+  FROM {table}
+),
+c AS (
+  SELECT *,
+         SUM(tok) OVER (PARTITION BY {group_col}
+                        ORDER BY sample_key, {id_col}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run
+  FROM keyed
+)
+SELECT {id_col}, {group_col}, tok AS token_count, sample_key
+FROM c WHERE run <= {budget}
+"""
