@@ -817,6 +817,33 @@ _TOKENS_LEN_SQL = (
 )
 
 
+def _q_length_moments(sf_dir: str):
+    """Grouped moment statistics (stages/moments.py): mean/variance/std
+    of document char length per language via integer (cnt, s, ss)
+    partials — one 4-int row per (group, batch) exchange, closed-form
+    finalize restated verbatim by the DuckDB oracle."""
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.moments import grouped_moments
+
+    def n_chars(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": pa.array(
+                    [len(t or "") for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    ).map_batches(n_chars, batch_format="pyarrow")
+    return grouped_moments(ds, "n_chars", "lang")
+
+
 def _q_token_budget(sf_dir: str):
     """Token-budget data mixing (stages/sampling.token_budget_cap): keep
     each language's md5-rank prefix of documents while the running
@@ -2347,6 +2374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "group_cap_docs": _q_group_cap,
         "token_budget_docs": _q_token_budget,
+        "length_moments": _q_length_moments,
         "length_quantiles": _q_length_quantiles,
         "extract_html_text": _q_extract_html,
         "normalize_docs": _q_normalize_docs,
@@ -2390,6 +2418,7 @@ def oracle_sql() -> dict[str, str]:
         bloom,
         html,
         lm,
+        moments,
         ngram_topk,
         normalize,
         quantiles,
@@ -2449,6 +2478,9 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "group_cap_docs": sampling.group_cap_sql(20),
         "token_budget_docs": sampling.token_budget_cap_sql(
             2000, tokens_expr=_TOKENS_LEN_SQL
+        ),
+        "length_moments": moments.grouped_moments_sql(
+            "length(coalesce(text, ''))", "lang"
         ),
         "length_quantiles": quantiles.grouped_quantiles_sql(
             _QUANTILE_QS, "n_chars", "lang"

@@ -107,7 +107,16 @@ def _bench_queries(sf_dir: str) -> dict:
         "lm_perplexity",
         "quality_scores",
         "group_cap_docs",
+        "token_budget_docs",
         "length_quantiles",
+        "normalize_docs",
+        "tfidf_topk",
+        "ngram_topk",
+        "curate_docs",
+        "image_dhash",
+        "image_near_dup",
+        "video_frames",
+        "audio_power",
         "line_dedup_docs",
         "redact_pii",
         "parse_urls",
