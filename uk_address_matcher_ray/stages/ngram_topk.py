@@ -151,3 +151,186 @@ rnk AS (
 )
 SELECT g, gram, cnt FROM rnk WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Approximate path: count-min sketch + candidate re-count
+# ---------------------------------------------------------------------------
+
+def _cms_rows(keys_u64: "np.ndarray", width: int, depth: int) -> "np.ndarray":
+    """(len, depth) CMS row indices for pre-hashed 64-bit keys."""
+    from uk_address_matcher_ray.stages.dedup import _splitmix64
+
+    seeds = _splitmix64(
+        np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    return np.stack(
+        [
+            (_splitmix64(keys_u64 ^ seeds[d]) % np.uint64(width)).astype(np.int64)
+            for d in range(depth)
+        ],
+        axis=1,
+    )
+
+
+def ngram_topk_approx(
+    ds,
+    k: int,
+    n: int = 2,
+    group_col: str = "lang",
+    text_col: str = "text",
+    width: int = 1 << 14,
+    depth: int = 4,
+    candidate_m: int = 0,
+    recount: bool = True,
+):
+    """The exact operator's documented scale path for exploding gram
+    vocabularies: count-min sketch + candidate re-count.
+
+    The exact ``ngram_topk`` exchange is vocabulary-bounded; when the
+    n-gram vocabulary itself is too large to exchange (large n over noisy
+    web text), this path bounds EVERY intermediate by constants:
+
+    1. **Sketch + candidates, one pass**: each batch emits (a) a
+       depth x width count-min partial over splitmix64(group|gram) keys —
+       CMS is linear, so per-batch partials tree-merge exactly — and (b)
+       its batch-local top-``candidate_m`` grams per group (default 8k).
+    2. **Candidate selection**: CMS estimates (min over depth rows —
+       one-sided: estimate >= truth) rank the candidate union; with
+       ``recount=False`` the result uses these estimates directly.
+    3. **Exact re-count** (default): the candidate set is broadcast and
+       one more streaming pass counts ONLY candidates — a
+       candidates-bounded exchange — so the final counts are exact and
+       the ONLY approximation left is candidate recall (a true top-k
+       gram is missed only if it is outside every batch's local top-m,
+       impossible for globally heavy grams under any batching).
+
+    Driver state: depth x width int64 (fixed) + the candidate union —
+    never the gram vocabulary. Returns rows like the exact operator
+    ((g, gram, cnt), count desc / gram asc); property-tested equal to
+    ``ngram_topk`` on skewed corpora (tests/test_ngram_topk.py)."""
+    import ray
+
+    from uk_address_matcher_ray.functions import hashing as H
+
+    if candidate_m <= 0:
+        candidate_m = 8 * k
+
+    def sketch_batch(batch: pa.Table):
+        counts: dict = {}
+        gvals = batch.column(group_col).to_pylist()
+        for g, text in zip(gvals, batch.column(text_col).to_pylist()):
+            toks = _tokens(text)
+            for i in range(len(toks) - n + 1):
+                key = (g, " ".join(toks[i : i + n]))
+                counts[key] = counts.get(key, 0) + 1
+        cms = np.zeros((depth, width), dtype=np.int64)
+        if counts:
+            keys = np.fromiter(
+                (H.h60(g + "\x1f" + gram) for g, gram in counts),
+                dtype=np.uint64,
+                count=len(counts),
+            )
+            vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+            rows = _cms_rows(keys, width, depth)
+            for d in range(depth):
+                np.add.at(cms[d], rows[:, d], vals)
+        # batch-local top-m per group
+        per_group: dict = {}
+        for (g, gram), c in counts.items():
+            per_group.setdefault(g, []).append((-c, gram))
+        cands = []
+        for g, items in per_group.items():
+            items.sort()
+            cands.extend((g, gram) for _, gram in items[:candidate_m])
+        return cms, cands
+
+    refs = [
+        ray.remote(sketch_batch).remote(t)
+        for t in ds.select_columns([group_col, text_col]).to_arrow_refs()
+    ]
+
+    @ray.remote
+    def merge(*parts):
+        cms = parts[0][0].copy()
+        cands = set(parts[0][1])
+        for c2, k2 in parts[1:]:
+            cms += c2
+            cands.update(k2)
+        return cms, sorted(cands)
+
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    cms, cands = ray.get(refs[0]) if refs else (np.zeros((depth, width), np.int64), [])
+
+    if not cands:
+        return pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "gram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+
+    if recount:
+        cand_set = set(cands)
+        cand_ref = ray.put(cand_set)
+
+        def recount_batch(batch: pa.Table):
+            want = ray.get(cand_ref)
+            counts: dict = {}
+            gvals = batch.column(group_col).to_pylist()
+            for g, text in zip(gvals, batch.column(text_col).to_pylist()):
+                toks = _tokens(text)
+                for i in range(len(toks) - n + 1):
+                    key = (g, " ".join(toks[i : i + n]))
+                    if key in want:
+                        counts[key] = counts.get(key, 0) + 1
+            return counts
+
+        crefs = [
+            ray.remote(recount_batch).remote(t)
+            for t in ds.select_columns([group_col, text_col]).to_arrow_refs()
+        ]
+
+        @ray.remote
+        def cmerge(*ds_):
+            out: dict = {}
+            for d in ds_:
+                for kk, v in d.items():
+                    out[kk] = out.get(kk, 0) + v
+            return out
+
+        while len(crefs) > 1:
+            crefs = [cmerge.remote(*crefs[i : i + 8]) for i in range(0, len(crefs), 8)]
+        counts = ray.get(crefs[0]) if crefs else {}
+        est = {kk: counts.get(kk, 0) for kk in cands}
+    else:
+        keys = np.fromiter(
+            (H.h60(g + "\x1f" + gram) for g, gram in cands),
+            dtype=np.uint64,
+            count=len(cands),
+        )
+        rows = _cms_rows(keys, width, depth)
+        mins = np.min(
+            np.stack([cms[d][rows[:, d]] for d in range(depth)], axis=1), axis=1
+        )
+        est = {kk: int(m) for kk, m in zip(cands, mins)}
+
+    per_group: dict = {}
+    for (g, gram), c in est.items():
+        per_group.setdefault(g, []).append((-c, gram))
+    gs, grams, cnts = [], [], []
+    for g in sorted(per_group):
+        items = sorted(per_group[g])[:k]
+        for negc, gram in items:
+            gs.append(g)
+            grams.append(gram)
+            cnts.append(-negc)
+    return pa.table(
+        {
+            "g": pa.array(gs, pa.string()),
+            "gram": pa.array(grams, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
+        }
+    )
