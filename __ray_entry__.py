@@ -817,6 +817,21 @@ _TOKENS_LEN_SQL = (
 )
 
 
+def _q_hll_tokens(sf_dir: str):
+    """HLL distinct-token count per language (stages/hll.py): md5-bucket
+    registers max-merged per batch, INTEGER harmonic sum (no float-order
+    dependence), repr'd-literal estimate expression — a sketch the DuckDB
+    oracle reproduces bit-for-bit including the estimate doubles."""
+    import ray
+
+    from uk_address_matcher_ray.stages.hll import hll_distinct_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return hll_distinct_tokens(ds)
+
+
 def _q_length_moments(sf_dir: str):
     """Grouped moment statistics (stages/moments.py): mean/variance/std
     of document char length per language via integer (cnt, s, ss)
@@ -2375,6 +2390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_cap_docs": _q_group_cap,
         "token_budget_docs": _q_token_budget,
         "length_moments": _q_length_moments,
+        "hll_distinct_tokens": _q_hll_tokens,
         "length_quantiles": _q_length_quantiles,
         "extract_html_text": _q_extract_html,
         "normalize_docs": _q_normalize_docs,
@@ -2416,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray.pipelines import curate
     from uk_address_matcher_ray.stages import (
         bloom,
+        hll,
         html,
         lm,
         moments,
@@ -2482,6 +2499,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "length_moments": moments.grouped_moments_sql(
             "length(coalesce(text, ''))", "lang"
         ),
+        "hll_distinct_tokens": hll.hll_distinct_tokens_sql(),
         "length_quantiles": quantiles.grouped_quantiles_sql(
             _QUANTILE_QS, "n_chars", "lang"
         ),
