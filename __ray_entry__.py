@@ -886,6 +886,37 @@ def _q_token_budget(sf_dir: str):
     return token_budget_cap(ds, budget=2000, group_col="lang")
 
 
+PACK_CAPACITY = 512
+
+
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing (stages/packing.pack_sequences):
+    documents in deterministic md5 corpus order are concatenated as a
+    whitespace-token stream and cut every 512 tokens; output is the
+    (seq_id, doc_id, doc_off, seg_len, win_off) segment manifest.  The
+    global exclusive prefix sum runs as range-bucketed partials + a
+    constant-size driver fold, never a full sort."""
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.dedup import _tokens
+    from uk_address_matcher_ray.stages.packing import pack_sequences
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        toks = [len(_tokens(t)) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "token_count": pa.array(toks, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(count_tokens, batch_format="pyarrow")
+    return pack_sequences(ds, PACK_CAPACITY)
+
+
 def _q_group_cap(sf_dir: str):
     """C4-style per-group document cap (stages/sampling.group_cap): keep
     at most 20 docs per language by deterministic md5 rank — per-batch
@@ -2389,6 +2420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "group_cap_docs": _q_group_cap,
         "token_budget_docs": _q_token_budget,
+        "pack_sequences": _q_pack_sequences,
         "length_moments": _q_length_moments,
         "hll_distinct_tokens": _q_hll_tokens,
         "length_quantiles": _q_length_quantiles,
@@ -2438,6 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         moments,
         ngram_topk,
         normalize,
+        packing,
         quantiles,
         sampling,
         tfidf,
@@ -2495,6 +2528,9 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "group_cap_docs": sampling.group_cap_sql(20),
         "token_budget_docs": sampling.token_budget_cap_sql(
             2000, tokens_expr=_TOKENS_LEN_SQL
+        ),
+        "pack_sequences": packing.pack_sequences_sql(
+            PACK_CAPACITY, tokens_expr=_TOKENS_LEN_SQL
         ),
         "length_moments": moments.grouped_moments_sql(
             "length(coalesce(text, ''))", "lang"
