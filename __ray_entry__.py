@@ -1253,6 +1253,111 @@ def _q_domain_stats(sf_dir: str):
     return domain_doc_stats(_docs_with_urls(sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# link graph: href extraction + integer-domain PageRank (stages/graph.py)
+# ---------------------------------------------------------------------------
+# Deterministic linked-HTML synth: each doc links to two hosts derived
+# from doc_id arithmetic (7i+3 and 13i+5 mod 23 — both multipliers are
+# invertible mod 23, so the 23-host graph is fully connected in a few
+# hops), plus an unterminated href (no closing quote) that the split
+# contract drops on BOTH sides.  Mirrored verbatim by _LINKED_HTML_SQL.
+
+
+def _linked_html_of(i: int) -> str:
+    a = (i * 7 + 3) % 23
+    b = (i * 13 + 5) % 23
+    return (
+        f'<p>see <a href="https://d{a}.example.com/x?k={i}">one</a> and '
+        f'<a href="https://d{b}.example.com/y">two</a>, '
+        'plain href="skip me</p>'
+    )
+
+
+_LINKED_HTML_SQL = (
+    "'<p>see <a href=\"https://d' || (doc_id * 7 + 3) % 23 ||"
+    " '.example.com/x?k=' || doc_id || '\">one</a> and"
+    " <a href=\"https://d' || (doc_id * 13 + 5) % 23 ||"
+    " '.example.com/y\">two</a>, plain href=\"skip me</p>'"
+)
+
+
+def _docs_with_linked_html(sf_dir: str):
+    import pyarrow as pa
+    import ray
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "html": pa.array(
+                    [_linked_html_of(int(i)) for i in ids], pa.string()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(add, batch_format="pyarrow")
+
+
+def _q_extract_links(sf_dir: str):
+    """Vectorized outlink extraction (stages/graph.extract_links): split
+    contract over the Arrow buffer — first-fragment drop via list
+    offsets, closing-quote filter, first-quote prefix; zero shuffles."""
+    from uk_address_matcher_ray.stages.graph import extract_links
+
+    return extract_links(_docs_with_linked_html(sf_dir))
+
+
+def _q_domain_pagerank(sf_dir: str):
+    """Integer-domain PageRank over the synthetic host graph
+    (stages/graph.pagerank): extract_links -> (src_host, dst_host) edges
+    -> 3 damped power iterations entirely in int64 (order-free partial
+    sums), DuckDB mirror unrolls the iterations as CTEs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray  # noqa: F401
+
+    from uk_address_matcher_ray.stages.graph import (
+        extract_links,
+        link_hosts,
+        pagerank,
+    )
+
+    links = extract_links(_docs_with_linked_html(sf_dir))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column("link"), "://")
+        t = batch.filter(keep)
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        res = pc.cast(pa.array(ids % 23), pa.string())
+        src = pc.binary_join_element_wise("d", res, ".example.com", "")
+        return pa.table({"src": src, "dst": link_hosts(t.column("link"))})
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow")
+    return pagerank(edges, iters=3)
+
+
+def _domain_pagerank_sql() -> str:
+    from uk_address_matcher_ray.stages.graph import (
+        extract_links_sql,
+        pagerank_sql,
+    )
+
+    links_sql = extract_links_sql(_LINKED_HTML_SQL, "documents")
+    edges_sql = f"""
+SELECT 'd' || (l.doc_id % 23) || '.example.com' AS src,
+       split_part(split_part(l.link, '://', 2), '/', 1) AS dst
+FROM ({links_sql}) l
+WHERE contains(l.link, '://')
+"""
+    return pagerank_sql(edges_sql, iters=3)
+
+
 def _url_oracle_cte() -> str:
     from uk_address_matcher_ray.stages.urls import (
         _MULTI_LABEL_SUFFIXES,
@@ -2437,6 +2542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "parse_urls": _q_parse_urls,
         "domain_doc_stats": _q_domain_stats,
+        "extract_links": _q_extract_links,
+        "domain_pagerank": _q_domain_pagerank,
         "url_dedup_docs": _q_url_dedup,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
@@ -2464,6 +2571,7 @@ def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray.pipelines import curate
     from uk_address_matcher_ray.stages import (
         bloom,
+        graph,
         hll,
         html,
         lm,
@@ -2558,6 +2666,10 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "redact_pii": _redact_pii_sql(),
         "parse_urls": _parse_urls_sql(),
         "domain_doc_stats": _domain_stats_sql(),
+        "extract_links": graph.extract_links_sql(
+            _LINKED_HTML_SQL, "documents"
+        ),
+        "domain_pagerank": _domain_pagerank_sql(),
         "url_dedup_docs": _url_dedup_sql(),
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "events_hourly": oracle_extras.events_hourly_sql(),

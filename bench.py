@@ -121,6 +121,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "redact_pii",
         "parse_urls",
         "domain_doc_stats",
+        "domain_pagerank",
         "embedding_near_dup",
         "ann_topk",
         "events_hourly",

@@ -1,0 +1,170 @@
+"""Link-graph operators (stages/graph.py): split-contract href
+extraction and integer-domain PageRank."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from uk_address_matcher_ray.stages.graph import (
+    _DAMP_DEN,
+    _DAMP_NUM,
+    _SCALE,
+    extract_links,
+    link_hosts,
+    pagerank,
+)
+
+
+def _links_of(rows):
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+                "html": pa.array(rows, pa.string()),
+            }
+        )
+    )
+    out = extract_links(ds).take_all()
+    return sorted((r["doc_id"], r["link"]) for r in out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extract_links_split_contract():
+    rows = [
+        '<a href="https://a.com/x">one</a> <a href="https://b.com/">two</a>',
+        'no links here',
+        'unterminated href="https://c.com/x with no quote',
+        # split consumes every 'href="' occurrence: the fragment after
+        # the first one ends at the second occurrence and has no closing
+        # quote, so only the second link survives
+        'href="https://d.com/x href="https://e.com/y"',
+        '',
+        None,
+        'HREF="https://upper.com/" is case-sensitive, skipped',
+    ]
+    assert _links_of(rows) == [
+        (0, "https://a.com/x"),
+        (0, "https://b.com/"),
+        (3, "https://e.com/y"),
+    ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_link_hosts_full_split():
+    hosts = link_hosts(
+        pa.array(
+            [
+                "https://a.example.com/x/y?q=1",
+                "http://b.com",
+                # full '://' split (split_part semantics): element 1 of
+                # ['ftp','weird','host/p'] is 'weird'
+                "ftp://weird://host/p",
+            ]
+        )
+    )
+    assert hosts.to_pylist() == ["a.example.com", "b.com", "weird"]
+
+
+def _pagerank_spec(edges, iters, scale=_SCALE, dn=_DAMP_NUM, dd=_DAMP_DEN):
+    """Direct single-process restatement of the integer spec."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    od = {n: 0 for n in nodes}
+    for s, _ in edges:
+        od[s] += 1
+    n = len(nodes)
+    base = scale // n
+    r = {v: base for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, d in edges:
+            inc[d] += r[s] // od[s]
+        r = {v: ((dd - dn) * base + dn * inc[v]) // dd for v in nodes}
+    return r
+
+
+def _run_pagerank(edges, iters):
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.string()),
+                "dst": pa.array([d for _, d in edges], pa.string()),
+            }
+        )
+    )
+    out = pagerank(ds, iters=iters).take_all()
+    return {r["node"]: r["rank_scaled"] for r in out}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_matches_spec():
+    edges = [
+        ("a", "b"),
+        ("b", "a"),
+        ("a", "c"),
+        ("c", "a"),
+        ("d", "a"),  # d is dangling-in (no in-edges): floor rank
+        ("a", "b"),  # multi-edge: counts with multiplicity
+    ]
+    for iters in (0, 1, 3):
+        got = _run_pagerank(edges, iters)
+        want = _pagerank_spec(edges, iters)
+        assert got == want, (iters, got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_floor_and_rank_column():
+    import ray
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges]),
+                "dst": pa.array([d for _, d in edges]),
+            }
+        )
+    )
+    rows = pagerank(ds, iters=2).take_all()
+    base = _SCALE // 3
+    floor = (_DAMP_DEN - _DAMP_NUM) * base // _DAMP_DEN
+    for r in rows:
+        assert r["rank_scaled"] >= floor
+        assert r["rank"] == r["rank_scaled"] / float(_SCALE)
+    # a 3-cycle with equal degrees stays (near-)uniform
+    ranks = {r["node"]: r["rank_scaled"] for r in rows}
+    assert max(ranks.values()) - min(ranks.values()) <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_empty_edges():
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert pagerank(ds, iters=2).take_all() == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_random_graph_property():
+    """Randomized-but-seeded graph vs the spec restatement."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(17)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    ]
+    got = _run_pagerank(edges, 4)
+    want = _pagerank_spec(edges, 4)
+    assert got == want

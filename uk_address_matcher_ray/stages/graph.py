@@ -1,0 +1,299 @@
+"""Web link-graph operators: vectorized href extraction and a
+deterministic integer-domain PageRank over the domain graph.
+
+The reference (RobinL/uk_address_matcher) has no graph operators; this
+family serves the webtext ingestion tier the north rule targets (a
+Common-Crawl-style page table): outlink extraction feeds a host/domain
+graph, PageRank ranks hosts for curation (seed-quality weighting in the
+CCNet / RefinedWeb style of URL-level filtering).
+
+Determinism contract
+--------------------
+``extract_links`` uses SPLIT semantics, not regex-scan semantics: the
+links of a document are, for every occurrence of the literal ``href="``,
+the prefix of the following fragment up to its first ``"`` — fragments
+with no closing quote are dropped.  ``extract_links_sql`` restates the
+same split (``string_split`` + ``split_part``), so both sides agree by
+construction even on adversarial inputs (e.g. an unterminated attribute
+followed by another ``href=`` — regex-scan and split views differ there,
+and we pin the split view on both sides).
+
+``pagerank`` is specified entirely in the INTEGER domain so that partial
+sums are order-free and the DuckDB oracle is bit-exact:
+
+    N      = |distinct(src) union distinct(dst)|
+    base   = scale // N
+    r0[v]  = base
+    c(e)   = r[src(e)] // outdeg[src(e)]          (int division)
+    inc[v] = sum of c(e) over in-edges of v        (exact int sum)
+    r'[v]  = ((dd - dn) * base + dn * inc[v]) // dd
+
+with scale = 2**40, dn/dd = 85/100 (the classic damping).  Multi-edges
+count with multiplicity; dangling-node mass is dropped (the classic
+simplified formulation — stated, not hidden).  Bounds: inc[v] <= total
+rank <= scale = 2**40, so dn * inc < 2**47 fits int64 with headroom.
+``rank`` = rank_scaled / 2**40 is a division by a power of two — exact,
+hence double-identical on both sides.
+
+Scale shape (100 TB)
+--------------------
+* The edge list is materialized ONCE as (src_idx:int32, dst_idx:int32)
+  — 8 B/edge in the object store (spills to disk beyond memory); every
+  iteration re-reads it instead of re-running extraction.  Iterative
+  graph algorithms need resident edges; this is the standard shape.
+* The node/outdeg table is the SMALL side by construction (distinct
+  hosts << pages; Common Crawl: ~10^8 hosts vs ~10^10 pages).  It is
+  collected to the driver and broadcast per iteration via one
+  ``ray.put`` (zero-copy reads in every task), gated at
+  ``_BROADCAST_MAX_NODES``; beyond the gate we raise with the sharded
+  design spelled out (hash-co-partition ranks with edges by src, and
+  exchange (dst, contrib) partials — same skinny exchange, no broadcast)
+  rather than silently degrade.
+* Each iteration ships only per-batch pre-aggregated (dst_idx, contrib)
+  int rows — bounded by min(batch_rows, N) per batch, never the edges.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SCALE = 1 << 40
+_DAMP_NUM = 85
+_DAMP_DEN = 100
+# Node table is driver-held + broadcast: 16M nodes ≈ a few hundred MB of
+# host strings — the same gate as stages/cluster.py's broadcast path.
+_BROADCAST_MAX_NODES = 16_000_000
+
+
+def _links_of_batch(html: pa.ChunkedArray | pa.Array):
+    """(parent_row_indices:int64 np, links:pa.StringArray) under the split
+    contract documented above.  Null html yields no links."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    parts = pc.split_pattern(html, 'href="')
+    flat = pc.list_flatten(parts)
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    # Drop the first fragment of every row (text before the first href=").
+    offsets = np.asarray(parts.offsets)
+    sizes = np.diff(offsets)
+    first_flat_pos = offsets[:-1][sizes > 0]
+    keep = np.ones(len(flat), dtype=bool)
+    keep[first_flat_pos] = False
+    # Fragments with no closing quote are dropped (split contract).
+    keep &= pc.match_substring(flat, '"').to_numpy(zero_copy_only=False)
+    idx = np.nonzero(keep)[0]
+    frags = flat.take(pa.array(idx))
+    links = pc.list_element(pc.split_pattern(frags, '"'), 0)
+    return parents[idx], links
+
+
+def extract_links(ds, id_col: str = "doc_id", html_col: str = "html"):
+    """-> Dataset(id, link): one row per href occurrence, split contract.
+
+    Zero-shuffle row-local pass: ``split_pattern`` over the Arrow buffer,
+    first-fragment drop via list offsets, quote filter, first-quote
+    prefix — no per-row Python."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        parents, links = _links_of_batch(batch.column(html_col))
+        ids = batch.column(id_col).take(pa.array(parents))
+        return pa.table({id_col: ids, "link": links})
+
+    return ds.select_columns([id_col, html_col]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+def extract_links_sql(html_expr: str, source: str, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of the split contract: ``string_split`` on the same
+    literal, skip the first fragment, require a closing quote, take the
+    first-quote prefix."""
+    return f"""
+WITH raw AS (SELECT {id_col}, {html_expr} AS h FROM {source}),
+frags AS (
+  SELECT {id_col}, unnest(string_split(h, 'href="')[2:]) AS frag
+  FROM raw
+)
+SELECT {id_col}, split_part(frag, '"', 1) AS link
+FROM frags
+WHERE contains(frag, '"')
+"""
+
+
+def link_hosts(links: pa.ChunkedArray | pa.Array):
+    """Host of each link under the full-split contract
+    (``split_part(split_part(link, '://', 2), '/', 1)``): element 1 of the
+    full '://' split, then element 0 of the full '/' split.  Callers must
+    pre-filter to links containing '://'."""
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    rest = pc.list_element(pc.split_pattern(links, "://"), 1)
+    return pc.list_element(pc.split_pattern(rest, "/"), 0)
+
+
+def pagerank(
+    edges,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = _SCALE,
+    damp_num: int = _DAMP_NUM,
+    damp_den: int = _DAMP_DEN,
+):
+    """-> Dataset(node, rank_scaled:int64, rank:float64) after ``iters``
+    integer-domain power iterations (spec in the module docstring)."""
+    import ray
+
+    # ---- Phase 1: node set + out-degrees (one skinny exchange). -------
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        src = batch.column(src_col)
+        ones = pa.array(np.ones(len(src), dtype=np.int64))
+        s = (
+            pa.table({"node": src, "od": ones})
+            .group_by("node")
+            .aggregate([("od", "sum")])
+            .rename_columns(["node", "od"])
+        )
+        dst_u = pc.unique(batch.column(dst_col).combine_chunks())
+        d = pa.table(
+            {
+                "node": dst_u,
+                "od": pa.array(np.zeros(len(dst_u), dtype=np.int64)),
+            }
+        )
+        return pa.concat_tables([s, d])
+
+    deg_ds = edges.map_batches(deg_partial, batch_format="pyarrow").groupby(
+        "node"
+    ).sum("od")
+    deg_rows = deg_ds.take_all()  # SMALL side: distinct hosts << pages
+    if not deg_rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "rank_scaled": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.float64()),
+                }
+            )
+        )
+    if len(deg_rows) > _BROADCAST_MAX_NODES:
+        raise NotImplementedError(
+            "pagerank broadcast path is gated at "
+            f"{_BROADCAST_MAX_NODES} nodes; beyond it, hash-co-partition "
+            "the rank vector with the edges by src and exchange "
+            "(dst, contrib) partials per iteration (design note in the "
+            "module docstring / SCALE.md)"
+        )
+    nodes: List[str] = sorted(r["node"] for r in deg_rows)
+    node_arr = pa.array(nodes, pa.string())
+    od = np.zeros(len(nodes), dtype=np.int64)
+    pos = {n: i for i, n in enumerate(nodes)}
+    for r in deg_rows:
+        od[pos[r["node"]]] = int(r["sum(od)"])
+    n_nodes = len(nodes)
+    base = scale // n_nodes
+
+    # ---- Phase 2: encode edges once to int32 index pairs. -------------
+    nodes_ref = ray.put(node_arr)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vs = ray.get(nodes_ref)
+        s = pc.index_in(batch.column(src_col), value_set=vs)
+        d = pc.index_in(batch.column(dst_col), value_set=vs)
+        return pa.table({"s": s.cast(pa.int32()), "d": d.cast(pa.int32())})
+
+    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+
+    # ---- Phase 3: power iterations. -----------------------------------
+    od_ref = ray.put(od)
+    r = np.full(n_nodes, base, dtype=np.int64)
+    for _ in range(iters):
+        r_ref = ray.put(r)
+
+        def contrib(batch: pa.Table, _r=r_ref, _od=od_ref) -> pa.Table:
+            rv = ray.get(_r)
+            odv = ray.get(_od)
+            s = batch.column("s").to_numpy(zero_copy_only=False)
+            d = batch.column("d").to_numpy(zero_copy_only=False)
+            c = rv[s] // odv[s]
+            # float64 bincount is exact here: per-batch sums are bounded
+            # by the total rank mass <= scale = 2**40 < 2**53.
+            acc = np.bincount(d, weights=c.astype(np.float64))
+            nz = np.nonzero(acc)[0]
+            return pa.table(
+                {
+                    "d": pa.array(nz.astype(np.int32)),
+                    "c": pa.array(acc[nz].astype(np.int64)),
+                }
+            )
+
+        inc_rows = (
+            enc.map_batches(contrib, batch_format="pyarrow")
+            .groupby("d")
+            .sum("c")
+            .take_all()
+        )
+        inc = np.zeros(n_nodes, dtype=np.int64)
+        for row in inc_rows:
+            inc[int(row["d"])] = int(row["sum(c)"])
+        r = ((damp_den - damp_num) * base + damp_num * inc) // damp_den
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": node_arr,
+                "rank_scaled": pa.array(r),
+                "rank": pa.array(r.astype(np.float64) / float(scale)),
+            }
+        )
+    )
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = 3,
+    scale: int = _SCALE,
+    damp_num: int = _DAMP_NUM,
+    damp_den: int = _DAMP_DEN,
+) -> str:
+    """DuckDB mirror: the iteration chain unrolled as CTEs (the
+    unrolled-Lloyd pattern), identical integer expressions."""
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS od "
+        "FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r "
+        "FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""r{k} AS (
+  SELECT nd.node,
+         CAST((({damp_den - damp_num} * ({scale} // nn.n))
+               + {damp_num} * COALESCE(inc.s, 0)) // {damp_den}
+              AS BIGINT) AS r
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.r // d.od) AS BIGINT) AS s
+    FROM edges e
+    JOIN r{k - 1} p ON p.node = e.src
+    JOIN deg d ON d.node = e.src
+    GROUP BY e.dst
+  ) inc ON inc.node = nd.node
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT node, r AS rank_scaled,
+       CAST(r AS DOUBLE) / {scale} AS rank
+FROM r{iters}
+"""
