@@ -1358,6 +1358,63 @@ WHERE contains(l.link, '://')
     return pagerank_sql(edges_sql, iters=3)
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (stages/dsir.py): target = English docs
+# ---------------------------------------------------------------------------
+_DSIR_RAW_SQL = "SELECT doc_id, text FROM documents"
+_DSIR_TGT_SQL = "SELECT doc_id, text FROM documents WHERE lang = 'en'"
+_DSIR_N = 50
+
+
+def _dsir_inputs(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def en_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("lang"), "en")).select(
+            ["doc_id", "text"]
+        )
+
+    tgt = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(en_only, batch_format="pyarrow")
+    return raw, tgt
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (stages/dsir.py): hashed unigram+bigram
+    distributions fit via bucket-bounded partial counts, per-doc
+    log-importance in one zero-shuffle broadcast pass."""
+    import ray
+
+    from uk_address_matcher_ray.stages.dsir import dsir_assets, dsir_weights
+
+    raw, tgt = _dsir_inputs(sf_dir)
+    assets = dsir_assets(raw, tgt)
+    return dsir_weights(raw, ray.put(assets))
+
+
+def _q_dsir_select(sf_dir: str):
+    """DSIR hard-top-k selection: keep the n highest-importance docs
+    (logw DESC, doc_id ASC), per-batch partial top-n prune."""
+    import ray
+
+    from uk_address_matcher_ray.stages.dsir import (
+        dsir_assets,
+        dsir_select,
+        dsir_weights,
+    )
+
+    raw, tgt = _dsir_inputs(sf_dir)
+    assets = dsir_assets(raw, tgt)
+    return dsir_select(dsir_weights(raw, ray.put(assets)), _DSIR_N)
+
+
 def _url_oracle_cte() -> str:
     from uk_address_matcher_ray.stages.urls import (
         _MULTI_LABEL_SUFFIXES,
@@ -2544,6 +2601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_doc_stats": _q_domain_stats,
         "extract_links": _q_extract_links,
         "domain_pagerank": _q_domain_pagerank,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
         "url_dedup_docs": _q_url_dedup,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
@@ -2571,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray.pipelines import curate
     from uk_address_matcher_ray.stages import (
         bloom,
+        dsir,
         graph,
         hll,
         html,
@@ -2670,6 +2730,10 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
             _LINKED_HTML_SQL, "documents"
         ),
         "domain_pagerank": _domain_pagerank_sql(),
+        "dsir_weights": dsir.dsir_weights_sql(_DSIR_RAW_SQL, _DSIR_TGT_SQL),
+        "dsir_select": dsir.dsir_select_sql(
+            _DSIR_RAW_SQL, _DSIR_TGT_SQL, _DSIR_N
+        ),
         "url_dedup_docs": _url_dedup_sql(),
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "events_hourly": oracle_extras.events_hourly_sql(),

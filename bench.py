@@ -122,6 +122,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "parse_urls",
         "domain_doc_stats",
         "domain_pagerank",
+        "dsir_select",
         "embedding_near_dup",
         "ann_topk",
         "events_hourly",
