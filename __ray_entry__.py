@@ -1415,6 +1415,63 @@ def _q_dsir_select(sf_dir: str):
     return dsir_select(dsir_weights(raw, ray.put(assets)), _DSIR_N)
 
 
+# ---------------------------------------------------------------------------
+# incremental snapshot dedup + inverted index (stages/snapshot.py, index.py)
+# ---------------------------------------------------------------------------
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental snapshot dedup (stages/snapshot.py): new crawl =
+    the variants table, kept corpus = even-doc_id truncated docs; one
+    tagged h60-keyed exchange, seen side distinct-per-batch, in-group
+    anti-join fully vectorized."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.snapshot import incremental_dedup
+
+    def trunc_even(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep = [(i, t) for i, t in zip(ids, texts) if i % 2 == 0]
+        return pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in keep], pa.int64()),
+                "text": pa.array(
+                    [t[:DOC_TRUNC] if t else t for _, t in keep],
+                    pa.string(),
+                ),
+            }
+        )
+
+    seen = _docs(sf_dir).map_batches(trunc_even, batch_format="pyarrow")
+    return incremental_dedup(_docs_with_variants(sf_dir), seen)
+
+
+_INDEX_MIN_DF = 3
+_INDEX_MAX_DF = 400
+
+
+def _q_inverted_index(sf_dir: str):
+    """df-bounded inverted index over the address corpus
+    (stages/index.py): vocabulary-bounded DF pre-pass collects only the
+    over-cap Zipf head as a broadcast drop-set, posting groups bounded
+    by max_df by construction."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.index import inverted_index
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    canon, messy = _synth_tables(sf_dir)
+    union = pa.concat_tables([canon, messy]).select(
+        ["unique_id", "address_concat"]
+    )
+    return inverted_index(
+        dataset_from_table(union),
+        id_col="unique_id",
+        text_col="address_concat",
+        min_df=_INDEX_MIN_DF,
+        max_df=_INDEX_MAX_DF,
+    )
+
+
 def _url_oracle_cte() -> str:
     from uk_address_matcher_ray.stages.urls import (
         _MULTI_LABEL_SUFFIXES,
@@ -2603,6 +2660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_pagerank": _q_domain_pagerank,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
+        "incremental_dedup_docs": _q_incremental_dedup,
+        "inverted_index": _q_inverted_index,
         "url_dedup_docs": _q_url_dedup,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
@@ -2633,6 +2692,10 @@ def oracle_sql() -> dict[str, str]:
         dsir,
         graph,
         hll,
+        snapshot,
+    )
+    from uk_address_matcher_ray.stages import index as index_mod
+    from uk_address_matcher_ray.stages import (
         html,
         lm,
         moments,
@@ -2733,6 +2796,18 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "dsir_weights": dsir.dsir_weights_sql(_DSIR_RAW_SQL, _DSIR_TGT_SQL),
         "dsir_select": dsir.dsir_select_sql(
             _DSIR_RAW_SQL, _DSIR_TGT_SQL, _DSIR_N
+        ),
+        "incremental_dedup_docs": snapshot.incremental_dedup_sql(
+            _DOCS_VARIANTS_SQL,
+            f"SELECT doc_id, substr(text, 1, {DOC_TRUNC}) AS text "
+            "FROM documents WHERE doc_id % 2 = 0",
+        ),
+        "inverted_index": index_mod.inverted_index_sql(
+            "SELECT unique_id, address_concat AS text "
+            f"FROM ({_union_input_sql()})",
+            id_col="unique_id",
+            min_df=_INDEX_MIN_DF,
+            max_df=_INDEX_MAX_DF,
         ),
         "url_dedup_docs": _url_dedup_sql(),
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",

@@ -123,6 +123,8 @@ def _bench_queries(sf_dir: str) -> dict:
         "domain_doc_stats",
         "domain_pagerank",
         "dsir_select",
+        "incremental_dedup_docs",
+        "inverted_index",
         "embedding_near_dup",
         "ann_topk",
         "events_hourly",
