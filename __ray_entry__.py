@@ -1448,6 +1448,38 @@ def _q_incremental_dedup(sf_dir: str):
 _INDEX_MIN_DF = 3
 _INDEX_MAX_DF = 400
 
+_BM25_QUERIES = [
+    ("q1", "HIGH STREET YORK"),
+    ("q2", "FLAT MILL LANE"),
+    ("q3", "STATION ROAD UNSEENTOKEN"),
+]
+_BM25_K = 10
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 top-k retrieval (stages/bm25.py): query-vocabulary-bounded
+    integer asset pass, zero-shuffle broadcast scoring with per-batch
+    per-query top-k pruning, rounded-score deterministic ranking."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.bm25 import bm25_topk
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    canon, messy = _synth_tables(sf_dir)
+    union = pa.concat_tables([canon, messy])
+    docs = pa.table(
+        {
+            "unique_id": union.column("unique_id"),
+            "text": union.column("address_concat"),
+        }
+    )
+    return bm25_topk(
+        dataset_from_table(docs),
+        _BM25_QUERIES,
+        _BM25_K,
+        id_col="unique_id",
+    )
+
 
 def _q_inverted_index(sf_dir: str):
     """df-bounded inverted index over the address corpus
@@ -2662,6 +2694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "incremental_dedup_docs": _q_incremental_dedup,
         "inverted_index": _q_inverted_index,
+        "bm25_topk": _q_bm25_topk,
         "url_dedup_docs": _q_url_dedup,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
@@ -2689,6 +2722,7 @@ def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray.pipelines import curate
     from uk_address_matcher_ray.stages import (
         bloom,
+        bm25,
         dsir,
         graph,
         hll,
@@ -2808,6 +2842,13 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
             id_col="unique_id",
             min_df=_INDEX_MIN_DF,
             max_df=_INDEX_MAX_DF,
+        ),
+        "bm25_topk": bm25.bm25_topk_sql(
+            "SELECT unique_id, address_concat AS text "
+            f"FROM ({_union_input_sql()})",
+            _BM25_QUERIES,
+            _BM25_K,
+            id_col="unique_id",
         ),
         "url_dedup_docs": _url_dedup_sql(),
         "doc_lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",

@@ -125,6 +125,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "dsir_select",
         "incremental_dedup_docs",
         "inverted_index",
+        "bm25_topk",
         "embedding_near_dup",
         "ann_topk",
         "events_hourly",
