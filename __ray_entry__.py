@@ -1504,6 +1504,93 @@ def _q_inverted_index(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# WARC source (sources/warc.py): per-doc warcinfo+response container
+# ---------------------------------------------------------------------------
+def _warc_date_of(i: int) -> str:
+    return f"2024-01-01T00:00:{i % 60:02d}Z"
+
+
+_WARC_DATE_SQL = (
+    "'2024-01-01T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z'"
+)
+
+
+def _q_warc_extract(sf_dir: str):
+    """WARC container parse (sources/warc.py): per-doc spec-valid
+    warcinfo+response WARC bytes, Content-Length record walk, response
+    filter — closed-form oracle states the expected fields directly
+    from the synth inputs (the media_decode pattern)."""
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.sources.warc import (
+        read_warc_blobs,
+        synth_warc,
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        blobs = [
+            synth_warc(
+                [
+                    {
+                        "warc_type": "warcinfo",
+                        "payload": b"software: graft-synth\r\n",
+                    },
+                    {
+                        "warc_type": "response",
+                        "target_uri": _url_of(int(i)),
+                        "warc_date": _warc_date_of(int(i)),
+                        "payload": _html_of(t).encode("utf-8"),
+                    },
+                ]
+            )
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "blob_id": batch.column("doc_id"),
+                "warc": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    blobs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(build, batch_format="pyarrow")
+    recs = read_warc_blobs(blobs, types=("response",))
+
+    def project(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("blob_id"),
+                "url": batch.column("target_uri"),
+                "warc_date": batch.column("warc_date"),
+                "n_bytes": pa.array(
+                    [len(p) for p in payloads], pa.int64()
+                ),
+                "page_text": pa.array(
+                    [p.decode("utf-8") for p in payloads], pa.string()
+                ),
+            }
+        )
+
+    return recs.map_batches(project, batch_format="pyarrow")
+
+
+def _warc_extract_sql() -> str:
+    return f"""
+SELECT doc_id,
+       {_url_synth_case('doc_id')} AS url,
+       {_WARC_DATE_SQL} AS warc_date,
+       octet_length(encode({_HTML_SYNTH_SQL})) AS n_bytes,
+       {_HTML_SYNTH_SQL} AS page_text
+FROM documents
+"""
+
+
 def _url_oracle_cte() -> str:
     from uk_address_matcher_ray.stages.urls import (
         _MULTI_LABEL_SUFFIXES,
@@ -2695,6 +2782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_docs": _q_incremental_dedup,
         "inverted_index": _q_inverted_index,
         "bm25_topk": _q_bm25_topk,
+        "warc_extract_pages": _q_warc_extract,
         "url_dedup_docs": _q_url_dedup,
         "doc_lang_counts": _q_doc_lang_counts,
         "events_hourly": _q_events_hourly,
@@ -2843,6 +2931,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
             min_df=_INDEX_MIN_DF,
             max_df=_INDEX_MAX_DF,
         ),
+        "warc_extract_pages": _warc_extract_sql(),
         "bm25_topk": bm25.bm25_topk_sql(
             "SELECT unique_id, address_concat AS text "
             f"FROM ({_union_input_sql()})",
