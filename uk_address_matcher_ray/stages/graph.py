@@ -169,7 +169,18 @@ def pagerank(
 
     deg_ds = edges.map_batches(deg_partial, batch_format="pyarrow").groupby(
         "node"
-    ).sum("od")
+    ).sum("od").materialize()
+    # gate BEFORE the driver collect: count() is distributed, so an
+    # over-gate node table never lands on the driver at all
+    n_found = deg_ds.count()
+    if n_found > _BROADCAST_MAX_NODES:
+        raise NotImplementedError(
+            "pagerank broadcast path is gated at "
+            f"{_BROADCAST_MAX_NODES} nodes (found {n_found}); beyond it, "
+            "hash-co-partition the rank vector with the edges by src and "
+            "exchange (dst, contrib) partials per iteration (design note "
+            "in the module docstring / SCALE.md)"
+        )
     deg_rows = deg_ds.take_all()  # SMALL side: distinct hosts << pages
     if not deg_rows:
         return ray.data.from_arrow(
@@ -180,14 +191,6 @@ def pagerank(
                     "rank": pa.array([], pa.float64()),
                 }
             )
-        )
-    if len(deg_rows) > _BROADCAST_MAX_NODES:
-        raise NotImplementedError(
-            "pagerank broadcast path is gated at "
-            f"{_BROADCAST_MAX_NODES} nodes; beyond it, hash-co-partition "
-            "the rank vector with the edges by src and exchange "
-            "(dst, contrib) partials per iteration (design note in the "
-            "module docstring / SCALE.md)"
         )
     nodes: List[str] = sorted(r["node"] for r in deg_rows)
     node_arr = pa.array(nodes, pa.string())
