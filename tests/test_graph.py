@@ -156,6 +156,41 @@ def test_pagerank_empty_edges():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pagerank_sharded_parity():
+    """The beyond-gate sharded path is bit-identical to the broadcast
+    path (and to the spec) on a multi-edge graph with dangling-in and
+    dangling-out nodes."""
+    import random
+
+    import ray
+
+    rng = random.Random(11)
+    nodes = [f"h{i}" for i in range(13)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    edges += [("h0", "h1"), ("h0", "h1"), ("sink_in", "h0")]
+
+    def run(gate):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([s for s, _ in edges]),
+                    "dst": pa.array([d for _, d in edges]),
+                }
+            )
+        ).repartition(4)
+        rows = pagerank(ds, iters=3, broadcast_max_nodes=gate).take_all()
+        return sorted(
+            (r["node"], r["rank_scaled"], r["rank"]) for r in rows
+        )
+
+    broadcast = run(10**6)
+    sharded = run(0)  # force the sharded path
+    assert broadcast == sharded
+    want = _pagerank_spec(edges, 3)
+    assert {n: r for n, r, _ in sharded} == want
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pagerank_random_graph_property():
     """Randomized-but-seeded graph vs the spec restatement."""
     import random

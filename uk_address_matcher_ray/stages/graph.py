@@ -42,13 +42,14 @@ Scale shape (100 TB)
   iteration re-reads it instead of re-running extraction.  Iterative
   graph algorithms need resident edges; this is the standard shape.
 * The node/outdeg table is the SMALL side by construction (distinct
-  hosts << pages; Common Crawl: ~10^8 hosts vs ~10^10 pages).  It is
-  collected to the driver and broadcast per iteration via one
-  ``ray.put`` (zero-copy reads in every task), gated at
-  ``_BROADCAST_MAX_NODES``; beyond the gate we raise with the sharded
-  design spelled out (hash-co-partition ranks with edges by src, and
-  exchange (dst, contrib) partials — same skinny exchange, no broadcast)
-  rather than silently degrade.
+  hosts << pages; Common Crawl: ~10^8 hosts vs ~10^10 pages).  Below
+  ``_BROADCAST_MAX_NODES`` it is collected to the driver and broadcast
+  per iteration via one ``ray.put`` (zero-copy reads in every task);
+  beyond the gate the SHARDED path runs automatically: ranks stay a
+  Dataset hash-co-partitioned with the edges on the src node (tagged
+  union + grouped exchange for contribs, a second grouped exchange for
+  the update), driver state one scalar.  Both paths are integer-domain,
+  hence bit-identical (parity test in tests/test_graph.py).
 * Each iteration ships only per-batch pre-aggregated (dst_idx, contrib)
   int rows — bounded by min(batch_rows, N) per batch, never the edges.
 """
@@ -143,9 +144,17 @@ def pagerank(
     scale: int = _SCALE,
     damp_num: int = _DAMP_NUM,
     damp_den: int = _DAMP_DEN,
+    broadcast_max_nodes: int = _BROADCAST_MAX_NODES,
 ):
     """-> Dataset(node, rank_scaled:int64, rank:float64) after ``iters``
-    integer-domain power iterations (spec in the module docstring)."""
+    integer-domain power iterations (spec in the module docstring).
+
+    Below ``broadcast_max_nodes`` distinct nodes the rank vector is
+    driver-held and ray.put-broadcast per iteration; above it the
+    sharded path runs (ranks stay a Dataset co-keyed with the edges —
+    two grouped exchanges per iteration, no broadcast, no driver state
+    beyond one scalar).  Both paths compute in the integer domain, so
+    their outputs are bit-identical (tests/test_graph.py parity test)."""
     import ray
 
     # ---- Phase 1: node set + out-degrees (one skinny exchange). -------
@@ -171,15 +180,14 @@ def pagerank(
         "node"
     ).sum("od").materialize()
     # gate BEFORE the driver collect: count() is distributed, so an
-    # over-gate node table never lands on the driver at all
+    # over-gate node table never lands on the driver at all — beyond the
+    # gate the SHARDED path runs (node table stays a Dataset, two
+    # grouped exchanges per iteration), bit-identical by parity test
     n_found = deg_ds.count()
-    if n_found > _BROADCAST_MAX_NODES:
-        raise NotImplementedError(
-            "pagerank broadcast path is gated at "
-            f"{_BROADCAST_MAX_NODES} nodes (found {n_found}); beyond it, "
-            "hash-co-partition the rank vector with the edges by src and "
-            "exchange (dst, contrib) partials per iteration (design note "
-            "in the module docstring / SCALE.md)"
+    if n_found > broadcast_max_nodes:
+        return _pagerank_sharded(
+            edges, deg_ds, n_found, iters, src_col, dst_col,
+            scale, damp_num, damp_den,
         )
     deg_rows = deg_ds.take_all()  # SMALL side: distinct hosts << pages
     if not deg_rows:
@@ -254,6 +262,213 @@ def pagerank(
                 "rank": pa.array(r.astype(np.float64) / float(scale)),
             }
         )
+    )
+
+
+def _pagerank_sharded(
+    edges,
+    deg_ds,
+    n_nodes: int,
+    iters: int,
+    src_col: str,
+    dst_col: str,
+    scale: int,
+    damp_num: int,
+    damp_den: int,
+):
+    """Beyond-broadcast path: the rank vector stays a Dataset co-keyed
+    with the edges.  Per iteration:
+
+    1. tagged union (rank rows side=0, edge rows side=1) grouped on the
+       src node — in-group contribs r//od, pre-aggregated per dst;
+    2. groupby(dst).sum -> incoming; tagged union with the degree table
+       grouped on the node — in-group integer update.
+
+    Driver state: one scalar (n_nodes).  All arithmetic is the same
+    integer spec as the broadcast path, so results are bit-identical."""
+    import ray
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    base = scale // n_nodes
+    edges_m = edges.select_columns([src_col, dst_col]).map_batches(
+        lambda b: pa.table(
+            {"k": b.column(src_col), "dst": b.column(dst_col)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # resident edges: the iterative-graph shape
+
+    def with_rank(batch: pa.Table, r_expr) -> pa.Table:
+        od = batch.column("sum(od)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": batch.column("node"),
+                "od": pa.array(od),
+                "r": pa.array(r_expr(batch)),
+            }
+        )
+
+    ranks = deg_ds.map_batches(
+        lambda b: with_rank(
+            b, lambda t: np.full(t.num_rows, base, dtype=np.int64)
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    contrib_schema = pa.schema(
+        [pa.field("dst", pa.string()), pa.field("c", pa.int64())]
+    )
+    rank_schema = pa.schema(
+        [
+            pa.field("k", pa.string()),
+            pa.field("od", pa.int64()),
+            pa.field("r", pa.int64()),
+        ]
+    )
+
+    def contrib_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return contrib_schema.empty_table()
+        t = t.combine_chunks()
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        keys = t.column("k").combine_chunks().dictionary_encode()
+        codes = keys.indices.to_numpy(zero_copy_only=False)
+        n_codes = len(keys.dictionary)
+        val = np.zeros(n_codes, dtype=np.int64)
+        rk = side == 0
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        od = t.column("od").to_numpy(zero_copy_only=False)
+        src_ok = rk & (od > 0)
+        val[codes[src_ok]] = r[src_ok] // od[src_ok]
+        ek = np.nonzero(side == 1)[0]
+        if len(ek) == 0:
+            return contrib_schema.empty_table()
+        c = val[codes[ek]]
+        out = pa.table(
+            {
+                "dst": t.column("dst").take(pa.array(ek)),
+                "c": pa.array(c),
+            }
+        )
+        agg = out.group_by("dst").aggregate([("c", "sum")])
+        return agg.rename_columns(["dst", "c"]).cast(contrib_schema)
+
+    def update_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return rank_schema.empty_table()
+        t = t.combine_chunks()
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        keys = t.column("k").combine_chunks().dictionary_encode()
+        codes = keys.indices.to_numpy(zero_copy_only=False)
+        n_codes = len(keys.dictionary)
+        inc = np.zeros(n_codes, dtype=np.int64)
+        s = t.column("r").to_numpy(zero_copy_only=False)  # reused slot
+        iv = side == 1
+        inc[codes[iv]] = s[iv]
+        odv = np.zeros(n_codes, dtype=np.int64)
+        dv = side == 0
+        od_in = t.column("od").to_numpy(zero_copy_only=False)
+        odv[codes[dv]] = od_in[dv]
+        has_deg = np.zeros(n_codes, dtype=bool)
+        has_deg[codes[dv]] = True
+        keep = np.nonzero(has_deg)[0]
+        r_new = ((damp_den - damp_num) * base + damp_num * inc[keep]) // (
+            damp_den
+        )
+        return pa.table(
+            {
+                "k": keys.dictionary.take(pa.array(keep)),
+                "od": pa.array(odv[keep]),
+                "r": pa.array(r_new),
+            },
+            schema=rank_schema,
+        )
+
+    for _ in range(iters):
+        tagged = ranks.map_batches(
+            lambda b: pa.table(
+                {
+                    "k": b.column("k"),
+                    "dst": pa.nulls(b.num_rows, pa.string()),
+                    "od": b.column("od"),
+                    "r": b.column("r"),
+                    "side": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int8)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).union(
+            edges_m.map_batches(
+                lambda b: pa.table(
+                    {
+                        "k": b.column("k"),
+                        "dst": b.column("dst"),
+                        "od": pa.array(
+                            np.zeros(b.num_rows, dtype=np.int64)
+                        ),
+                        "r": pa.array(
+                            np.zeros(b.num_rows, dtype=np.int64)
+                        ),
+                        "side": pa.array(
+                            np.ones(b.num_rows, dtype=np.int8)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        contribs = grouped_map(
+            tagged, "k", None, contrib_schema, fn_table=contrib_group
+        )
+        incoming = contribs.groupby("dst").sum("c")
+        inc_tagged = deg_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "k": b.column("node"),
+                    "od": b.column("sum(od)"),
+                    "r": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                    "side": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int8)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).union(
+            incoming.map_batches(
+                lambda b: pa.table(
+                    {
+                        "k": b.column("dst"),
+                        "od": pa.array(
+                            np.zeros(b.num_rows, dtype=np.int64)
+                        ),
+                        "r": b.column("sum(c)"),
+                        "side": pa.array(
+                            np.ones(b.num_rows, dtype=np.int8)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        ranks = grouped_map(
+            inc_tagged, "k", None, rank_schema, fn_table=update_group
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("k"),
+                "rank_scaled": b.column("r"),
+                "rank": pa.array(
+                    b.column("r").to_numpy(zero_copy_only=False).astype(
+                        np.float64
+                    )
+                    / float(scale)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
