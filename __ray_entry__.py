@@ -2236,6 +2236,65 @@ def _q_duplicate_spans(sf_dir: str):
     return duplicate_spans(ds, k=8, min_docs=2)
 
 
+def _q_remove_duplicate_spans(sf_dir: str):
+    """Exact-substring REMOVAL (Lee et al. 2022 apply half): every 8-token
+    window shared by >= 2 distinct docs is cut from every doc; kept tokens
+    re-join with single spaces. The duplicated-span set rides the hashed
+    duplicate_spans detection; the removal pass is row-local against a
+    ray.put (hash array, string set) broadcast — zero extra shuffles."""
+    import ray
+
+    from uk_address_matcher_ray.stages.dedup import remove_duplicate_spans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return remove_duplicate_spans(ds, k=8, min_docs=2)
+
+
+REMOVE_DUPLICATE_SPANS_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, t, unnest(range(len(t) - 7)) AS i
+    FROM toks WHERE len(t) >= 8
+),
+spans AS (
+    SELECT doc_id, i, array_to_string(t[i + 1 : i + 8], ' ') AS span FROM idx
+),
+dups AS (
+    SELECT span FROM spans GROUP BY span
+    HAVING count(DISTINCT doc_id) >= 2
+),
+cover AS (
+    SELECT DISTINCT s.doc_id, s.i + u.j AS pos
+    FROM spans s
+    JOIN dups d USING (span)
+    CROSS JOIN (SELECT unnest(range(8)) AS j) u
+),
+tok_pos AS (
+    SELECT doc_id, unnest(t) AS token, unnest(range(len(t))) AS pos
+    FROM toks
+),
+kept AS (
+    SELECT tp.doc_id,
+           string_agg(tp.token, ' ' ORDER BY tp.pos) AS text,
+           count(*) AS n_kept
+    FROM tok_pos tp
+    LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+    WHERE c.pos IS NULL
+    GROUP BY tp.doc_id
+)
+SELECT tk.doc_id,
+       coalesce(k.text, '') AS text,
+       CAST(len(tk.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks tk LEFT JOIN kept k USING (doc_id)
+"""
+
+
 DUPLICATE_SPANS_SQL = """
 WITH toks AS (
     SELECT doc_id,
@@ -2735,6 +2794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": _q_extract_pages,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "duplicate_spans": _q_duplicate_spans,
+        "remove_duplicate_spans": _q_remove_duplicate_spans,
         "minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "near_dedup_docs": _q_near_dedup_docs,
@@ -2989,6 +3049,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "events_range_join": _EVENTS_RANGE_SQL,
         "user_sessions": _USER_SESSIONS_SQL,
         "duplicate_spans": DUPLICATE_SPANS_SQL,
+        "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
             f"SELECT unique_id, address_concat FROM ({_union_input_sql()})"
         ),

@@ -1119,6 +1119,14 @@ def _span_windows(texts: List[Optional[str]], k: int):
     where ``flat_tokens`` is one object array of every token in the batch,
     ``starts[i]`` is window i's offset into it and ``doc_rep[i]`` the row
     index that window came from."""
+    flat, starts, doc_rep, _offs = _span_windows_offs(texts, k)
+    return flat, starts, doc_rep
+
+
+def _span_windows_offs(texts: List[Optional[str]], k: int):
+    """``_span_windows`` plus the per-row token offsets (``offs[r]`` is row
+    r's first index into ``flat``; ``offs[-1] == len(flat)``) — needed by
+    consumers that rebuild per-row texts, e.g. ``remove_duplicate_spans``."""
     import numpy as np
 
     toks_per_row = [(t or "").split() for t in texts]
@@ -1139,7 +1147,7 @@ def _span_windows(texts: List[Optional[str]], k: int):
         np.cumsum(wd) - wd, wd
     )
     starts = offs[doc_rep] + within
-    return flat, starts, doc_rep
+    return flat, starts, doc_rep, offs
 
 
 def _span_hashes(flat, starts, k: int):
@@ -1358,6 +1366,124 @@ def duplicate_spans(
         survivor_spans, batch_format="pyarrow"
     )
     return grouped_map(per_doc, "span", None, out_schema, fn_table=finalize)
+
+
+def remove_duplicate_spans(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+):
+    """Exact-substring REMOVAL — the apply half of exact substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"; cf. deduplicate-text-datasets): every k-token window that
+    occurs in >= ``min_docs`` DISTINCT documents is removed from EVERY
+    document. This is the symmetric remove-all-copies variant —
+    deterministic and order-free, so no global occurrence ranking (and no
+    extra exchange) is needed.
+
+    Semantics, mirrored exactly by the SQL oracle:
+
+    * tokens = whitespace split with empties dropped; output text is the
+      KEPT tokens joined with single spaces (whitespace normalizes — the
+      standard tokenizer-bound form of the op);
+    * a token position is removed iff ANY duplicated window covers it;
+      overlapping duplicated windows merge naturally via the position
+      mask (an n>k-token shared block removes all n tokens);
+    * spans repeated only WITHIN one doc are kept (cross-doc dedup);
+    * docs shorter than ``k`` tokens pass through (re-joined).
+
+    Returns Dataset(id_col, text, n_removed:int64).
+
+    Scale shape (100 TB): the duplicated-span relation comes from
+    ``duplicate_spans`` (hashed fixed-width phase-1 exchange, survivor-only
+    string verify). The TRUE span set is the SMALL side by construction —
+    recurring boilerplate/licence blocks, not the corpus — and is shipped
+    once per node via ``ray.put`` as (sorted u64 span-hash array, exact
+    string set); the removal pass is then embarrassingly row-local:
+    re-window each doc, prefilter by hash (np.searchsorted), string-verify
+    the rare hits (collisions cannot remove a non-duplicated window), mask
+    covered positions, re-join. Three corpus scans total, zero additional
+    shuffles. Swap the broadcast set for a Bloom filter + a second verify
+    pass if survivors ever outgrow worker heaps (same escape hatch as
+    ``duplicate_spans``)."""
+    import numpy as np
+    import ray
+
+    spans_tbl = pa.concat_tables(
+        ray.get(
+            duplicate_spans(
+                ds, id_col=id_col, text_col=text_col, k=k, min_docs=min_docs
+            ).to_arrow_refs()
+        )
+    )
+    span_list = spans_tbl.column("span").to_pylist()
+    # hash each span with the SAME rolling hash the window pass uses: every
+    # span is exactly k tokens by construction, so it is its own single
+    # window
+    if span_list:
+        sflat, sstarts, _rep, _offs = _span_windows_offs(span_list, k)
+        span_hashes = np.sort(_span_hashes(sflat, sstarts, k))
+    else:
+        span_hashes = np.empty(0, dtype=np.uint64)
+    state_ref = ray.put((span_hashes, frozenset(span_list)))
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field("text", pa.string()),
+            pa.field("n_removed", pa.int64()),
+        ]
+    )
+
+    def remove_batch(batch: pa.Table) -> pa.Table:
+        surv_arr, surv_set = ray.get(state_ref)
+        texts = batch.column(text_col).to_pylist()
+        flat, starts, doc_rep, offs = _span_windows_offs(texts, k)
+        h = _span_hashes(flat, starts, k)
+        if len(h) and len(surv_arr):
+            idx = np.searchsorted(surv_arr, h)
+            idx[idx >= len(surv_arr)] = len(surv_arr) - 1
+            cand = surv_arr[idx] == h
+        else:
+            cand = np.zeros(len(h), dtype=bool)
+        cand_idx = np.nonzero(cand)[0]
+        if len(cand_idx):
+            cand_spans = _span_strings(flat, starts[cand_idx], k).to_pylist()
+            exact = np.fromiter(
+                (s in surv_set for s in cand_spans),
+                dtype=bool,
+                count=len(cand_spans),
+            )
+            hit_starts = starts[cand_idx[exact]]
+        else:
+            hit_starts = starts[:0]
+        removed_mask = np.zeros(len(flat), dtype=bool)
+        if len(hit_starts):
+            removed_mask[
+                (hit_starts[:, None] + np.arange(k, dtype=np.int64)).ravel()
+            ] = True
+        out_texts: list = []
+        n_removed = np.zeros(len(texts), dtype=np.int64)
+        for r in range(len(texts)):
+            seg = flat[offs[r] : offs[r + 1]]
+            km = removed_mask[offs[r] : offs[r + 1]]
+            n_removed[r] = int(km.sum())
+            out_texts.append(" ".join(seg[~km]))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text": pa.array(out_texts, pa.string()),
+                "n_removed": pa.array(n_removed),
+            },
+            schema=out_schema,
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        remove_batch, batch_format="pyarrow"
+    )
 
 
 def embedding_lsh_pairs(
