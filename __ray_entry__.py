@@ -931,6 +931,36 @@ def _q_group_cap(sf_dir: str):
     return group_cap(ds, 20)
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (stages/bpe.py): one
+    vocabulary-bounded word-count tree, merge iterations driver-side
+    over the word table (the production tokenizer-trainer shape).
+    Oracle: the merge chain unrolled as MATERIALIZED CTEs with
+    run-parity greedy replacement."""
+    import ray
+
+    from uk_address_matcher_ray.stages.bpe import bpe_train
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return bpe_train(ds, num_merges=8)
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    """BPE apply: segment the corpus with the learned merges (broadcast
+    once, per-batch distinct-word memo) -> corpus token counts through
+    one vocabulary-bounded groupby exchange."""
+    import ray
+
+    from uk_address_matcher_ray.stages.bpe import bpe_token_counts, bpe_train
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return bpe_token_counts(ds, bpe_train(ds, num_merges=8))
+
+
 def _q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality filter (stages/lm.py): add-k bigram LM
     trained by tree-merged partial counts, scored in one zero-shuffle
@@ -2816,6 +2846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "quality_scores": _q_quality_scores,
         "lm_perplexity": _q_lm_perplexity,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "group_cap_docs": _q_group_cap,
         "token_budget_docs": _q_token_budget,
         "pack_sequences": _q_pack_sequences,
@@ -2871,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
     from uk_address_matcher_ray.stages import (
         bloom,
         bm25,
+        bpe,
         dsir,
         graph,
         hll,
@@ -2938,6 +2971,8 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "stratified_sample": sampling.stratified_sample_sql(MIX_RATES),
         "quality_scores": oracle_extras.quality_classifier_sql(),
         "lm_perplexity": lm.lm_perplexity_sql(),
+        "bpe_merges": bpe.bpe_merges_sql(8),
+        "bpe_token_counts": bpe.bpe_token_counts_sql(8),
         "group_cap_docs": sampling.group_cap_sql(20),
         "token_budget_docs": sampling.token_budget_cap_sql(
             2000, tokens_expr=_TOKENS_LEN_SQL

@@ -105,6 +105,8 @@ def _bench_queries(sf_dir: str) -> dict:
         "decontaminate_docs",
         "bloom_decontaminate",
         "lm_perplexity",
+        "bpe_merges",
+        "remove_duplicate_spans",
         "quality_scores",
         "group_cap_docs",
         "token_budget_docs",
