@@ -931,6 +931,21 @@ def _q_group_cap(sf_dir: str):
     return group_cap(ds, 20)
 
 
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic training-data shuffle + shard assignment
+    (stages/shards.py): seeded md5 key, hash shard, within-shard rank —
+    one fixed-width-key exchange, reproducible and resumable per shard
+    (the 100 TB replacement for random_shuffle)."""
+    import ray
+
+    from uk_address_matcher_ray.stages.shards import shuffle_shards
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return shuffle_shards(ds, num_shards=16, seed=0)
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training (stages/bpe.py): one
     vocabulary-bounded word-count tree, merge iterations driver-side
@@ -2848,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
+        "shuffle_shards": _q_shuffle_shards,
         "group_cap_docs": _q_group_cap,
         "token_budget_docs": _q_token_budget,
         "pack_sequences": _q_pack_sequences,
@@ -2919,6 +2935,7 @@ def oracle_sql() -> dict[str, str]:
         packing,
         quantiles,
         sampling,
+        shards,
         tfidf,
     )
 
@@ -2973,6 +2990,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "lm_perplexity": lm.lm_perplexity_sql(),
         "bpe_merges": bpe.bpe_merges_sql(8),
         "bpe_token_counts": bpe.bpe_token_counts_sql(8),
+        "shuffle_shards": shards.shuffle_shards_sql(16, seed=0),
         "group_cap_docs": sampling.group_cap_sql(20),
         "token_budget_docs": sampling.token_budget_cap_sql(
             2000, tokens_expr=_TOKENS_LEN_SQL
