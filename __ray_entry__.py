@@ -498,6 +498,42 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs_with_variants(sf_dir), **MINHASH)
 
 
+def _q_minhash_pairs_ab(sf_dir: str):
+    """Fuzzy decontamination shape: corpus A = truncated documents, corpus
+    B = an 'eval set' (300-char prefixes of every third document, original
+    ids) — cross-corpus near-dup pairs only."""
+    import pyarrow as pa
+
+    from uk_address_matcher_ray.stages.dedup import minhash_lsh_pairs_ab
+
+    def side_a(batch: pa.Table) -> pa.Table:
+        texts = [t[:DOC_TRUNC] if t else t for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(texts, pa.string())}
+        )
+
+    def side_b(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep = [i for i, d in enumerate(ids) if d % 3 == 0]
+        return pa.table(
+            {
+                "doc_id": pa.array([ids[i] for i in keep], pa.int64()),
+                "text": pa.array(
+                    [
+                        (texts[i][:DOC_TRUNC])[:300] if texts[i] else texts[i]
+                        for i in keep
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    a = _docs(sf_dir).map_batches(side_a, batch_format="pyarrow")
+    b = _docs(sf_dir).map_batches(side_b, batch_format="pyarrow")
+    return minhash_lsh_pairs_ab(a, b, **MINHASH)
+
+
 def _q_ngram_jaccard_pairs(sf_dir: str):
     from uk_address_matcher_ray.stages.dedup import ngram_jaccard_pairs
 
@@ -2841,6 +2877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": _q_duplicate_spans,
         "remove_duplicate_spans": _q_remove_duplicate_spans,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_ab": _q_minhash_pairs_ab,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "near_dedup_docs": _q_near_dedup_docs,
         "simhash_sigs": _q_simhash_sigs,
@@ -2974,6 +3011,12 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         ),
         "ngram_jaccard_pairs": oracle_extras.ngram_jaccard_sql(
             _DOCS_VARIANTS_SQL, **NGRAM
+        ),
+        "minhash_pairs_ab": oracle_extras.minhash_pairs_ab_sql(
+            f"SELECT doc_id, substr(text, 1, {DOC_TRUNC}) AS text FROM documents",
+            f"SELECT doc_id, substr(substr(text, 1, {DOC_TRUNC}), 1, 300) AS text "
+            "FROM documents WHERE doc_id % 3 = 0",
+            **MINHASH,
         ),
         "near_dedup_docs": oracle_extras.near_dedup_sql(
             _DOCS_VARIANTS_SQL,

@@ -465,6 +465,76 @@ SELECT id_a, id_b, jaccard FROM raw_pairs WHERE jaccard >= {jaccard_threshold!r}
 """
 
 
+def minhash_pairs_ab_sql(
+    docs_a_sql: str,
+    docs_b_sql: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> str:
+    """Cross-corpus mirror of stages/dedup.minhash_lsh_pairs_ab: the same
+    signature/band chain as minhash_pairs_sql over the tagged union of the
+    two corpora, with the pair join restricted to side 0 × side 1 (A first,
+    no id ordering constraint)."""
+    rows = num_perm // bands
+    P = H.MINHASH_P
+    A, B = H.minhash_coeffs(num_perm)
+    sig_terms = []
+    for i in range(num_perm):
+        sig_terms.append(
+            f"list_aggregate(list_transform(hmod, "
+            f"h -> ({A[i]} * h + {B[i]}) % {P}), 'min')"
+        )
+    sig_list = "[" + ", ".join(sig_terms) + "]"
+    band_rows = []
+    for b in range(bands):
+        chunk = f"array_to_string(list_transform(sig[{b * rows + 1}:{(b + 1) * rows}], x -> CAST(x AS VARCHAR)), '_')"
+        band_rows.append(
+            f"SELECT doc_id, side, hashes, '{b}|' || lower(hex({H.h60_sql(chunk)})) AS bucket FROM sigs"
+        )
+    bands_union = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, text, 0 AS side FROM ({docs_a_sql})
+    UNION ALL
+    SELECT doc_id, text, 1 AS side FROM ({docs_b_sql})
+),
+toks AS (
+    SELECT doc_id, side,
+        list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                    t -> t != '') AS t
+    FROM docs
+),
+shingled AS (
+    SELECT doc_id, side,
+        list_sort(list_distinct(list_transform(
+            CASE WHEN len(t) <= {shingle_k}
+                THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - {shingle_k} + 2),
+                    i -> array_to_string(t[i:i+{shingle_k - 1}], ' '))
+            END, s -> {H.h60_sql('s')}))) AS hashes
+    FROM toks
+    WHERE len(t) > 0
+),
+sigs AS MATERIALIZED (
+    SELECT doc_id, side, hashes, {sig_list} AS sig
+    FROM (SELECT doc_id, side, hashes, list_transform(hashes, h -> h % {P}) AS hmod
+          FROM shingled)
+),
+bucketed AS MATERIALIZED ({bands_union}),
+raw_pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_filter(a.hashes, x -> list_contains(b.hashes, x)))
+            / (len(a.hashes) + len(b.hashes)
+               - len(list_filter(a.hashes, x -> list_contains(b.hashes, x)))) AS jaccard
+    FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.side = 0 AND b.side = 1
+)
+SELECT id_a, id_b, jaccard FROM raw_pairs WHERE jaccard >= {jaccard_threshold!r}
+"""
+
+
 def _simhash_sigs_cte(docs_sql: str) -> str:
     """CTE chain ending in ``sigs(doc_id, simhash)`` — bit-exact DuckDB mirror
     of functions/hashing.simhash64 over stages/dedup._tokens (token hash =

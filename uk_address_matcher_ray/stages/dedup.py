@@ -436,9 +436,15 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     hot_bucket_rows: int = 4096,
+    _is_side_b=None,
 ):
     """Near-duplicate pairs (id_a < id_b, exact Jaccard >= threshold),
     candidates = pairs sharing at least one LSH band bucket.
+
+    ``_is_side_b`` (internal; used by ``minhash_lsh_pairs_ab``): a
+    vectorized predicate over an id array marking corpus-B rows. When
+    set, only CROSS-corpus pairs are emitted, oriented A-side first
+    (instead of the self-join's id_a < id_b canonicalization).
 
     Scale shape (the three shuffles are each payload-minimal):
 
@@ -526,11 +532,19 @@ def minhash_lsh_pairs(
             if len(xi) == 0:
                 continue
             ia, ib = ids[s:e][xi], ids[s:e][yi]
-            neq = ia != ib
-            ia, ib = ia[neq], ib[neq]
-            swap = ia > ib
-            lo = np.where(swap, ib, ia)
-            hi = np.where(swap, ia, ib)
+            if _is_side_b is not None:
+                # AB mode: keep only cross-corpus pairs, A side first
+                ba, bb = _is_side_b(ia), _is_side_b(ib)
+                cross = ba != bb
+                ia, ib, ba = ia[cross], ib[cross], ba[cross]
+                lo = np.where(ba, ib, ia)
+                hi = np.where(ba, ia, ib)
+            else:
+                neq = ia != ib
+                ia, ib = ia[neq], ib[neq]
+                swap = ia > ib
+                lo = np.where(swap, ib, ia)
+                hi = np.where(swap, ia, ib)
             parts_a.append(lo)
             parts_b.append(hi)
         if not parts_a:
@@ -557,6 +571,110 @@ def minhash_lsh_pairs(
     docs_h = docs.select_columns([id_col, "hashes"])
     step_a = _hash_attach(cands, docs_h, id_col, id_type, False, jaccard_threshold)
     return _hash_attach(step_a, docs_h, id_col, id_type, True, jaccard_threshold)
+
+
+def minhash_lsh_pairs_ab(
+    ds_a,
+    ds_b,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    hot_bucket_rows: int = 4096,
+):
+    """Cross-corpus near-duplicate pairs — fuzzy decontamination / A-vs-B
+    dedup (e.g. strip training docs near-duplicate to an eval set, or dedup
+    a new crawl snapshot against an existing corpus by content rather than
+    the exact-hash path in stages/snapshot.py).
+
+    Output: (id_a from ``ds_a``, id_b from ``ds_b``, jaccard) with exact
+    shingle-set Jaccard >= threshold; candidates = cross pairs sharing at
+    least one LSH band bucket. Within-corpus pairs are never emitted.
+
+    Scale shape: identical to ``minhash_lsh_pairs`` — the two corpora are
+    tagged into ONE id space (integer ids: ``id*2 + side`` with bit 0 as the
+    side tag; other ids: an ``'a|'``/``'b|'`` string prefix) so the three
+    payload-minimal exchanges (band-key bucket shuffle, two pair-keyed
+    verify gathers) run unchanged over the union, and only the in-group
+    candidate kernel changes: it keeps cross-side cells only, oriented
+    A-side first. No extra shuffle, no broadcast of either corpus; id
+    collisions between A and B are fine (the tag separates them).
+    Integer ids must satisfy |id| < 2^62.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    sch = ds_a.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    int_ids = pa.types.is_integer(id_type)
+
+    def encoder(side: int):
+        def enc(t: pa.Table) -> pa.Table:
+            col = t.column(id_col)
+            if int_ids:
+                e = pc.add(
+                    pc.multiply(col.cast(pa.int64()), pa.scalar(2, pa.int64())),
+                    pa.scalar(side, pa.int64()),
+                )
+            else:
+                e = pc.binary_join_element_wise(
+                    pa.scalar("b" if side else "a"), col.cast(pa.string()), "|"
+                )
+            return pa.table({id_col: e, text_col: t.column(text_col)})
+
+        return enc
+
+    union = ds_a.map_batches(encoder(0), batch_format="pyarrow").union(
+        ds_b.map_batches(encoder(1), batch_format="pyarrow")
+    )
+
+    if int_ids:
+        def is_b(arr):
+            return (np.asarray(arr, dtype=np.int64) & np.int64(1)).astype(bool)
+    else:
+        def is_b(arr):
+            return np.array([s[:2] == "b|" for s in arr], dtype=bool)
+
+    pairs = minhash_lsh_pairs(
+        union,
+        id_col=id_col,
+        text_col=text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+        hot_bucket_rows=hot_bucket_rows,
+        _is_side_b=is_b,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        a, b = t.column("id_a"), t.column("id_b")
+        if int_ids:
+            # arithmetic >>1 inverts 2k / 2k+1 for negative k too
+            a = pc.shift_right(a, 1).cast(id_type)
+            b = pc.shift_right(b, 1).cast(id_type)
+        else:
+            a = pc.utf8_slice_codeunits(a, 2).cast(id_type)
+            b = pc.utf8_slice_codeunits(b, 2).cast(id_type)
+        return pa.table({"id_a": a, "id_b": b, "jaccard": t.column("jaccard")})
+
+    import ray
+
+    # a 0-row union leg pins the output schema: Ray reports schema()=None
+    # for an all-empty map_batches output (round-4e finding), which breaks
+    # downstream empty-table handling
+    out_schema = pa.schema(
+        [
+            pa.field("id_a", id_type),
+            pa.field("id_b", id_type),
+            pa.field("jaccard", pa.float64()),
+        ]
+    )
+    return pairs.map_batches(decode, batch_format="pyarrow").union(
+        ray.data.from_arrow(out_schema.empty_table())
+    )
 
 
 # ---------------------------------------------------------------------------
