@@ -1026,6 +1026,62 @@ def _q_lm_perplexity(sf_dir: str):
     return lm_perplexity(ds)
 
 
+ROLL_WINDOW_US = 6 * 3600 * 1_000_000  # 6 h rolling frame
+CHUNK_W, CHUNK_S = 32, 24  # token window / stride (overlap 8)
+
+
+def _q_events_rolling(sf_dir: str):
+    """Time-RANGE rolling aggregate (stages/sessions.rolling_window):
+    per-user count + integer-cents sum over the preceding 6 h (inclusive
+    bounds, all ts peers — DuckDB RANGE frame semantics), one key-hash
+    exchange + a searchsorted/prefix-sum kernel."""
+    import ray
+
+    from uk_address_matcher_ray.stages.sessions import rolling_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return rolling_window(
+        ev,
+        key="user_id",
+        ts="ts",
+        window=ROLL_WINDOW_US,
+        value="value",
+        id_col="event_id",
+    )
+
+
+def _q_chunk_docs(sf_dir: str):
+    """Fixed-size overlapping token-window chunking
+    (stages/chunking.py): 32-token chunks every 24 tokens, zero
+    shuffles, Arrow binary_join chunk assembly."""
+    import ray
+
+    from uk_address_matcher_ray.stages.chunking import chunk_documents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds, window=CHUNK_W, stride=CHUNK_S)
+
+
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail split (stages/lm.ccnet_perplexity_buckets):
+    per-language perplexity tertiles over centi-perplexity bins — LM tree
+    merge, one scoring pass, histogram-exchange cutoffs, zero-shuffle
+    assign."""
+    import ray
+
+    from uk_address_matcher_ray.stages.lm import ccnet_perplexity_buckets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return ccnet_perplexity_buckets(ds)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic data-mixing sampler (stages/sampling.py): per-language
     rates, md5 sample key, zero shuffles — the same row keeps/drops on any
@@ -2891,6 +2947,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range,
         "user_sessions": _q_user_sessions,
+        "events_rolling": _q_events_rolling,
+        "chunk_docs": _q_chunk_docs,
+        "ccnet_buckets": _q_ccnet_buckets,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2964,6 +3023,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from uk_address_matcher_ray.stages import index as index_mod
     from uk_address_matcher_ray.stages import (
+        chunking,
         html,
         lm,
         moments,
@@ -3144,6 +3204,18 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "events_asof_join": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_SQL,
         "user_sessions": _USER_SESSIONS_SQL,
+        "events_rolling": f"""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS roll_n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+           AS roll_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN to_microseconds({ROLL_WINDOW_US}) PRECEDING
+             AND CURRENT ROW)
+""",
+        "chunk_docs": chunking.chunk_documents_sql(CHUNK_W, CHUNK_S),
+        "ccnet_buckets": lm.ccnet_buckets_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

@@ -145,6 +145,40 @@ def corpus_lm_assets(
     return bigrams, ctx, vocab
 
 
+def _score_texts(texts, assets, a: float):
+    """(n_bigrams, perplexity) lists for a batch — the shared scoring
+    loop of ``score_perplexity`` and ``ccnet_perplexity_buckets``.
+    math.fsum + Python-float transcendentals per the determinism
+    contract (see module docstring); per-process memo per distinct
+    bigram."""
+    bigrams, ctx, vocab = assets
+    av = a * vocab
+    memo: Dict[Tuple[str, str], float] = {}
+    n_out: list = []
+    ppl_out: list = []
+    for text in texts:
+        toks = _tokens(text)
+        n = len(toks)
+        if n < 2:
+            n_out.append(0)
+            ppl_out.append(None)
+            continue
+        terms = []
+        for i in range(1, n):
+            key = (toks[i - 1], toks[i])
+            lp = memo.get(key)
+            if lp is None:
+                c = bigrams.get(key, 0)
+                cc = ctx.get(key[0], 0)
+                lp = math.log((c + a) / (cc + av))
+                memo[key] = lp
+            terms.append(lp)
+        s = math.fsum(terms)
+        n_out.append(n - 1)
+        ppl_out.append(round(math.exp(-s / (n - 1)), 6))
+    return n_out, ppl_out
+
+
 def score_perplexity(
     ds,
     assets,
@@ -159,31 +193,9 @@ def score_perplexity(
     id_field = None
 
     def kernel(batch: pa.Table) -> pa.Table:
-        bigrams, ctx, vocab = util.get_broadcast(assets)
-        av = a * vocab
-        memo: Dict[Tuple[str, str], float] = {}
-        n_out: list = []
-        ppl_out: list = []
-        for text in batch.column(text_col).to_pylist():
-            toks = _tokens(text)
-            n = len(toks)
-            if n < 2:
-                n_out.append(0)
-                ppl_out.append(None)
-                continue
-            terms = []
-            for i in range(1, n):
-                key = (toks[i - 1], toks[i])
-                lp = memo.get(key)
-                if lp is None:
-                    c = bigrams.get(key, 0)
-                    cc = ctx.get(key[0], 0)
-                    lp = math.log((c + a) / (cc + av))
-                    memo[key] = lp
-                terms.append(lp)
-            s = math.fsum(terms)
-            n_out.append(n - 1)
-            ppl_out.append(round(math.exp(-s / (n - 1)), 6))
+        n_out, ppl_out = _score_texts(
+            batch.column(text_col).to_pylist(), util.get_broadcast(assets), a
+        )
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -240,4 +252,163 @@ SELECT d.doc_id,
        coalesce(a.n_bigrams, 0) AS n_bigrams,
        round(exp(-a.s / a.n_bigrams), 6) AS perplexity
 FROM docs d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing
+# ---------------------------------------------------------------------------
+
+_Q1, _Q2 = 1.0 / 3.0, 2.0 / 3.0
+
+
+def ccnet_perplexity_buckets(
+    ds,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    a: float = SMOOTH_A,
+):
+    """-> Dataset(id, lang, n_bigrams, perplexity, bucket) — CCNet's
+    three-way quality split (Wenzek et al. 2020 §4.4: per-language
+    perplexity tertiles name the 'head', 'middle' and 'tail' of the
+    crawl; most pipelines keep head+middle).
+
+    Stages (all shapes already in the engine):
+
+    1. **LM + score**: ``corpus_lm_assets`` tree merge, then one
+       zero-shuffle scoring pass that carries ``lang`` through and adds
+       ``pbin = floor(perplexity * 100)`` — an int64 centi-perplexity
+       bin, bounding the cutoff histogram's distinct-value space (the
+       ``stages/quantiles`` contract) while moving a document across a
+       tertile edge by at most 0.01 perplexity.  The scored Dataset is
+       SKINNY (two ints, a double, a lang code) and is materialized so
+       the cutoff pass and the bucket pass don't re-score; at corpus
+       scale checkpoint it to parquet instead (state/checkpoint) —
+       same two consumers, spill-backed.
+    2. **Cutoffs**: exact type-1 tertiles of ``pbin`` per language via
+       ``stages/quantiles.grouped_quantiles`` (histogram exchange, never
+       the corpus); the driver holds languages x 2 cutoff rows.
+    3. **Assign**: zero-shuffle row-local pass — ``head`` if
+       ``pbin <= c(1/3)``, ``middle`` if ``<= c(2/3)``, else ``tail``;
+       docs with no bigrams (NULL perplexity) keep a NULL bucket and are
+       excluded from the cutoff histogram, exactly like the oracle.
+
+    q·n products use the same q = 1/3, 2/3 doubles on both sides, so
+    ceil() agrees bit-exactly (q < true third strictly, and the slack
+    exceeds the product's rounding error for any n below ~1e15).
+    """
+    import ray
+
+    from uk_address_matcher_ray.stages.quantiles import grouped_quantiles
+
+    assets_ref = ray.put(corpus_lm_assets(ds, text_col=text_col))
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    scored_schema = pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field(lang_col, pa.string()),
+            pa.field("n_bigrams", pa.int64()),
+            pa.field("perplexity", pa.float64()),
+            pa.field("pbin", pa.int64()),
+        ]
+    )
+
+    def score_kernel(batch: pa.Table) -> pa.Table:
+        n_out, ppl_out = _score_texts(
+            batch.column(text_col).to_pylist(),
+            util.get_broadcast(assets_ref),
+            a,
+        )
+        pbin = [
+            None if p is None else math.floor(p * 100.0) for p in ppl_out
+        ]
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col).combine_chunks(),
+                batch.column(lang_col).cast(pa.string()).combine_chunks(),
+                pa.array(n_out, pa.int64()),
+                pa.array(ppl_out, pa.float64()),
+                pa.array(pbin, pa.int64()),
+            ],
+            schema=scored_schema,
+        )
+
+    scored = (
+        ds.select_columns([id_col, lang_col, text_col])
+        .map_batches(score_kernel, batch_format="pyarrow")
+        .materialize()
+    )
+
+    import pyarrow.compute as pc
+
+    cuts_rows = grouped_quantiles(
+        scored.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("pbin"))),
+            batch_format="pyarrow",
+        ),
+        [_Q1, _Q2],
+        value_col="pbin",
+        group_col=lang_col,
+    ).take_all()
+    cuts: dict = {}
+    for r in cuts_rows:
+        c1, c2 = cuts.get(r["g"], (None, None))
+        if r["q"] == _Q1:
+            c1 = r["value"]
+        else:
+            c2 = r["value"]
+        cuts[r["g"]] = (c1, c2)
+
+    out_schema = pa.schema(list(scored_schema)[:4] + [pa.field("bucket", pa.string())])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        langs = batch.column(lang_col).to_pylist()
+        pbins = batch.column("pbin").to_pylist()
+        buckets = []
+        for lg, pb in zip(langs, pbins):
+            if pb is None:
+                buckets.append(None)
+                continue
+            c1, c2 = cuts[lg]
+            buckets.append("head" if pb <= c1 else "middle" if pb <= c2 else "tail")
+        return pa.Table.from_arrays(
+            [batch.column(f.name).combine_chunks() for f in list(scored_schema)[:4]]
+            + [pa.array(buckets, pa.string())],
+            schema=out_schema,
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow")
+
+
+def ccnet_buckets_sql(a: float = SMOOTH_A) -> str:
+    """DuckDB mirror: the lm oracle as a materialized CTE, centi-bins,
+    the grouped_quantiles type-1 formula per language, bucket CASE."""
+    return f"""
+WITH perp AS MATERIALIZED ({lm_perplexity_sql(a)}),
+scored AS (
+    SELECT d.doc_id, d.lang, p.n_bigrams, p.perplexity,
+           CAST(floor(p.perplexity * 100) AS BIGINT) AS pbin
+    FROM documents d JOIN perp p USING (doc_id)
+),
+h AS (
+    SELECT lang AS g, pbin AS v, count(*) AS c FROM scored
+    WHERE pbin IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT g, sum(c) AS n FROM h GROUP BY g),
+cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cc FROM h),
+cut AS (
+    SELECT cum.g,
+           min(cum.v) FILTER (
+               WHERE cum.cc >= greatest(ceil({_Q1!r} * tot.n), 1)) AS c1,
+           min(cum.v) FILTER (
+               WHERE cum.cc >= greatest(ceil({_Q2!r} * tot.n), 1)) AS c2
+    FROM cum JOIN tot USING (g) GROUP BY cum.g
+)
+SELECT s.doc_id, s.lang, s.n_bigrams, s.perplexity,
+       CASE WHEN s.pbin IS NULL THEN NULL
+            WHEN s.pbin <= cut.c1 THEN 'head'
+            WHEN s.pbin <= cut.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s LEFT JOIN cut ON s.lang = cut.g
 """
