@@ -1082,6 +1082,36 @@ def _q_ccnet_buckets(sf_dir: str):
     return ccnet_perplexity_buckets(ds)
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing (MOSS) fingerprint selection (stages/winnow.py):
+    k=5-token grams, w=4 windows, rightmost-min selection — zero
+    shuffles, sliding_window_view kernel."""
+    import ray
+
+    from uk_address_matcher_ray.stages.winnow import winnow_fingerprints
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_fingerprints(ds)
+
+
+def _q_winnow_pairs(sf_dir: str):
+    """Shared-fingerprint candidate pairs: fingerprint-hash exchange with
+    the df<=64 boilerplate cap, pair-count merge keyed on id_a."""
+    import ray
+
+    from uk_address_matcher_ray.stages.winnow import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return winnow_pairs(winnow_fingerprints(ds))
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic data-mixing sampler (stages/sampling.py): per-language
     rates, md5 sample key, zero shuffles — the same row keeps/drops on any
@@ -2950,6 +2980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "chunk_docs": _q_chunk_docs,
         "ccnet_buckets": _q_ccnet_buckets,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3026,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         chunking,
         html,
         lm,
+        winnow,
         moments,
         ngram_topk,
         normalize,
@@ -3216,6 +3249,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """,
         "chunk_docs": chunking.chunk_documents_sql(CHUNK_W, CHUNK_S),
         "ccnet_buckets": lm.ccnet_buckets_sql(),
+        "winnow_fingerprints": winnow.winnow_fingerprints_sql(),
+        "winnow_pairs": winnow.winnow_pairs_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

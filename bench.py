@@ -134,6 +134,10 @@ def _bench_queries(sf_dir: str) -> dict:
         "events_asof_join",
         "events_range_join",
         "user_sessions",
+        "events_rolling",
+        "chunk_docs",
+        "ccnet_buckets",
+        "winnow_pairs",
         "predict_pairs",
         "match_clusters",
         "train_em",
