@@ -1112,6 +1112,20 @@ def _q_winnow_pairs(sf_dir: str):
     return winnow_pairs(winnow_fingerprints(ds))
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Integer-domain power-iteration PCA (stages/pca.py): exact centered
+    scatter n*A - S*S^T in Python ints, 4 truncated-division iterations,
+    zero-shuffle projection pass. Oracle: unrolled HUGEINT CTE chain."""
+    import ray
+
+    from uk_address_matcher_ray.stages.pca import embedding_pca
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_pca(ds)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic data-mixing sampler (stages/sampling.py): per-language
     rates, md5 sample key, zero shuffles — the same row keeps/drops on any
@@ -2982,6 +2996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
+        "embedding_pca": _q_embedding_pca,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3058,6 +3073,7 @@ def oracle_sql() -> dict[str, str]:
         chunking,
         html,
         lm,
+        pca,
         winnow,
         moments,
         ngram_topk,
@@ -3251,6 +3267,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "ccnet_buckets": lm.ccnet_buckets_sql(),
         "winnow_fingerprints": winnow.winnow_fingerprints_sql(),
         "winnow_pairs": winnow.winnow_pairs_sql(),
+        "embedding_pca": pca.embedding_pca_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

@@ -138,6 +138,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "chunk_docs",
         "ccnet_buckets",
         "winnow_pairs",
+        "embedding_pca",
         "predict_pairs",
         "match_clusters",
         "train_em",
