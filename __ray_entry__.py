@@ -1126,6 +1126,29 @@ def _q_embedding_pca(sf_dir: str):
     return embedding_pca(ds)
 
 
+def _q_nb_lang_id(sf_dir: str):
+    """Multinomial Naive Bayes language classifier (stages/nblang.py):
+    train on the labeled docs with doc_id % 3 != 0 (char-bigram counts,
+    tree-merged), predict every doc in one zero-shuffle broadcast pass.
+    Round-6 scores, (score DESC, lang ASC) argmax — lm.py float regime."""
+    import pyarrow.compute as pc
+    import ray
+
+    from uk_address_matcher_ray.stages.nblang import nb_lang_id
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    import pyarrow as pa
+
+    def _train_filter(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pc.not_equal(pa.array(ids % 3), 0))
+
+    train = ds.map_batches(_train_filter, batch_format="pyarrow")
+    return nb_lang_id(ds, train_ds=train)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic data-mixing sampler (stages/sampling.py): per-language
     rates, md5 sample key, zero shuffles — the same row keeps/drops on any
@@ -1537,6 +1560,52 @@ FROM ({links_sql}) l
 WHERE contains(l.link, '://')
 """
     return pagerank_sql(edges_sql, iters=3)
+
+
+def _q_domain_hits(sf_dir: str):
+    """Integer-domain HITS hubs/authorities over the same host graph as
+    domain_pagerank (stages/graph.hits): 3 max-renormalized half-round
+    pairs entirely in integers; oracle unrolls the rounds as CTEs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray  # noqa: F401
+
+    from uk_address_matcher_ray.stages.graph import (
+        extract_links,
+        hits,
+        link_hosts,
+    )
+
+    links = extract_links(_docs_with_linked_html(sf_dir))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column("link"), "://")
+        t = batch.filter(keep)
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        res = pc.cast(pa.array(ids % 23), pa.string())
+        src = pc.binary_join_element_wise("d", res, ".example.com", "")
+        return pa.table({"src": src, "dst": link_hosts(t.column("link"))})
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow")
+    return hits(edges, iters=3)
+
+
+def _domain_hits_sql() -> str:
+    from uk_address_matcher_ray.stages.graph import (
+        extract_links_sql,
+        hits_sql,
+    )
+
+    links_sql = extract_links_sql(_LINKED_HTML_SQL, "documents")
+    edges_sql = f"""
+SELECT 'd' || (l.doc_id % 23) || '.example.com' AS src,
+       split_part(split_part(l.link, '://', 2), '/', 1) AS dst
+FROM ({links_sql}) l
+WHERE contains(l.link, '://')
+"""
+    return hits_sql(edges_sql, iters=3)
 
 
 # ---------------------------------------------------------------------------
@@ -2997,6 +3066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
         "embedding_pca": _q_embedding_pca,
+        "nb_lang_id": _q_nb_lang_id,
+        "domain_hits": _q_domain_hits,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3073,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         chunking,
         html,
         lm,
+        nblang,
         pca,
         winnow,
         moments,
@@ -3268,6 +3340,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "winnow_fingerprints": winnow.winnow_fingerprints_sql(),
         "winnow_pairs": winnow.winnow_pairs_sql(),
         "embedding_pca": pca.embedding_pca_sql(),
+        "nb_lang_id": nblang.nb_lang_sql(),
+        "domain_hits": _domain_hits_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

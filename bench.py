@@ -139,6 +139,8 @@ def _bench_queries(sf_dir: str) -> dict:
         "ccnet_buckets",
         "winnow_pairs",
         "embedding_pca",
+        "nb_lang_id",
+        "domain_hits",
         "predict_pairs",
         "match_clusters",
         "train_em",

@@ -203,3 +203,102 @@ def test_pagerank_random_graph_property():
     got = _run_pagerank(edges, 4)
     want = _pagerank_spec(edges, 4)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+def _hits_brute(edge_list, iters=3, q=1 << 20):
+    nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
+    h = {n: q for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(iters):
+        a = {n: 0 for n in nodes}
+        for s, d in edge_list:
+            a[d] += h[s]
+        m = max(max(a.values(), default=0), 1)
+        a = {n: v * q // m for n, v in a.items()}
+        h = {n: 0 for n in nodes}
+        for s, d in edge_list:
+            h[s] += a[d]
+        m = max(max(h.values(), default=0), 1)
+        h = {n: v * q // m for n, v in h.items()}
+    return a, h
+
+
+def _edges_ds(edge_list, blocks=3):
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    return dataset_from_table(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edge_list], pa.string()),
+                "dst": pa.array([d for _, d in edge_list], pa.string()),
+            }
+        ),
+        target_blocks=blocks,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_matches_spec():
+    from uk_address_matcher_ray.stages.graph import hits
+
+    edges = [
+        ("hub1", "auth1"), ("hub1", "auth2"), ("hub1", "auth3"),
+        ("hub2", "auth1"), ("hub2", "auth2"),
+        ("auth1", "auth2"),  # authorities can also point
+        ("lone", "auth1"),
+        ("hub1", "auth1"),  # multi-edge counts with multiplicity
+    ]
+    out = {r["node"]: r for r in hits(_edges_ds(edges), iters=3).take_all()}
+    a_ref, h_ref = _hits_brute(edges)
+    assert {n: r["auth_scaled"] for n, r in out.items()} == a_ref
+    assert {n: r["hub_scaled"] for n, r in out.items()} == h_ref
+    # hub1 is the best hub, auth1/auth2 the best authorities
+    best_hub = max(out.values(), key=lambda r: r["hub_scaled"])
+    assert best_hub["node"] == "hub1" and best_hub["hub_scaled"] == 1 << 20
+    best_auth = max(out.values(), key=lambda r: r["auth_scaled"])
+    assert best_auth["node"] == "auth1" and best_auth["auth_scaled"] == 1 << 20
+    # float columns are the exact power-of-two division
+    for r in out.values():
+        assert r["auth"] == r["auth_scaled"] / float(1 << 20)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_partitioning_invariance_and_oracle():
+    import duckdb
+
+    from uk_address_matcher_ray.stages.graph import hits, hits_sql
+
+    rng = __import__("random").Random(5)
+    edges = [
+        (f"n{rng.randrange(12)}", f"n{rng.randrange(12)}") for _ in range(80)
+    ]
+    a = sorted(
+        (r["node"], r["auth_scaled"], r["hub_scaled"])
+        for r in hits(_edges_ds(edges, blocks=2), iters=3).take_all()
+    )
+    b = sorted(
+        (r["node"], r["auth_scaled"], r["hub_scaled"])
+        for r in hits(_edges_ds(edges, blocks=7), iters=3).take_all()
+    )
+    assert a == b
+    con = duckdb.connect()
+    con.register(
+        "e",
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.string()),
+                "dst": pa.array([d for _, d in edges], pa.string()),
+            }
+        ),
+    )
+    orc = sorted(
+        (r[0], int(r[1]), int(r[2]))
+        for r in con.sql(
+            hits_sql("SELECT src, dst FROM e", iters=3)
+        ).fetchall()
+    )
+    assert a == orc

@@ -515,3 +515,184 @@ SELECT node, r AS rank_scaled,
        CAST(r AS DOUBLE) / {scale} AS rank
 FROM r{iters}
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (Kleinberg 1999), integer domain
+# ---------------------------------------------------------------------------
+
+_HITS_Q = 1 << 20
+
+
+def hits(
+    edges,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    q: int = _HITS_Q,
+    broadcast_max_nodes: int = _BROADCAST_MAX_NODES,
+):
+    """-> Dataset(node, auth_scaled, hub_scaled, auth, hub) after
+    ``iters`` HITS rounds — hubs point at good authorities, authorities
+    are pointed at by good hubs (Kleinberg 1999); the curation complement
+    to PageRank on the same host graph (directories/link farms score as
+    hubs, content hosts as authorities).
+
+    Integer spec (the oracle runs the IDENTICAL formula): ``h0 = q`` for
+    every node; per round ``a_raw[v] = Σ h[u] over in-edges (u,v)``
+    (multi-edges count), ``a = a_raw·q // max(a_raw, 1)``, then the
+    transposed half ``h_raw[u] = Σ a[v] over out-edges``, ``h = h_raw·q
+    // max(h_raw, 1)`` — all values nonnegative so DuckDB's truncating
+    ``//`` and numpy's floor division agree; the max-renormalization
+    keeps every value ≤ q = 2^20 so per-node sums stay below 2^53 while
+    in-degree < 2^33; the q-rescale runs in object ints / HUGEINT so the
+    raw*q product cannot wrap int64 for hot nodes (in-degree > 2^23).
+    Output doubles divide by the power-of-two q — exact both sides.
+
+    Scale shape: identical to ``pagerank``'s broadcast path (edges
+    int32-encoded once and object-store resident; two vectors of N ints
+    on the driver; per-batch pre-aggregated (idx, contrib) rows ride
+    each half-round's groupby).  Beyond ``broadcast_max_nodes`` the
+    ``_pagerank_sharded`` two-grouped-exchange shape applies verbatim
+    (ranks co-keyed with edges); it is not wired for HITS — the gate
+    raises with that pointer rather than silently collecting an
+    over-gate node table onto the driver."""
+    import ray
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        s = pc.unique(batch.column(src_col).combine_chunks())
+        d = pc.unique(batch.column(dst_col).combine_chunks())
+        return pa.table({"node": pa.concat_arrays([s, d])})
+
+    node_ds = (
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .materialize()
+    )
+    n_found = node_ds.count()
+    if n_found > broadcast_max_nodes:
+        raise NotImplementedError(
+            "HITS beyond the broadcast gate: apply the _pagerank_sharded "
+            "two-grouped-exchange shape (ranks co-keyed with edges)"
+        )
+    nodes = sorted(r["node"] for r in node_ds.take_all())
+    if not nodes:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "auth_scaled": pa.array([], pa.int64()),
+                    "hub_scaled": pa.array([], pa.int64()),
+                    "auth": pa.array([], pa.float64()),
+                    "hub": pa.array([], pa.float64()),
+                }
+            )
+        )
+    node_arr = pa.array(nodes, pa.string())
+    n_nodes = len(nodes)
+    nodes_ref = ray.put(node_arr)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vs = ray.get(nodes_ref)
+        s = pc.index_in(batch.column(src_col), value_set=vs)
+        d = pc.index_in(batch.column(dst_col), value_set=vs)
+        return pa.table({"s": s.cast(pa.int32()), "d": d.cast(pa.int32())})
+
+    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+
+    def _half(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        """raw[to] = Σ vec[from] over edges — one pre-aggregated groupby."""
+        v_ref = ray.put(vec)
+
+        def contrib(batch: pa.Table, _v=v_ref) -> pa.Table:
+            vv = ray.get(_v)
+            f = batch.column(from_col).to_numpy(zero_copy_only=False)
+            t = batch.column(to_col).to_numpy(zero_copy_only=False)
+            acc = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(acc, t, vv[f])  # unbuffered: exact int64
+            nz = np.nonzero(acc)[0]
+            return pa.table(
+                {
+                    "i": pa.array(nz.astype(np.int32)),
+                    "c": pa.array(acc[nz]),
+                }
+            )
+
+        rows = (
+            enc.map_batches(contrib, batch_format="pyarrow")
+            .groupby("i")
+            .sum("c")
+            .take_all()
+        )
+        raw = np.zeros(n_nodes, dtype=np.int64)
+        for row in rows:
+            raw[int(row["i"])] = int(row["sum(c)"])
+        mx = max(int(raw.max()) if len(raw) else 0, 1)
+        # renormalize via object ints: raw * q can pass 2^63 for nodes
+        # with in-degree > 2^23 (the oracle widens to HUGEINT identically)
+        return (raw.astype(object) * q // mx).astype(np.int64)
+
+    h = np.full(n_nodes, q, dtype=np.int64)
+    a = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        a = _half(h, "s", "d")
+        h = _half(a, "d", "s")
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": node_arr,
+                "auth_scaled": pa.array(a),
+                "hub_scaled": pa.array(h),
+                "auth": pa.array(a.astype(np.float64) / float(q)),
+                "hub": pa.array(h.astype(np.float64) / float(q)),
+            }
+        )
+    )
+
+
+def hits_sql(edges_sql: str, iters: int = 3, q: int = _HITS_Q) -> str:
+    """DuckDB mirror: unrolled half-round CTE chain, identical integer
+    expressions (nonnegative, so // truncation == floor)."""
+    parts = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS (SELECT DISTINCT node FROM ("
+        "SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        f"h0 AS (SELECT node, CAST({q} AS BIGINT) AS v FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT nd.node, COALESCE(s.c, 0) AS raw FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.v) AS BIGINT) AS c
+    FROM edges e JOIN h{k - 1} p ON p.node = e.src GROUP BY e.dst
+  ) s ON s.node = nd.node
+)"""
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT node, CAST(raw AS HUGEINT) * {q} // "
+            f"greatest((SELECT max(raw) FROM ar{k}), 1) AS v FROM ar{k})"
+        )
+        parts.append(
+            f"""hr{k} AS MATERIALIZED (
+  SELECT nd.node, COALESCE(s.c, 0) AS raw FROM nodes nd LEFT JOIN (
+    SELECT e.src AS node, CAST(SUM(p.v) AS BIGINT) AS c
+    FROM edges e JOIN a{k} p ON p.node = e.dst GROUP BY e.src
+  ) s ON s.node = nd.node
+)"""
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT node, CAST(raw AS HUGEINT) * {q} // "
+            f"greatest((SELECT max(raw) FROM hr{k}), 1) AS v FROM hr{k})"
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT a.node,
+       CAST(a.v AS BIGINT) AS auth_scaled,
+       CAST(h.v AS BIGINT) AS hub_scaled,
+       CAST(a.v AS DOUBLE) / {q} AS auth,
+       CAST(h.v AS DOUBLE) / {q} AS hub
+FROM a{iters} a JOIN h{iters} h USING (node)
+"""
