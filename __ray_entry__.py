@@ -820,6 +820,20 @@ def _q_tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, k=5)
 
 
+def _q_hash_embed(sf_dir: str):
+    """Feature-hashing embeddings (stages/hashembed.py): pure-hash
+    token->(bucket,sign) projection, integer-exact dense vectors, ONE
+    zero-shuffle pass — no vocabulary state anywhere."""
+    import ray
+
+    from uk_address_matcher_ray.stages.hashembed import hash_embed
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return hash_embed(ds, dim=16)
+
+
 def _q_curate_docs(sf_dir: str):
     """End-to-end curation showcase (pipelines/curate.py): fused
     stats+filter pass, skinny md5-keyed exact-dedup exchange — the text
@@ -3088,6 +3102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": _q_normalize_docs,
         "ngram_topk": _q_ngram_topk,
         "tfidf_topk": _q_tfidf_topk,
+        "hash_embed": _q_hash_embed,
         "curate_docs": _q_curate_docs,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
@@ -3147,6 +3162,7 @@ def oracle_sql() -> dict[str, str]:
         nblang,
         pca,
         winnow,
+        hashembed,
         moments,
         ngram_topk,
         normalize,
@@ -3237,6 +3253,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         ),
         "ngram_topk": ngram_topk.ngram_topk_sql(5, n=2),
         "tfidf_topk": tfidf.tfidf_topk_sql(k=5),
+        "hash_embed": hashembed.hash_embed_sql(dim=16),
         "curate_docs": curate.curate_docs_sql(oracle_extras.text_stats_sql()),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
