@@ -834,6 +834,20 @@ def _q_hash_embed(sf_dir: str):
     return hash_embed(ds, dim=16)
 
 
+def _q_token_pmi(sf_dir: str):
+    """Windowed co-occurrence PMI (stages/pmi.py): min_count-floored
+    vocab broadcast, numpy shift-algebra pairing, ONE int-coded pair
+    exchange; ln-chain float regime shared with lm/dsir/bm25."""
+    import ray
+
+    from uk_address_matcher_ray.stages.pmi import token_pmi
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return token_pmi(ds, window=2, min_count=5, min_pair=2)
+
+
 def _q_curate_docs(sf_dir: str):
     """End-to-end curation showcase (pipelines/curate.py): fused
     stats+filter pass, skinny md5-keyed exact-dedup exchange — the text
@@ -3103,6 +3117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": _q_ngram_topk,
         "tfidf_topk": _q_tfidf_topk,
         "hash_embed": _q_hash_embed,
+        "token_pmi": _q_token_pmi,
         "curate_docs": _q_curate_docs,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
@@ -3164,6 +3179,7 @@ def oracle_sql() -> dict[str, str]:
         winnow,
         hashembed,
         moments,
+        pmi,
         ngram_topk,
         normalize,
         packing,
@@ -3254,6 +3270,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "ngram_topk": ngram_topk.ngram_topk_sql(5, n=2),
         "tfidf_topk": tfidf.tfidf_topk_sql(k=5),
         "hash_embed": hashembed.hash_embed_sql(dim=16),
+        "token_pmi": pmi.token_pmi_sql(window=2, min_count=5, min_pair=2),
         "curate_docs": curate.curate_docs_sql(oracle_extras.text_stats_sql()),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
