@@ -848,6 +848,20 @@ def _q_token_pmi(sf_dir: str):
     return token_pmi(ds, window=2, min_count=5, min_pair=2)
 
 
+def _q_source_kl(sf_dir: str):
+    """Per-source unigram KL vs corpus (stages/kl.py): floored-vocab
+    broadcast, batch-bounded (source, tok) partials, ONE grouped
+    exchange with a complete-group fsum kernel."""
+    import ray
+
+    from uk_address_matcher_ray.stages.kl import source_kl
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return source_kl(ds, min_count=5)
+
+
 def _q_curate_docs(sf_dir: str):
     """End-to-end curation showcase (pipelines/curate.py): fused
     stats+filter pass, skinny md5-keyed exact-dedup exchange — the text
@@ -3118,6 +3132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "hash_embed": _q_hash_embed,
         "token_pmi": _q_token_pmi,
+        "source_kl": _q_source_kl,
         "curate_docs": _q_curate_docs,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
@@ -3178,6 +3193,7 @@ def oracle_sql() -> dict[str, str]:
         pca,
         winnow,
         hashembed,
+        kl,
         moments,
         pmi,
         ngram_topk,
@@ -3271,6 +3287,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "tfidf_topk": tfidf.tfidf_topk_sql(k=5),
         "hash_embed": hashembed.hash_embed_sql(dim=16),
         "token_pmi": pmi.token_pmi_sql(window=2, min_count=5, min_pair=2),
+        "source_kl": kl.source_kl_sql(min_count=5),
         "curate_docs": curate.curate_docs_sql(oracle_extras.text_stats_sql()),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
