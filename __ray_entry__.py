@@ -862,6 +862,20 @@ def _q_source_kl(sf_dir: str):
     return source_kl(ds, min_count=5)
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (stages/cdc.py): rolling k-gram hash
+    cut rule, zero shuffles, chunk text never leaves the task — only
+    (id, idx, pos, n, h60) rides downstream."""
+    import ray
+
+    from uk_address_matcher_ray.stages.cdc import cdc_chunks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return cdc_chunks(ds, k=4, divisor=8)
+
+
 def _q_curate_docs(sf_dir: str):
     """End-to-end curation showcase (pipelines/curate.py): fused
     stats+filter pass, skinny md5-keyed exact-dedup exchange — the text
@@ -3133,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed": _q_hash_embed,
         "token_pmi": _q_token_pmi,
         "source_kl": _q_source_kl,
+        "cdc_chunks": _q_cdc_chunks,
         "curate_docs": _q_curate_docs,
         "text_stats": _q_text_stats,
         "doc_repetition": _q_doc_repetition,
@@ -3192,6 +3207,7 @@ def oracle_sql() -> dict[str, str]:
         nblang,
         pca,
         winnow,
+        cdc,
         hashembed,
         kl,
         moments,
@@ -3288,6 +3304,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "hash_embed": hashembed.hash_embed_sql(dim=16),
         "token_pmi": pmi.token_pmi_sql(window=2, min_count=5, min_pair=2),
         "source_kl": kl.source_kl_sql(min_count=5),
+        "cdc_chunks": cdc.cdc_chunks_sql(k=4, divisor=8),
         "curate_docs": curate.curate_docs_sql(oracle_extras.text_stats_sql()),
         "text_stats": oracle_extras.text_stats_sql(),
         "doc_repetition": oracle_extras.repetition_sql(),
