@@ -1648,6 +1648,52 @@ def _q_domain_hits(sf_dir: str):
     return hits(edges, iters=3)
 
 
+def _q_domain_triangles(sf_dir: str):
+    """Exact triangle count over the host graph
+    (stages/graph.triangle_stats): degree-oriented wedge closure, five
+    skinny exchanges, no broadcast and no driver node state."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray  # noqa: F401
+
+    from uk_address_matcher_ray.stages.graph import (
+        extract_links,
+        link_hosts,
+        triangle_stats,
+    )
+
+    links = extract_links(_docs_with_linked_html(sf_dir))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column("link"), "://")
+        t = batch.filter(keep)
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        res = pc.cast(pa.array(ids % 23), pa.string())
+        src = pc.binary_join_element_wise("d", res, ".example.com", "")
+        return pa.table({"src": src, "dst": link_hosts(t.column("link"))})
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow")
+    return triangle_stats(edges)
+
+
+def _domain_triangles_sql() -> str:
+    from uk_address_matcher_ray.stages.graph import (
+        extract_links_sql,
+        triangle_stats_sql,
+    )
+
+    links_sql = extract_links_sql(_LINKED_HTML_SQL, "documents")
+    edges_sql = f"""
+SELECT 'd' || (l.doc_id % 23) || '.example.com' AS src,
+       split_part(split_part(l.link, '://', 2), '/', 1) AS dst
+FROM ({links_sql}) l
+WHERE contains(l.link, '://')
+"""
+    return triangle_stats_sql(edges_sql)
+
+
 def _domain_hits_sql() -> str:
     from uk_address_matcher_ray.stages.graph import (
         extract_links_sql,
@@ -3124,6 +3170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "nb_lang_id": _q_nb_lang_id,
         "domain_hits": _q_domain_hits,
+        "domain_triangles": _q_domain_triangles,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3410,6 +3457,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "embedding_pca": pca.embedding_pca_sql(),
         "nb_lang_id": nblang.nb_lang_sql(),
         "domain_hits": _domain_hits_sql(),
+        "domain_triangles": _domain_triangles_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
