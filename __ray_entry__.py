@@ -1648,6 +1648,21 @@ def _q_domain_hits(sf_dir: str):
     return hits(edges, iters=3)
 
 
+def _q_funnel(sf_dir: str):
+    """Funnel conversions view->click->purchase (stages/funnel.py):
+    funnel-type prefilter before ONE user-keyed grouped exchange whose
+    kernel reduces each user to a single reached-step integer."""
+    import ray
+
+    from uk_address_matcher_ray.stages.funnel import funnel_conversions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return funnel_conversions(ds, ["view", "click", "purchase"])
+
+
 def _q_domain_triangles(sf_dir: str):
     """Exact triangle count over the host graph
     (stages/graph.triangle_stats): degree-oriented wedge closure, five
@@ -3171,6 +3186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_id": _q_nb_lang_id,
         "domain_hits": _q_domain_hits,
         "domain_triangles": _q_domain_triangles,
+        "funnel_conversions": _q_funnel,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3255,6 +3271,7 @@ def oracle_sql() -> dict[str, str]:
         pca,
         winnow,
         cdc,
+        funnel,
         hashembed,
         kl,
         moments,
@@ -3458,6 +3475,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "nb_lang_id": nblang.nb_lang_sql(),
         "domain_hits": _domain_hits_sql(),
         "domain_triangles": _domain_triangles_sql(),
+        "funnel_conversions": funnel.funnel_sql(
+            ["view", "click", "purchase"]
+        ),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
