@@ -1648,6 +1648,20 @@ def _q_domain_hits(sf_dir: str):
     return hits(edges, iters=3)
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-flattened domain mixing (stages/sampling.py): isqrt
+    integer weights, truncating per-group targets, md5-rank selection
+    through the group_cap partial machinery."""
+    import ray
+
+    from uk_address_matcher_ray.stages.sampling import temperature_mix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return temperature_mix(ds, total=200)
+
+
 def _q_funnel(sf_dir: str):
     """Funnel conversions view->click->purchase (stages/funnel.py):
     funnel-type prefilter before ONE user-keyed grouped exchange whose
@@ -3187,6 +3201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_hits": _q_domain_hits,
         "domain_triangles": _q_domain_triangles,
         "funnel_conversions": _q_funnel,
+        "temperature_mix": _q_temperature_mix,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3478,6 +3493,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "funnel_conversions": funnel.funnel_sql(
             ["view", "click", "purchase"]
         ),
+        "temperature_mix": sampling.temperature_mix_sql(total=200),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

@@ -395,3 +395,179 @@ c AS (
 SELECT {id_col}, {group_col}, tok AS token_count, sample_key
 FROM c WHERE run <= {budget}
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain mixing
+# ---------------------------------------------------------------------------
+
+def _topcap_kernel_caps(
+    tbl: pa.Table, caps: dict, group_col: str, id_col: str
+) -> pa.Table:
+    """``_topcap_kernel`` with a PER-GROUP cap map (groups absent from
+    ``caps`` keep zero rows)."""
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return tbl
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            (group_col, "ascending"),
+            ("sample_key", "ascending"),
+            (id_col, "ascending"),
+        ],
+    )
+    s = tbl.take(order)
+    g = s.column(group_col)
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    enc = g.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+    code_caps = np.fromiter(
+        (caps.get(v, 0) for v in enc.dictionary.to_pylist()),
+        dtype=np.int64,
+        count=len(enc.dictionary),
+    )
+    n = len(codes)
+    idx = np.arange(n, dtype=np.int64)
+    newg = np.empty(n, dtype=bool)
+    newg[0] = True
+    newg[1:] = codes[1:] != codes[:-1]
+    starts = np.maximum.accumulate(np.where(newg, idx, 0))
+    return s.filter(pa.array(idx - starts < code_caps[codes]))
+
+
+def temperature_mix(
+    ds,
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Temperature-flattened domain mixing (alpha = 1/2): select ~``total``
+    rows with per-group targets proportional to sqrt(group size) — the
+    multilingual/multi-domain rebalancing rule (mC4/XLM-R style: raise
+    small domains, damp head domains) at the fixed temperature that
+    stays INTEGER-EXACT.
+
+    Contract (mirrored by ``temperature_mix_sql``):
+
+    * ``n_g`` = group row count; ``w_g = isqrt(n_g)`` (integer sqrt —
+      no float power anywhere, so no sum-order or libm dependence);
+    * ``target_g = min(n_g, total * w_g // Σ w)`` — truncating integer
+      division; groups whose target truncates to 0 are dropped;
+    * within a group, the ``target_g`` rows with the smallest
+      ``(sample_key, id)`` win — the repo-wide md5 sampling key, so
+      the pick is uniform, reproducible and SQL-mirrorable.
+
+    Scale shape: one skinny groupby for the counts (driver holds one
+    integer per group — the |groups| broadcast is the same boundedness
+    assumption as every per-source stage); then the ``group_cap``
+    machinery with a per-group cap map: per-batch partials keep at most
+    ``target_g`` rows per (group, batch) so the grouped exchange
+    carries O(targets), never the corpus.
+
+    -> Dataset(id, group, sample_key), the surviving rows.
+    """
+    import math
+
+    import ray
+
+    from uk_address_matcher_ray import util
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, types[id_col]),
+            pa.field(group_col, types[group_col]),
+            pa.field("sample_key", pa.string()),
+        ]
+    )
+    counts = {
+        r[group_col]: int(r["count()"])
+        for r in ds.groupby(group_col).count().take_all()
+    }
+    if not counts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    weights = {g: math.isqrt(n) for g, n in counts.items()}
+    s = sum(weights.values())
+    caps = {
+        g: min(counts[g], total * w // s) for g, w in weights.items()
+    }
+    caps = {g: c for g, c in caps.items() if c > 0}
+    caps_ref = ray.put(caps)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cmap = util.get_broadcast(caps_ref)
+        ids = batch.column(id_col).to_pylist()
+        keyed = pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                "sample_key": pa.array(
+                    [sample_key(i, seed) for i in ids], pa.string()
+                ),
+            }
+        )
+        return _topcap_kernel_caps(keyed, cmap, group_col, id_col)
+
+    pre = ds.select_columns([id_col, group_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        cmap = util.get_broadcast(caps_ref)
+        return _topcap_kernel_caps(tbl, cmap, group_col, id_col).select(
+            [id_col, group_col, "sample_key"]
+        )
+
+    return grouped_map(pre, group_col, None, out_schema, fn_table=final)
+
+
+def temperature_mix_sql(
+    total: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror: corrected floor-sqrt == ``math.isqrt``, truncating
+    integer division, identical md5 key and tie-break."""
+    return f"""
+WITH n AS (
+  SELECT {group_col} AS g, count(*) AS n FROM {table} GROUP BY {group_col}
+),
+w0 AS (
+  SELECT g, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM n
+),
+w AS (
+  SELECT g, n,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1
+              WHEN s0 * s0 > n THEN s0 - 1
+              ELSE s0 END AS w
+  FROM w0
+),
+tot AS (SELECT SUM(w) AS s FROM w),
+tgt AS (
+  SELECT g, least(n, CAST({total} * w // tot.s AS BIGINT)) AS cap
+  FROM w, tot
+),
+keyed AS (
+  SELECT {id_col}, {group_col} AS g,
+         substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)
+             AS sample_key
+  FROM {table}
+),
+rnk AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY g ORDER BY sample_key, {id_col}) AS rn
+  FROM keyed
+)
+SELECT {id_col}, g AS {group_col}, sample_key
+FROM rnk JOIN tgt USING (g) WHERE rn <= tgt.cap
+"""
