@@ -141,6 +141,13 @@ def _bench_queries(sf_dir: str) -> dict:
         "embedding_pca",
         "nb_lang_id",
         "domain_hits",
+        "hash_embed",
+        "token_pmi",
+        "source_kl",
+        "cdc_chunks",
+        "domain_triangles",
+        "funnel_conversions",
+        "temperature_mix",
         "predict_pairs",
         "match_clusters",
         "train_em",
