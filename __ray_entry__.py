@@ -1723,6 +1723,52 @@ WHERE contains(l.link, '://')
     return triangle_stats_sql(edges_sql)
 
 
+def _q_domain_kcore(sf_dir: str):
+    """k-core peeling of the host graph (stages/graph.kcore): two
+    skinny exchanges per fixed peel round, no broadcast, no driver
+    node state."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray  # noqa: F401
+
+    from uk_address_matcher_ray.stages.graph import (
+        extract_links,
+        kcore,
+        link_hosts,
+    )
+
+    links = extract_links(_docs_with_linked_html(sf_dir))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column("link"), "://")
+        t = batch.filter(keep)
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        res = pc.cast(pa.array(ids % 23), pa.string())
+        src = pc.binary_join_element_wise("d", res, ".example.com", "")
+        return pa.table({"src": src, "dst": link_hosts(t.column("link"))})
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow")
+    return kcore(edges, k=2, rounds=4)
+
+
+def _domain_kcore_sql() -> str:
+    from uk_address_matcher_ray.stages.graph import (
+        extract_links_sql,
+        kcore_sql,
+    )
+
+    links_sql = extract_links_sql(_LINKED_HTML_SQL, "documents")
+    edges_sql = f"""
+SELECT 'd' || (l.doc_id % 23) || '.example.com' AS src,
+       split_part(split_part(l.link, '://', 2), '/', 1) AS dst
+FROM ({links_sql}) l
+WHERE contains(l.link, '://')
+"""
+    return kcore_sql(edges_sql, k=2, rounds=4)
+
+
 def _domain_hits_sql() -> str:
     from uk_address_matcher_ray.stages.graph import (
         extract_links_sql,
@@ -3200,6 +3246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_id": _q_nb_lang_id,
         "domain_hits": _q_domain_hits,
         "domain_triangles": _q_domain_triangles,
+        "domain_kcore": _q_domain_kcore,
         "funnel_conversions": _q_funnel,
         "temperature_mix": _q_temperature_mix,
         "ann_topk": _q_ann_topk,
@@ -3490,6 +3537,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "nb_lang_id": nblang.nb_lang_sql(),
         "domain_hits": _domain_hits_sql(),
         "domain_triangles": _domain_triangles_sql(),
+        "domain_kcore": _domain_kcore_sql(),
         "funnel_conversions": funnel.funnel_sql(
             ["view", "click", "purchase"]
         ),

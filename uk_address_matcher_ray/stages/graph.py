@@ -930,3 +930,150 @@ SELECT (SELECT count(*) FROM tri_deg) AS n_nodes,
        (SELECT count(*) FROM tri_e) AS n_edges,
        (SELECT CAST(c AS BIGINT) FROM tri_c) AS triangles
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed peel rounds)
+# ---------------------------------------------------------------------------
+
+def kcore(edges, k: int = 2, rounds: int = 4,
+          src_col: str = "src", dst_col: str = "dst"):
+    """Peel the undirected simple graph toward its k-core for a FIXED
+    number of rounds -> Dataset(node, deg) — survivors with their
+    degree in the post-peel subgraph.
+
+    The link-farm / community-density primitive: spam constellations
+    and boilerplate navigation rings fall out of low-k cores, organic
+    hub neighborhoods survive.  Each round removes every node of
+    current degree < ``k`` and the edges incident to it; after
+    convergence the survivors ARE the k-core.  The round count is part
+    of the CONTRACT (both engine and oracle run exactly ``rounds``
+    rounds) because a data-dependent fixpoint cannot be mirrored by a
+    finite CTE chain — callers size ``rounds`` like pagerank's
+    ``iters`` (peeling converges in O(diameter)-ish rounds in
+    practice; re-run with more rounds if the output still shrinks).
+
+    Scale shape: TWO skinny exchanges per round, no broadcast and no
+    driver node state: (1) edge halves grouped by node — group size is
+    the degree, groups of size >= k re-emit their halves; (2) halves
+    regrouped by edge key — edges keeping BOTH halves survive.  The
+    live edge set shrinks monotonically, so round cost decays.
+    Mirrored by ``kcore_sql``.
+    """
+    import ray
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    SEP = "\x00"
+
+    def canon_partial(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col).to_pylist()
+        b = batch.column(dst_col).to_pylist()
+        keys = {SEP.join((x, y) if x < y else (y, x))
+                for x, y in zip(a, b) if x != y}
+        return pa.table({"ek": pa.array(sorted(keys), pa.string())})
+
+    live = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(canon_partial, batch_format="pyarrow")
+        .groupby("ek")
+        .count()
+        .select_columns(["ek"])
+    )
+
+    half_schema = pa.schema(
+        [pa.field("node", pa.string()), pa.field("ek", pa.string())]
+    )
+
+    def halves(batch: pa.Table) -> pa.Table:
+        eks = batch.column("ek").to_pylist()
+        node, out = [], []
+        for ek in eks:
+            u, v = ek.split(SEP)
+            node.append(u); out.append(ek)
+            node.append(v); out.append(ek)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.string()),
+                "ek": pa.array(out, pa.string()),
+            }
+        )
+
+    def deg_filter_kernel(tbl: pa.Table) -> pa.Table:
+        import collections
+
+        nodes = tbl.column("node").to_pylist()
+        deg = collections.Counter(nodes)
+        keep = pa.array([deg[n] >= k for n in nodes])
+        return tbl.filter(keep)
+
+    both_schema = pa.schema([pa.field("ek", pa.string())])
+
+    def both_kernel(tbl: pa.Table) -> pa.Table:
+        import collections
+
+        cnt = collections.Counter(tbl.column("ek").to_pylist())
+        return pa.table(
+            {
+                "ek": pa.array(
+                    sorted(e for e, c in cnt.items() if c == 2),
+                    pa.string(),
+                )
+            }
+        )
+
+    for _ in range(rounds):
+        hs = live.map_batches(halves, batch_format="pyarrow")
+        surviving_halves = grouped_map(
+            hs, "node", None, half_schema, fn_table=deg_filter_kernel
+        ).select_columns(["ek"])
+        live = grouped_map(
+            surviving_halves, "ek", None, both_schema, fn_table=both_kernel
+        )
+
+    final_halves = live.map_batches(halves, batch_format="pyarrow")
+    out = (
+        final_halves.groupby("node")
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns(["node", "deg"]),
+            batch_format="pyarrow",
+        )
+    )
+    return out
+
+
+def kcore_sql(edges_sql: str, k: int = 2, rounds: int = 4) -> str:
+    """DuckDB mirror: unrolled peel rounds, MATERIALIZED CTEs (each
+    level is referenced twice — inlining re-evaluates exponentially)."""
+    parts = [
+        f"kc_raw AS MATERIALIZED ({edges_sql})",
+        """kc_e0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM kc_raw WHERE src <> dst
+)""",
+    ]
+    prev = "kc_e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""kc_a{r} AS MATERIALIZED (
+    SELECT n FROM (
+        SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}
+    ) GROUP BY n HAVING count(*) >= {k}
+)"""
+        )
+        parts.append(
+            f"""kc_e{r} AS MATERIALIZED (
+    SELECT e.u, e.v FROM {prev} e
+    JOIN kc_a{r} au ON au.n = e.u
+    JOIN kc_a{r} av ON av.n = e.v
+)"""
+        )
+        prev = f"kc_e{r}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev})
+GROUP BY n
+"""
