@@ -1648,6 +1648,19 @@ def _q_domain_hits(sf_dir: str):
     return hits(edges, iters=3)
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc character-distribution entropy (stages/textstats.py):
+    zero-shuffle row-local pass, lm ln-chain float regime."""
+    import ray
+
+    from uk_address_matcher_ray.stages.textstats import char_entropy
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return char_entropy(ds)
+
+
 def _q_temperature_mix(sf_dir: str):
     """Temperature-flattened domain mixing (stages/sampling.py): isqrt
     integer weights, truncating per-group targets, md5-rank selection
@@ -3249,6 +3262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_kcore": _q_domain_kcore,
         "funnel_conversions": _q_funnel,
         "temperature_mix": _q_temperature_mix,
+        "char_entropy": _q_char_entropy,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3344,6 +3358,7 @@ def oracle_sql() -> dict[str, str]:
         quantiles,
         sampling,
         shards,
+        textstats,
         tfidf,
     )
 
@@ -3542,6 +3557,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
             ["view", "click", "purchase"]
         ),
         "temperature_mix": sampling.temperature_mix_sql(total=200),
+        "char_entropy": textstats.char_entropy_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

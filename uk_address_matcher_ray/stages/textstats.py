@@ -278,3 +278,89 @@ def text_stats_dataset(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy
+# ---------------------------------------------------------------------------
+
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon entropy of the character distribution (nats)
+    -> Dataset(id, n_chars, entropy).
+
+    The cheap gibberish/compressibility signal: base64 blobs and
+    minified payloads sit near ln(alphabet) entropy, repeated-character
+    spam near 0, prose in a narrow band between — a standard cut in
+    web-corpus quality filtering alongside the length/punct ratios.
+
+    Contract (mirrored by ``char_entropy_sql``): characters are Unicode
+    CODEPOINTS of the raw text (no casefold); with counts ``c`` over
+    ``n`` total,
+
+        entropy = round(ln(n) - fsum(c * ln(c), by char asc) / n, 6)
+
+    (the algebraic form of -sum p ln p that keeps every ln argument an
+    exact integer — the lm.py float regime; the oracle's unordered SUM
+    is absorbed by round-6).  Empty/null docs emit no row.
+
+    Scale shape: zero exchanges, one row-local pass; per-doc state is
+    the character Counter (alphabet-bounded).
+    """
+    import math
+    from collections import Counter
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_h = [], [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            if not text:
+                continue
+            cnt = Counter(text)
+            n = len(text)
+            s = math.fsum(
+                c * math.log(c) for _, c in sorted(cnt.items())
+            )
+            out_id.append(did)
+            out_n.append(n)
+            out_h.append(round(math.log(n) - s / n, 6))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, id_type),
+                "n_chars": pa.array(out_n, pa.int64()),
+                "entropy": pa.array(out_h, pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+def char_entropy_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror: codepoint unnest via substr, identical ln form."""
+    return f"""
+WITH chars AS (
+    SELECT {id_col}, length({text_col}) AS n,
+           substr({text_col}, i, 1) AS ch
+    FROM (SELECT {id_col}, {text_col},
+                 unnest(range(1, length({text_col}) + 1)) AS i
+          FROM {table}
+          WHERE {text_col} IS NOT NULL AND length({text_col}) > 0)
+),
+cc AS (
+    SELECT {id_col}, any_value(n) AS n, ch, count(*) AS c
+    FROM chars GROUP BY {id_col}, ch
+)
+SELECT {id_col}, CAST(any_value(n) AS BIGINT) AS n_chars,
+       round(ln(any_value(n)) - SUM(c * ln(c)) / any_value(n), 6)
+           AS entropy
+FROM cc GROUP BY {id_col}
+"""
