@@ -1648,6 +1648,20 @@ def _q_domain_hits(sf_dir: str):
     return hits(edges, iters=3)
 
 
+def _q_profile_documents(sf_dir: str):
+    """Generic column profiler (stages/profile.py): integer partials
+    for rows/nulls, hashed-value exchange for exact distincts — values
+    never ride the shuffle."""
+    import ray
+
+    from uk_address_matcher_ray.stages.profile import profile_columns
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return profile_columns(
+        ds, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _q_char_entropy(sf_dir: str):
     """Per-doc character-distribution entropy (stages/textstats.py):
     zero-shuffle row-local pass, lm ln-chain float regime."""
@@ -3263,6 +3277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversions": _q_funnel,
         "temperature_mix": _q_temperature_mix,
         "char_entropy": _q_char_entropy,
+        "profile_documents": _q_profile_documents,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3355,6 +3370,7 @@ def oracle_sql() -> dict[str, str]:
         ngram_topk,
         normalize,
         packing,
+        profile,
         quantiles,
         sampling,
         shards,
@@ -3558,6 +3574,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         ),
         "temperature_mix": sampling.temperature_mix_sql(total=200),
         "char_entropy": textstats.char_entropy_sql(),
+        "profile_documents": profile.profile_columns_sql(
+            ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(
