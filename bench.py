@@ -148,6 +148,9 @@ def _bench_queries(sf_dir: str) -> dict:
         "domain_triangles",
         "funnel_conversions",
         "temperature_mix",
+        "domain_kcore",
+        "char_entropy",
+        "profile_documents",
         "predict_pairs",
         "match_clusters",
         "train_em",
