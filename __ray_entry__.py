@@ -1648,6 +1648,21 @@ def _q_domain_hits(sf_dir: str):
     return hits(edges, iters=3)
 
 
+def _q_length_outliers(sf_dir: str):
+    """Integer-exact grouped z-score outliers (stages/moments.py):
+    (cnt·x - s)² > z²(cnt·ss - s²) — no float anywhere; moments
+    exchange + broadcast stats + zero-shuffle flag pass."""
+    import ray
+
+    from uk_address_matcher_ray.stages.moments import grouped_outliers
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return grouped_outliers(ds, "n_chars", "source", z=1)
+
+
 def _q_profile_documents(sf_dir: str):
     """Generic column profiler (stages/profile.py): integer partials
     for rows/nulls, hashed-value exchange for exact distincts — values
@@ -3278,6 +3293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": _q_temperature_mix,
         "char_entropy": _q_char_entropy,
         "profile_documents": _q_profile_documents,
+        "length_outliers": _q_length_outliers,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3576,6 +3592,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "char_entropy": textstats.char_entropy_sql(),
         "profile_documents": profile.profile_columns_sql(
             ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        "length_outliers": moments.grouped_outliers_sql(
+            "n_chars", "source", z=1
         ),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,

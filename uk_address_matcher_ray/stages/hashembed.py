@@ -97,10 +97,17 @@ def hash_embed(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 0,
-    concurrency: int = 4,
+    concurrency=None,
     memo_cap: int = 1_000_000,
 ):
     """-> Dataset(id_col, embedding: list<int64> of length ``dim``)."""
+    import ray
+
+    if concurrency is None:
+        # autoscaling pool, never the whole CPU budget: a fixed pool the
+        # size of the cluster starves the upstream read (deadlock at
+        # num_cpus=4 — the multimodal sizing rule)
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
     return ds.select_columns([id_col, text_col]).map_batches(
         _EmbedStage,
         fn_constructor_args=(dim, seed, id_col, text_col, memo_cap),

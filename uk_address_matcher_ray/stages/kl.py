@@ -71,11 +71,16 @@ def source_kl(
     min_count: int = 5,
     group_col: str = "source",
     text_col: str = "text",
-    concurrency: int = 4,
+    concurrency=None,
     unigrams=None,
 ):
     """-> Dataset(source, n_tokens, kl)."""
     import ray
+
+    if concurrency is None:
+        # autoscaling pool (multimodal sizing rule): a fixed pool equal to
+        # the CPU count starves the upstream read at small num_cpus
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
 
     from uk_address_matcher_ray.stages.grouped import grouped_map
 

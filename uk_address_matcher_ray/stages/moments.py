@@ -124,3 +124,137 @@ SELECT {group_col},
            AS std_pop
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact z-score outliers
+# ---------------------------------------------------------------------------
+
+def grouped_outliers(
+    ds,
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    z: int = 3,
+):
+    """Rows whose ``value`` deviates more than ``z`` POPULATION standard
+    deviations from their group mean -> Dataset(id, group, value) —
+    the length-anomaly sweep (truncated pages, concatenation blowups,
+    binary-in-text) run per source/language.
+
+    The test is evaluated ENTIRELY in integers — no mean, no sqrt, no
+    float anywhere, so there is no rounding boundary to disagree on:
+
+        outlier(x)  <=>  (cnt·x - s)² > z² · (cnt·ss - s²)
+
+    (multiply ``(x - s/cnt)² > z²·var_pop`` through by ``cnt²``; both
+    sides are exact Python ints / DuckDB HUGEINTs).  Groups of size 1
+    have zero variance and their single row is never an outlier
+    (LHS = 0 = RHS).
+
+    Scale shape: the moments pass (one 4-int partial per group x batch,
+    one skinny exchange), group stats broadcast (one 3-int row per
+    group — the per-source boundedness assumption), then a zero-shuffle
+    row-local flag pass.  Mirrored by ``grouped_outliers_sql``.
+    """
+    import ray
+
+    from uk_address_matcher_ray import util
+
+    def mom_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = batch.column(group_col).to_pylist()
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        agg: dict = {}
+        for gi, vi in zip(g, v):
+            c = agg.get(gi)
+            x = int(vi)
+            if c is None:
+                agg[gi] = [1, x, x * x]
+            else:
+                c[0] += 1
+                c[1] += x
+                c[2] += x * x
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "g": pa.array(keys, pa.string()),
+                "cnt": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "s": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "ss": pa.array([agg[k][2] for k in keys], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(mom_partial, batch_format="pyarrow")
+        .groupby("g")
+        .sum(["cnt", "s", "ss"])
+        .take_all()
+    )
+    stats = {
+        r["g"]: (int(r["sum(cnt)"]), int(r["sum(s)"]), int(r["sum(ss)"]))
+        for r in rows
+    }
+    stats_ref = ray.put(stats)
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field(group_col, pa.string()),
+            pa.field(value_col, pa.int64()),
+        ]
+    )
+    if not stats:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def flag(batch: pa.Table) -> pa.Table:
+        st = util.get_broadcast(stats_ref)
+        keep = []
+        for gi, vi in zip(
+            batch.column(group_col).to_pylist(),
+            batch.column(value_col).to_pylist(),
+        ):
+            cnt, s, ss = st[gi]
+            x = int(vi)
+            keep.append(
+                (cnt * x - s) ** 2 > z * z * (cnt * ss - s * s)
+            )
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                group_col: t.column(group_col),
+                value_col: t.column(value_col).cast(pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+def grouped_outliers_sql(
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    z: int = 3,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror: identical integer inequality in HUGEINT."""
+    return f"""
+WITH st AS (
+    SELECT {group_col} AS g,
+           CAST(count(*) AS HUGEINT) AS cnt,
+           CAST(sum({value_col}) AS HUGEINT) AS s,
+           CAST(sum(CAST({value_col} AS HUGEINT) * {value_col})
+                AS HUGEINT) AS ss
+    FROM {table} GROUP BY {group_col}
+)
+SELECT t.{id_col}, t.{group_col},
+       CAST(t.{value_col} AS BIGINT) AS {value_col}
+FROM {table} t JOIN st ON st.g = t.{group_col}
+WHERE (st.cnt * t.{value_col} - st.s) * (st.cnt * t.{value_col} - st.s)
+      > {z * z} * (st.cnt * st.ss - st.s * st.s)
+"""

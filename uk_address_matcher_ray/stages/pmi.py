@@ -130,7 +130,7 @@ def token_pmi(
     min_count: int = 5,
     min_pair: int = 2,
     text_col: str = "text",
-    concurrency: int = 4,
+    concurrency=None,
     unigrams=None,
 ):
     """-> Dataset(tok_a, tok_b, pair_count, pmi) for vocab pairs
@@ -157,6 +157,10 @@ def token_pmi(
     if not vocab or total == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
+    if concurrency is None:
+        # autoscaling pool (multimodal sizing rule): a fixed pool equal to
+        # the CPU count starves the upstream read at small num_cpus
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
     vocab_ref = ray.put(vocab)
     pairs = (
         ds.select_columns([text_col])
