@@ -1648,6 +1648,38 @@ def _q_domain_hits(sf_dir: str):
     return hits(edges, iters=3)
 
 
+def _q_fk_coverage(sf_dir: str):
+    """Referential-integrity coverage lineitem->part
+    (stages/integrity.py): tagged-union anti-join exchange, no
+    broadcast, five-integer summary."""
+    import ray
+
+    from uk_address_matcher_ray.stages.integrity import fk_coverage
+
+    child = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+    )
+    parent = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    )
+    return fk_coverage(child, parent, "l_partkey", "p_partkey")
+
+
+def _q_latest_events(sf_dir: str):
+    """Grouped argmax — most recent event per user
+    (stages/sessions.latest_events): per-batch partial argmax, one
+    grouped exchange, (us, event_id) tie-break."""
+    import ray
+
+    from uk_address_matcher_ray.stages.sessions import latest_events
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return latest_events(ds)
+
+
 def _q_length_outliers(sf_dir: str):
     """Integer-exact grouped z-score outliers (stages/moments.py):
     (cnt·x - s)² > z²(cnt·ss - s²) — no float anywhere; moments
@@ -3294,6 +3326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "profile_documents": _q_profile_documents,
         "length_outliers": _q_length_outliers,
+        "fk_coverage": _q_fk_coverage,
+        "latest_events": _q_latest_events,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3380,6 +3414,7 @@ def oracle_sql() -> dict[str, str]:
         cdc,
         funnel,
         hashembed,
+        integrity,
         kl,
         moments,
         pmi,
@@ -3389,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         profile,
         quantiles,
         sampling,
+        sessions,
         shards,
         textstats,
         tfidf,
@@ -3596,6 +3632,10 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "length_outliers": moments.grouped_outliers_sql(
             "n_chars", "source", z=1
         ),
+        "fk_coverage": integrity.fk_coverage_sql(
+            "lineitem", "part", "l_partkey", "p_partkey"
+        ),
+        "latest_events": sessions.latest_events_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

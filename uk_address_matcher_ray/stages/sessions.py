@@ -212,3 +212,98 @@ def rolling_window(
         ds, key, None, out_schema, fn_table=kernel,
         num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest event per key (grouped argmax)
+# ---------------------------------------------------------------------------
+
+def latest_events(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+):
+    """The most recent event per key -> Dataset(key, event_id,
+    event_type, us) — the grouped-argmax primitive ("current state per
+    user/url/entity", the keep-newest half of snapshot dedup as a
+    standalone op).
+
+    Contract (mirrored by ``latest_events_sql``): the winner per key is
+    the maximum ``(epoch_us(ts), event_id)`` — the unique id breaks
+    timestamp ties deterministically.
+
+    Scale shape: per-batch partial argmax (one row per key per batch —
+    the max of a batch is the only batch row that can win globally), so
+    the single grouped exchange carries keys x batches rows, never the
+    events; the group kernel re-applies the same argmax over complete
+    keys.  Skew-immune: a hot key costs one row per upstream batch.
+    """
+    import pyarrow.compute as pc
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    out_schema = pa.schema(
+        [
+            pa.field(key_col, key_type),
+            pa.field("event_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("us", pa.int64()),
+        ]
+    )
+
+    def argmax_kernel(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                (key_col, "ascending"),
+                ("us", "descending"),
+                ("event_id", "descending"),
+            ],
+        )
+        s = tbl.take(order)
+        keys = s.column(key_col).to_pylist()
+        keep = [i == 0 or keys[i] != keys[i - 1] for i in range(len(keys))]
+        return s.filter(pa.array(keep))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "event_id": batch.column(id_col).cast(pa.int64()),
+                "event_type": batch.column(type_col),
+                "us": batch.column(ts_col)
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+        return argmax_kernel(t)
+
+    pre = ds.select_columns(
+        [key_col, id_col, type_col, ts_col]
+    ).map_batches(partial, batch_format="pyarrow")
+    return grouped_map(pre, key_col, None, out_schema,
+                       fn_table=argmax_kernel)
+
+
+def latest_events_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB mirror: row_number over (us DESC, id DESC)."""
+    return f"""
+WITH ev AS (
+    SELECT {key_col}, {id_col} AS event_id, {type_col} AS event_type,
+           epoch_us({ts_col}) AS us,
+           row_number() OVER (
+               PARTITION BY {key_col}
+               ORDER BY epoch_us({ts_col}) DESC, {id_col} DESC) AS rn
+    FROM {table}
+)
+SELECT {key_col}, event_id, event_type, us FROM ev WHERE rn = 1
+"""
