@@ -35,6 +35,50 @@ def _tokens(text: Optional[str]) -> List[str]:
     return [t for t in re.split(_WS_SPLIT, text.lower().strip()) if t]
 
 
+def flat_tokens(texts):
+    """Vectorized ``_tokens`` over a string array -> (parents: int64
+    ndarray, tokens: pa.StringArray), intra-row order preserved.
+
+    Arrow kernels (lower / trim / RE2 whitespace split / flatten) handle
+    every row made of printable ASCII + the six basic whitespace chars;
+    rows containing anything else (Unicode whitespace like U+001C or
+    U+00A0, non-ASCII letters whose utf8proc lower can differ from
+    CPython's) fall back to the scalar ``_tokens`` — the clean_vec
+    precedent, bit-identical by construction (differential-tested in
+    tests/test_pmi.py / test_source_kl.py via the oracle parity)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    dirty = pc.fill_null(
+        pc.match_substring_regex(texts, "[^ -~\t\n\r\v\f]"), False
+    )
+    base = pc.if_else(dirty, pa.scalar(""), pc.fill_null(texts, ""))
+    parts = pc.split_pattern_regex(
+        pc.utf8_trim(pc.utf8_lower(base), " \t\n\r\v\f"),
+        "[ \t\n\r\v\f]+",
+    )
+    flat = pc.list_flatten(parts)
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parents = parents[keep]
+    if not pc.any(dirty).as_py():
+        return parents, flat
+    d_par: list = []
+    d_tok: list = []
+    for i in np.flatnonzero(dirty.to_numpy(zero_copy_only=False)):
+        for t in _tokens(texts[int(i)].as_py()):
+            d_par.append(int(i))
+            d_tok.append(t)
+    parents = np.concatenate([parents, np.asarray(d_par, dtype=np.int64)])
+    import pyarrow as _pa
+
+    flat = _pa.concat_arrays([flat, _pa.array(d_tok, _pa.string())])
+    return parents, flat
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------

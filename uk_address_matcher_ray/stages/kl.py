@@ -36,32 +36,40 @@ from collections import Counter, defaultdict
 import pyarrow as pa
 
 from uk_address_matcher_ray import util
-from uk_address_matcher_ray.stages.dedup import _tokens
 from uk_address_matcher_ray.stages.pmi import _TOK_SPLIT_SQL, unigram_counts
 
 
 class _GroupTokStage:
-    """Per-batch (group, tok, c) Counter partials over broadcast vocab."""
+    """Per-batch (group, tok, c) partials over broadcast vocab — one
+    vectorized flatten + index_in membership + Arrow group_by count."""
 
     def __init__(self, vocab_ref, group_col: str, text_col: str):
-        self.vocab = util.get_broadcast(vocab_ref)
+        vocab = util.get_broadcast(vocab_ref)
+        self.vocab_arr = pa.array(sorted(vocab), pa.string())
         self.group_col = group_col
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vocab = self.vocab
-        cnt: Counter = Counter()
-        groups = batch.column(self.group_col).to_pylist()
-        for g, text in zip(groups, batch.column(self.text_col).to_pylist()):
-            for t in _tokens(text):
-                if t in vocab:
-                    cnt[(g, t)] += 1
-        keys = list(cnt.keys())
+        import pyarrow.compute as pc
+
+        from uk_address_matcher_ray.stages.dedup import flat_tokens
+
+        parents, flat = flat_tokens(batch.column(self.text_col))
+        hit = pc.is_valid(
+            pc.index_in(flat, value_set=self.vocab_arr)
+        ).to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(hit))
+        groups = batch.column(self.group_col).take(pa.array(parents[hit]))
+        t = (
+            pa.table({"g": groups, "tok": toks})
+            .group_by(["g", "tok"])
+            .aggregate([("tok", "count")])
+        )
         return pa.table(
             {
-                "g": pa.array([k[0] for k in keys], pa.string()),
-                "tok": pa.array([k[1] for k in keys], pa.string()),
-                "c": pa.array([cnt[k] for k in keys], pa.int64()),
+                "g": t.column("g"),
+                "tok": t.column("tok"),
+                "c": t.column("tok_count").cast(pa.int64()),
             }
         )
 
@@ -87,7 +95,7 @@ def source_kl(
     if unigrams is None:
         unigrams = unigram_counts(ds, text_col=text_col)
     counts, _total = unigrams
-    vocab_rows = counts.filter(lambda r: r["c"] >= min_count).take_all()
+    vocab_rows = counts.filter(expr=f"c >= {min_count}").take_all()
     cnt_of = {r["tok"]: int(r["c"]) for r in vocab_rows}
     tv = sum(cnt_of.values())
     out_schema = pa.schema(

@@ -43,7 +43,6 @@ import numpy as np
 import pyarrow as pa
 
 from uk_address_matcher_ray import util
-from uk_address_matcher_ray.stages.dedup import _tokens
 
 _TOK_SPLIT_SQL = (
     "list_filter(regexp_split_to_array(lower(trim(coalesce({x}, ''))),"
@@ -52,19 +51,18 @@ _TOK_SPLIT_SQL = (
 
 
 def unigram_counts(ds, text_col: str = "text"):
-    """-> (Dataset(tok, c), total_tokens:int) via per-batch Counter
-    partials + one token-keyed groupby."""
-    from collections import Counter
+    """-> (Dataset(tok, c), total_tokens:int) via per-batch vectorized
+    value_counts partials + one token-keyed groupby."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        cnt: Counter = Counter()
-        for text in batch.column(text_col).to_pylist():
-            cnt.update(_tokens(text))
-        toks = list(cnt.keys())
+        from uk_address_matcher_ray.stages.dedup import flat_tokens
+
+        _, flat = flat_tokens(batch.column(text_col))
+        vc = flat.value_counts()
         return pa.table(
             {
-                "tok": pa.array(toks, pa.string()),
-                "c": pa.array([cnt[t] for t in toks], pa.int64()),
+                "tok": vc.field("values"),
+                "c": vc.field("counts").cast(pa.int64()),
             }
         )
 
@@ -76,32 +74,33 @@ def unigram_counts(ds, text_col: str = "text"):
     )
     counts = counts.map_batches(
         lambda b: b.rename_columns(["tok", "c"]), batch_format="pyarrow"
-    )
+    ).materialize()  # distinct-token-sized; every consumer (total, vocab
+    # filter, per-group joins) would otherwise re-run the corpus pass
     total = counts.sum("c") or 0
     return counts, int(total)
 
 
 class _PairStage:
-    """Window pair events coded as a_id * V + b_id over broadcast vocab."""
+    """Window pair events coded as a_id * V + b_id over broadcast vocab
+    (sorted-vocab ids via one vectorized ``index_in``)."""
 
     def __init__(self, vocab_ref, window: int, text_col: str):
         vocab = util.get_broadcast(vocab_ref)
-        self.vid = {t: i for i, t in enumerate(vocab)}
+        self.vocab_arr = pa.array(vocab, pa.string())
         self.v = len(vocab)
         self.window = window
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vid = self.vid
-        starts = [0]
-        flat = []
-        for text in batch.column(self.text_col).to_pylist():
-            toks = _tokens(text)
-            flat.extend(vid.get(t, -1) for t in toks)
-            starts.append(len(flat))
-        ids = np.asarray(flat, dtype=np.int64)
-        doc = np.repeat(
-            np.arange(batch.num_rows, dtype=np.int64), np.diff(starts)
+        import pyarrow.compute as pc
+
+        from uk_address_matcher_ray.stages.dedup import flat_tokens
+
+        doc, flat = flat_tokens(batch.column(self.text_col))
+        ids = (
+            pc.fill_null(pc.index_in(flat, value_set=self.vocab_arr), -1)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
         codes = []
         for shift in range(1, self.window + 1):
@@ -141,9 +140,7 @@ def token_pmi(
     if unigrams is None:
         unigrams = unigram_counts(ds, text_col=text_col)
     counts, total = unigrams
-    vocab_rows = counts.filter(
-        lambda r: r["c"] >= min_count  # noqa: E731 — skinny post-agg table
-    ).take_all()
+    vocab_rows = counts.filter(expr=f"c >= {min_count}").take_all()
     vocab = sorted(r["tok"] for r in vocab_rows)
     cnt_of = {r["tok"]: int(r["c"]) for r in vocab_rows}
     out_schema = pa.schema(
@@ -183,25 +180,29 @@ def token_pmi(
     v = len(vocab)
     ln_t2_p = 2 * math.log(total) - math.log(p_total)
 
+    vocab_arr = pa.array(vocab, pa.string())
+    cnt_arr = np.asarray([cnt_of[t] for t in vocab], dtype=np.float64)
+
     def finish(batch: pa.Table) -> pa.Table:
         code = batch.column("code").to_numpy()
         c = batch.column("c").to_numpy()
         keep = c >= min_pair
         code, c = code[keep], c[keep]
-        tok_a = [vocab[i] for i in code // v]
-        tok_b = [vocab[i] for i in code % v]
-        pmi = [
-            round(
-                math.log(int(cc)) + ln_t2_p
-                - math.log(cnt_of[a]) - math.log(cnt_of[b]),
-                6,
-            )
-            for cc, a, b in zip(c, tok_a, tok_b)
-        ]
+        ai, bi = code // v, code % v
+        # identical association to the scalar chain; np.log(double) is
+        # the same libm call math.log makes. Python round() per element
+        # keeps the stated round-6 contract.
+        raw = (
+            np.log(c.astype(np.float64))
+            + ln_t2_p
+            - np.log(cnt_arr[ai])
+            - np.log(cnt_arr[bi])
+        )
+        pmi = [round(float(x), 6) for x in raw]
         return pa.table(
             {
-                "tok_a": pa.array(tok_a, pa.string()),
-                "tok_b": pa.array(tok_b, pa.string()),
+                "tok_a": vocab_arr.take(pa.array(ai)),
+                "tok_b": vocab_arr.take(pa.array(bi)),
                 "pair_count": pa.array(c, pa.int64()),
                 "pmi": pa.array(pmi, pa.float64()),
             }
