@@ -151,6 +151,9 @@ def _bench_queries(sf_dir: str) -> dict:
         "domain_kcore",
         "char_entropy",
         "profile_documents",
+        "length_outliers",
+        "fk_coverage",
+        "latest_events",
         "predict_pairs",
         "match_clusters",
         "train_em",
