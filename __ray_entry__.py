@@ -1648,6 +1648,38 @@ def _q_domain_hits(sf_dir: str):
     return hits(edges, iters=3)
 
 
+def _q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shape pricing summary (stages/olap.py): exact scaled-
+    integer partials per batch, one skinny exchange, stated double
+    division chains."""
+    import ray
+
+    from uk_address_matcher_ray.stages.olap import lineitem_pricing
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    return lineitem_pricing(ds)
+
+
+def _q_jl_project(sf_dir: str):
+    """Johnson–Lindenstrauss ±1 projection of embeddings
+    (stages/pca.jl_project): PCA quantization + md5 sign grid, exact
+    int64 sums, zero shuffles."""
+    import ray
+
+    from uk_address_matcher_ray.stages.pca import jl_project
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return jl_project(ds, k=8, dim=64)
+
+
 def _q_fk_coverage(sf_dir: str):
     """Referential-integrity coverage lineitem->part
     (stages/integrity.py): tagged-union anti-join exchange, no
@@ -3327,6 +3359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "length_outliers": _q_length_outliers,
         "fk_coverage": _q_fk_coverage,
+        "jl_project": _q_jl_project,
+        "lineitem_pricing": _q_lineitem_pricing,
         "latest_events": _q_latest_events,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -3420,6 +3454,7 @@ def oracle_sql() -> dict[str, str]:
         pmi,
         ngram_topk,
         normalize,
+        olap,
         packing,
         profile,
         quantiles,
@@ -3636,6 +3671,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
             "lineitem", "part", "l_partkey", "p_partkey"
         ),
         "latest_events": sessions.latest_events_sql(),
+        "jl_project": pca.jl_project_sql(k=8, dim=64),
+        "lineitem_pricing": olap.lineitem_pricing_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

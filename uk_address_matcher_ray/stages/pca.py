@@ -201,3 +201,100 @@ FROM q JOIN x{iters} x USING (i)
 GROUP BY q.{id_col}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss signed random projection
+# ---------------------------------------------------------------------------
+
+def jl_project(
+    ds,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+):
+    """Random ±1 projection of embeddings to ``k`` dims (Achlioptas'
+    database-friendly Johnson–Lindenstrauss variant) -> Dataset(id,
+    proj: list<int64>) — the cheap dimensionality-reduction front-end
+    for ANN/clustering when the full vector is too wide to shuffle.
+
+    Determinism contract (mirrored by ``jl_project_sql``): components
+    quantize exactly like PCA (``q_i = floor(v_i · 2^20 + 0.5)``), the
+    sign matrix is pure hash — ``sign(i,j) = +1 iff the first hex char
+    of md5(f"jl{seed}:{i}:{j}") is even`` (0-based i, j) — and
+    ``proj_j = Σ_i sign(i,j) · q_i`` is an exact int64 sum (|proj| <=
+    dim · 2^20 · max|v|, far inside int64), so the output is
+    bit-identical at any parallelism with no trained state anywhere.
+
+    Scale shape: ZERO exchanges — one row-local pass; the sign matrix
+    (dim × k ints) is built once per task from the hash, nothing is
+    broadcast.  Output is k int64 per row vs dim floats in — the
+    projection IS the shuffle-width reduction.
+    """
+    import hashlib
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    signs = np.empty((dim, k), dtype=np.int64)
+    for i in range(dim):
+        for j in range(k):
+            h = hashlib.md5(f"jl{seed}:{i}:{j}".encode()).hexdigest()
+            signs[i, j] = 1 if int(h[0], 16) % 2 == 0 else -1
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(
+            batch.column(vec_col).to_pylist(), dtype=np.float64
+        )
+        if vecs.size == 0:
+            vecs = vecs.reshape(0, dim)
+        q = np.floor(vecs * Q + 0.5).astype(np.int64)
+        y = q @ signs
+        n = len(q)
+        flat = pa.array(y.reshape(-1), pa.int64())
+        offsets = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "proj": pa.ListArray.from_arrays(offsets, flat),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+def jl_project_sql(
+    k: int = 8,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror: identical quantization, md5 sign grid, dense
+    ordered list."""
+    return f"""
+WITH q AS MATERIALIZED (
+    SELECT {id_col}, i.i AS i,
+           CAST(floor(CAST({vec_col}[i.i] AS DOUBLE) * {Q} + 0.5)
+                AS BIGINT) AS qv
+    FROM {table} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) i
+),
+sgn AS MATERIALIZED (
+    SELECT i.i AS i, j.j AS j,
+           CASE WHEN CAST('0x' || substr(
+                    md5('jl{seed}:' || (i.i - 1) || ':' || (j.j - 1)),
+                    1, 1) AS UBIGINT) % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM (SELECT unnest(range(1, {dim + 1})) AS i) i
+    CROSS JOIN (SELECT unnest(range(1, {k + 1})) AS j) j
+),
+p AS (
+    SELECT q.{id_col}, sgn.j, CAST(SUM(q.qv * sgn.s) AS BIGINT) AS v
+    FROM q JOIN sgn ON sgn.i = q.i
+    GROUP BY q.{id_col}, sgn.j
+)
+SELECT {id_col}, list(v ORDER BY j) AS proj FROM p GROUP BY {id_col}
+"""
