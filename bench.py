@@ -154,6 +154,8 @@ def _bench_queries(sf_dir: str) -> dict:
         "length_outliers",
         "fk_coverage",
         "latest_events",
+        "jl_project",
+        "lineitem_pricing",
         "predict_pairs",
         "match_clusters",
         "train_em",
