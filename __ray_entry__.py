@@ -1741,6 +1741,20 @@ def _q_profile_documents(sf_dir: str):
     )
 
 
+def _q_lexical_diversity(sf_dir: str):
+    """Type-token ratio per doc (stages/textstats.lexical_diversity):
+    vectorized flat-tokens + in-batch Arrow group_bys, zero shuffles,
+    one exact integer division."""
+    import ray
+
+    from uk_address_matcher_ray.stages.textstats import lexical_diversity
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lexical_diversity(ds)
+
+
 def _q_char_entropy(sf_dir: str):
     """Per-doc character-distribution entropy (stages/textstats.py):
     zero-shuffle row-local pass, lm ln-chain float regime."""
@@ -3356,6 +3370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversions": _q_funnel,
         "temperature_mix": _q_temperature_mix,
         "char_entropy": _q_char_entropy,
+        "lexical_diversity": _q_lexical_diversity,
         "profile_documents": _q_profile_documents,
         "length_outliers": _q_length_outliers,
         "fk_coverage": _q_fk_coverage,
@@ -3661,6 +3676,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         ),
         "temperature_mix": sampling.temperature_mix_sql(total=200),
         "char_entropy": textstats.char_entropy_sql(),
+        "lexical_diversity": textstats.lexical_diversity_sql(),
         "profile_documents": profile.profile_columns_sql(
             ["doc_id", "text", "lang", "source", "n_chars"]
         ),

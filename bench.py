@@ -156,6 +156,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "latest_events",
         "jl_project",
         "lineitem_pricing",
+        "lexical_diversity",
         "predict_pairs",
         "match_clusters",
         "train_em",

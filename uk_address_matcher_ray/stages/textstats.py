@@ -364,3 +364,82 @@ SELECT {id_col}, CAST(any_value(n) AS BIGINT) AS n_chars,
            AS entropy
 FROM cc GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (type-token ratio)
+# ---------------------------------------------------------------------------
+
+def lexical_diversity(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document type-token ratio -> Dataset(id, n_tokens,
+    n_distinct, ttr) — the lexical-diversity quality cut: keyword-stuffed
+    spam and template farms sit at the extremes of distinct/total.
+
+    Contract (mirrored by ``lexical_diversity_sql``): tokens are the
+    dedup-family tokenizer's; ``ttr = CAST(n_distinct AS DOUBLE) /
+    n_tokens`` — one exact integer division, bit-identical on both
+    sides.  Empty/null docs emit no row.
+
+    Scale shape: zero exchanges — one vectorized row-local pass
+    (flat_tokens + two Arrow group_bys inside the batch).
+    """
+    import numpy as np
+
+    from uk_address_matcher_ray.stages.dedup import flat_tokens
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        parents, flat = flat_tokens(batch.column(text_col))
+        n = batch.num_rows
+        totals = np.bincount(parents, minlength=n).astype(np.int64)
+        if len(flat):
+            pairs = pa.table(
+                {"p": pa.array(parents, pa.int64()), "tok": flat}
+            ).group_by(["p", "tok"]).aggregate([("tok", "count")])
+            dist = np.bincount(
+                pairs.column("p").to_numpy(zero_copy_only=False),
+                minlength=n,
+            ).astype(np.int64)
+        else:
+            dist = np.zeros(n, dtype=np.int64)
+        keep = totals > 0
+        ids = batch.column(id_col).filter(pa.array(keep))
+        tot_k = totals[keep]
+        dis_k = dist[keep]
+        return pa.table(
+            {
+                id_col: ids.cast(id_type),
+                "n_tokens": pa.array(tot_k, pa.int64()),
+                "n_distinct": pa.array(dis_k, pa.int64()),
+                "ttr": pa.array(
+                    dis_k.astype(np.float64) / tot_k, pa.float64()
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+def lexical_diversity_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror: identical tokenizer split, one exact division."""
+    split = (
+        "list_filter(regexp_split_to_array(lower(trim(coalesce("
+        f"{text_col}, ''))), '\\s+'), t -> t != '')"
+    )
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, unnest({split}) AS tok FROM {table}
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS ttr
+FROM toks GROUP BY {id_col}
+"""
