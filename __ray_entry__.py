@@ -1741,6 +1741,19 @@ def _q_profile_documents(sf_dir: str):
     )
 
 
+def _q_sample_exact_n(sf_dir: str):
+    """Exact-N deterministic sample (stages/sampling.sample_exact_n):
+    per-batch top-cap pruning, driver merge of batch winners only."""
+    import ray
+
+    from uk_address_matcher_ray.stages.sampling import sample_exact_n
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return sample_exact_n(ds, 100)
+
+
 def _q_lexical_diversity(sf_dir: str):
     """Type-token ratio per doc (stages/textstats.lexical_diversity):
     vectorized flat-tokens + in-batch Arrow group_bys, zero shuffles,
@@ -3371,6 +3384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": _q_temperature_mix,
         "char_entropy": _q_char_entropy,
         "lexical_diversity": _q_lexical_diversity,
+        "sample_exact_n": _q_sample_exact_n,
         "profile_documents": _q_profile_documents,
         "length_outliers": _q_length_outliers,
         "fk_coverage": _q_fk_coverage,
@@ -3677,6 +3691,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "temperature_mix": sampling.temperature_mix_sql(total=200),
         "char_entropy": textstats.char_entropy_sql(),
         "lexical_diversity": textstats.lexical_diversity_sql(),
+        "sample_exact_n": sampling.sample_exact_n_sql(100),
         "profile_documents": profile.profile_columns_sql(
             ["doc_id", "text", "lang", "source", "n_chars"]
         ),

@@ -571,3 +571,89 @@ rnk AS (
 SELECT {id_col}, g AS {group_col}, sample_key
 FROM rnk JOIN tgt USING (g) WHERE rn <= tgt.cap
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-N global sample
+# ---------------------------------------------------------------------------
+
+def sample_exact_n(ds, n: int, id_col: str = "doc_id", seed: int = 0):
+    """EXACTLY ``n`` uniformly-chosen rows (or all rows if fewer) ->
+    Dataset(id, sample_key) — the eval-set / spot-check draw where a
+    rate-based sample's ±binomial wobble is not acceptable.
+
+    Contract (mirrored by ``sample_exact_n_sql``): the winners are the
+    ``n`` smallest ``(sample_key, id)`` — the repo-wide md5 sampling
+    key, so the draw is uniform, reproducible, and stable under any
+    partitioning.
+
+    Scale shape: each batch keeps only its local ``n`` smallest (a
+    global winner is necessarily a batch winner — the top-cap pruning
+    argument), so the driver merge sees <= n × upstream-blocks skinny
+    rows, never the corpus.  ``n`` is assumed driver-sized (an eval
+    draw, not a split — for corpus-scale selections use
+    ``stratified_sample`` / ``temperature_mix``).
+    """
+    import ray
+
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, id_type),
+            pa.field("sample_key", pa.string()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column(id_col).to_pylist()
+        t = pa.table(
+            {
+                id_col: batch.column(id_col),
+                "sample_key": pa.array(
+                    [sample_key(i, seed) for i in ids], pa.string()
+                ),
+            }
+        )
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("sample_key", "ascending"), (id_col, "ascending")],
+        )
+        return t.take(order[: min(n, t.num_rows)])
+
+    winners = ds.select_columns([id_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()
+    winners.sort(key=lambda r: (r["sample_key"], r[id_col]))
+    winners = winners[:n]
+    if not winners:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([r[id_col] for r in winners], id_type),
+                "sample_key": pa.array(
+                    [r["sample_key"] for r in winners], pa.string()
+                ),
+            }
+        )
+    )
+
+
+def sample_exact_n_sql(
+    n: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror: identical key, ORDER BY + LIMIT."""
+    return f"""
+SELECT {id_col},
+       substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8)
+           AS sample_key
+FROM {table}
+ORDER BY sample_key, {id_col}
+LIMIT {n}
+"""
