@@ -157,6 +157,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "jl_project",
         "lineitem_pricing",
         "lexical_diversity",
+        "sample_exact_n",
         "predict_pairs",
         "match_clusters",
         "train_em",
