@@ -1666,6 +1666,24 @@ def _q_lineitem_pricing(sf_dir: str):
     return lineitem_pricing(ds)
 
 
+def _q_late_ship_priority(sf_dir: str):
+    """TPC-H Q4-shape existence semi-join (stages/olap.py): batch-max
+    lineitem partials + order rows over ONE key-grouped exchange, then
+    a skinny priority count."""
+    import ray
+
+    from uk_address_matcher_ray.stages.olap import late_ship_priority_counts
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    return late_ship_priority_counts(orders, lineitem)
+
+
 def _q_jl_project(sf_dir: str):
     """Johnson–Lindenstrauss ±1 projection of embeddings
     (stages/pca.jl_project): PCA quantization + md5 sign grid, exact
@@ -3390,6 +3408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_coverage": _q_fk_coverage,
         "jl_project": _q_jl_project,
         "lineitem_pricing": _q_lineitem_pricing,
+        "late_ship_priority": _q_late_ship_priority,
         "latest_events": _q_latest_events,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -3704,6 +3723,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "latest_events": sessions.latest_events_sql(),
         "jl_project": pca.jl_project_sql(k=8, dim=64),
         "lineitem_pricing": olap.lineitem_pricing_sql(),
+        "late_ship_priority": olap.late_ship_priority_counts_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

@@ -158,6 +158,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "lineitem_pricing",
         "lexical_diversity",
         "sample_exact_n",
+        "late_ship_priority",
         "predict_pairs",
         "match_clusters",
         "train_em",

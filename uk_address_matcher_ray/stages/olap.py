@@ -159,3 +159,115 @@ SELECT l_returnflag, l_linestatus, n AS n_rows,
        CAST(disc AS DOUBLE) / 100.0 / n AS avg_disc
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Order-priority counts over an existence semi-join (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+def late_ship_priority_counts(orders, lineitem):
+    """Orders with at least one line item shipped AFTER the order date,
+    counted per order priority -> Dataset(o_orderpriority, n_orders) —
+    the TPC-H Q4 shape (EXISTS semi-join + grouped count) adapted to
+    this schema's columns.
+
+    Scale shape: the lineitem side pre-aggregates ``max(l_shipdate)``
+    per order key per batch (only the max can satisfy the EXISTS, so
+    the exchange carries one row per (key, batch)); orders ride the
+    same key-grouped exchange tagged with (priority, orderdate); the
+    group kernel reduces each order to at most one (priority) hit and
+    a final skinny groupby counts per priority.  No broadcast, no
+    driver key state.  Mirrored by ``late_ship_priority_counts_sql``.
+    """
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+        )
+        t = (
+            pa.table({"k": batch.column("l_orderkey"), "mx": us})
+            .group_by("k")
+            .aggregate([("mx", "max")])
+        )
+        return pa.table(
+            {
+                "k": t.column("k"),
+                "pri": pa.array([""] * t.num_rows, pa.string()),
+                "odate": pa.array([0] * t.num_rows, pa.int64()),
+                "mx": t.column("mx_max").cast(pa.int64()),
+                "side": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+        )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("o_orderkey"),
+                "pri": batch.column("o_orderpriority"),
+                "odate": us,
+                "mx": pa.array([0] * n, pa.int64()),
+                "side": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    tagged = lineitem.select_columns(
+        ["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow").union(
+        orders.select_columns(
+            ["o_orderkey", "o_orderpriority", "o_orderdate"]
+        ).map_batches(o_partial, batch_format="pyarrow")
+    )
+
+    hit_schema = pa.schema([pa.field("pri", pa.string())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        per: dict = {}
+        for k, pri, odate, mx, side in zip(
+            tbl.column("k").to_pylist(),
+            tbl.column("pri").to_pylist(),
+            tbl.column("odate").to_pylist(),
+            tbl.column("mx").to_pylist(),
+            tbl.column("side").to_pylist(),
+        ):
+            cur = per.setdefault(k, [None, None, -1])
+            if side == 0:
+                cur[0] = pri
+                cur[1] = odate
+            else:
+                cur[2] = max(cur[2], mx)
+        out = [
+            pri
+            for pri, odate, mx in per.values()
+            if pri is not None and mx > odate
+        ]
+        return pa.table({"pri": pa.array(out, pa.string())})
+
+    hits = grouped_map(tagged, "k", None, hit_schema, fn_table=kernel)
+    counts = hits.groupby("pri").count()
+    return counts.map_batches(
+        lambda b: b.rename_columns(["o_orderpriority", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
+def late_ship_priority_counts_sql() -> str:
+    """DuckDB mirror: max-shipdate semi-join + grouped count."""
+    return """
+WITH lmax AS (
+    SELECT l_orderkey AS k, max(epoch_us(l_shipdate)) AS mx
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN lmax ON lmax.k = o_orderkey
+WHERE lmax.mx > epoch_us(o_orderdate)
+GROUP BY o_orderpriority
+"""
