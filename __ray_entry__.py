@@ -1666,6 +1666,30 @@ def _q_lineitem_pricing(sf_dir: str):
     return lineitem_pricing(ds)
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shape 3-hop join (stages/olap.revenue_by_nation): two
+    tagged-union key-grouped exchanges (custkey, orderkey) carrying
+    3-int rows, nation map applied row-locally."""
+    import ray
+
+    from uk_address_matcher_ray.stages.olap import revenue_by_nation
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    c = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    n = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return revenue_by_nation(li, o, c, n)
+
+
 def _q_late_ship_priority(sf_dir: str):
     """TPC-H Q4-shape existence semi-join (stages/olap.py): batch-max
     lineitem partials + order rows over ONE key-grouped exchange, then
@@ -3409,6 +3433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_project": _q_jl_project,
         "lineitem_pricing": _q_lineitem_pricing,
         "late_ship_priority": _q_late_ship_priority,
+        "revenue_by_nation": _q_revenue_by_nation,
         "latest_events": _q_latest_events,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -3724,6 +3749,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "jl_project": pca.jl_project_sql(k=8, dim=64),
         "lineitem_pricing": olap.lineitem_pricing_sql(),
         "late_ship_priority": olap.late_ship_priority_counts_sql(),
+        "revenue_by_nation": olap.revenue_by_nation_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

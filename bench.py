@@ -159,6 +159,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "lexical_diversity",
         "sample_exact_n",
         "late_ship_priority",
+        "revenue_by_nation",
         "predict_pairs",
         "match_clusters",
         "train_em",

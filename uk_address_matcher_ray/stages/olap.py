@@ -271,3 +271,238 @@ FROM orders JOIN lmax ON lmax.k = o_orderkey
 WHERE lmax.mx > epoch_us(o_orderdate)
 GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Revenue by nation (TPC-H Q5 shape: 3-hop join)
+# ---------------------------------------------------------------------------
+
+def revenue_by_nation(lineitem, orders, customer, nation):
+    """Revenue per customer nation -> Dataset(n_name, n_lineitems,
+    revenue) — the TPC-H Q5 multi-hop join (lineitem ⋈ orders ⋈
+    customer ⋈ nation) as two tagged-union key-grouped exchanges plus
+    one tiny broadcast.
+
+    Revenue is exact integers until the end: ``rev_e4 =
+    rint(price·100) · (100 - rint(disc·100))`` summed as int64, one
+    ``CAST(x AS DOUBLE)/10000.0`` at the end (the Q1 cents contract).
+
+    Scale shape:
+    1. exchange on ``custkey``: customer rows carry (custkey,
+       nationkey), order rows carry (custkey, orderkey); the kernel
+       rekeys each order to its nation — payloads are 3 ints/row;
+    2. exchange on ``orderkey``: lineitem pre-aggregates (orderkey,
+       n, rev_e4) per batch, order rows carry (orderkey, nationkey);
+       the kernel emits per-nation integer partials;
+    3. the nation-id -> name map is a REAL-WORLD-BOUNDED table (~25
+       rows) collected once and applied row-locally.
+    No driver state beyond the nation map and the final per-nation
+    table.  Mirrored by ``revenue_by_nation_sql``.
+    """
+    import ray
+
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    # ---- hop 1: orders -> nationkey via custkey ----------------------
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("c_custkey").cast(pa.int64()),
+                "v": batch.column("c_nationkey").cast(pa.int64()),
+                "side": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("o_custkey").cast(pa.int64()),
+                "v": batch.column("o_orderkey").cast(pa.int64()),
+                "side": pa.array([1] * n, pa.int64()),
+            }
+        )
+
+    hop1_in = customer.select_columns(
+        ["c_custkey", "c_nationkey"]
+    ).map_batches(cust_partial, batch_format="pyarrow").union(
+        orders.select_columns(["o_custkey", "o_orderkey"]).map_batches(
+            ord_partial, batch_format="pyarrow"
+        )
+    )
+
+    hop1_schema = pa.schema(
+        [pa.field("ok", pa.int64()), pa.field("nk", pa.int64())]
+    )
+
+    def hop1_kernel(tbl: pa.Table) -> pa.Table:
+        nk_of: dict = {}
+        orders_of: dict = {}
+        for k, v, side in zip(
+            tbl.column("k").to_pylist(),
+            tbl.column("v").to_pylist(),
+            tbl.column("side").to_pylist(),
+        ):
+            if side == 0:
+                nk_of[k] = v
+            else:
+                orders_of.setdefault(k, []).append(v)
+        ok_out, nk_out = [], []
+        for k, oks in orders_of.items():
+            nk = nk_of.get(k)
+            if nk is None:
+                continue
+            for ok in oks:
+                ok_out.append(ok)
+                nk_out.append(nk)
+        return pa.table(
+            {
+                "ok": pa.array(ok_out, pa.int64()),
+                "nk": pa.array(nk_out, pa.int64()),
+            }
+        )
+
+    order_nation = grouped_map(hop1_in, "k", None, hop1_schema,
+                               fn_table=hop1_kernel)
+
+    # ---- hop 2: lineitem revenue -> nation via orderkey --------------
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        t = (
+            pa.table(
+                {
+                    "k": batch.column("l_orderkey").cast(pa.int64()),
+                    "n": pa.array(np.ones(len(price), np.int64)),
+                    "rev": pa.array(price * (100 - disc)),
+                }
+            )
+            .group_by("k")
+            .aggregate([("n", "sum"), ("rev", "sum")])
+        )
+        return pa.table(
+            {
+                "k": t.column("k"),
+                "n": t.column("n_sum").cast(pa.int64()),
+                "rev": t.column("rev_sum").cast(pa.int64()),
+                "side": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    def on_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch.column("ok"),
+                "n": batch.column("nk"),
+                "rev": pa.array([0] * n, pa.int64()),
+                "side": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    hop2_in = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow").union(
+        order_nation.map_batches(on_partial, batch_format="pyarrow")
+    )
+
+    hop2_schema = pa.schema(
+        [
+            pa.field("nk", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("rev", pa.int64()),
+        ]
+    )
+
+    def hop2_kernel(tbl: pa.Table) -> pa.Table:
+        nk_of: dict = {}
+        acc: dict = {}
+        for k, n, rev, side in zip(
+            tbl.column("k").to_pylist(),
+            tbl.column("n").to_pylist(),
+            tbl.column("rev").to_pylist(),
+            tbl.column("side").to_pylist(),
+        ):
+            if side == 0:
+                nk_of[k] = n  # 'n' carries nationkey on order rows
+            else:
+                c = acc.setdefault(k, [0, 0])
+                c[0] += n
+                c[1] += rev
+        per_nation: dict = {}
+        for k, (n, rev) in acc.items():
+            nk = nk_of.get(k)
+            if nk is None:
+                continue
+            c = per_nation.setdefault(nk, [0, 0])
+            c[0] += n
+            c[1] += rev
+        keys = sorted(per_nation)
+        return pa.table(
+            {
+                "nk": pa.array(keys, pa.int64()),
+                "n": pa.array([per_nation[k][0] for k in keys], pa.int64()),
+                "rev": pa.array(
+                    [per_nation[k][1] for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    per_nation = (
+        grouped_map(hop2_in, "k", None, hop2_schema, fn_table=hop2_kernel)
+        .groupby("nk")
+        .sum(["n", "rev"])
+    )
+
+    names = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nation.select_columns(
+            ["n_nationkey", "n_name"]
+        ).take_all()
+    }
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nk").to_pylist()
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        rev = batch.column("sum(rev)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array([names[k] for k in nk], pa.string()),
+                "n_lineitems": pa.array(n, pa.int64()),
+                "revenue": pa.array(rev / 10000.0, pa.float64()),
+            }
+        )
+
+    return per_nation.map_batches(finalize, batch_format="pyarrow")
+
+
+def revenue_by_nation_sql() -> str:
+    """DuckDB mirror: identical cents products and final division."""
+    return """
+WITH li AS (
+    SELECT l_orderkey,
+           CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+           CAST(round(l_discount * 100.0) AS BIGINT) AS disc_c
+    FROM lineitem
+),
+j AS (
+    SELECT n.n_name,
+           count(*) AS n_li,
+           CAST(SUM(li.price_c * (100 - li.disc_c)) AS BIGINT) AS rev
+    FROM li
+    JOIN orders o ON o.o_orderkey = li.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+)
+SELECT n_name, CAST(n_li AS BIGINT) AS n_lineitems,
+       CAST(rev AS DOUBLE) / 10000.0 AS revenue
+FROM j
+"""
