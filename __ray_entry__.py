@@ -1783,6 +1783,21 @@ def _q_profile_documents(sf_dir: str):
     )
 
 
+def _q_pct_rank(sf_dir: str):
+    """Per-source percent rank of document length
+    (stages/quantiles.group_percent_rank): one grouped exchange, sort +
+    run-length rank kernel, SQL RANK tie semantics."""
+    import ray
+
+    from uk_address_matcher_ray.stages.quantiles import group_percent_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return group_percent_rank(ds, "n_chars", "source")
+
+
 def _q_sample_exact_n(sf_dir: str):
     """Exact-N deterministic sample (stages/sampling.sample_exact_n):
     per-batch top-cap pruning, driver merge of batch winners only."""
@@ -3427,6 +3442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "lexical_diversity": _q_lexical_diversity,
         "sample_exact_n": _q_sample_exact_n,
+        "length_pct_rank": _q_pct_rank,
         "profile_documents": _q_profile_documents,
         "length_outliers": _q_length_outliers,
         "fk_coverage": _q_fk_coverage,
@@ -3736,6 +3752,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "char_entropy": textstats.char_entropy_sql(),
         "lexical_diversity": textstats.lexical_diversity_sql(),
         "sample_exact_n": sampling.sample_exact_n_sql(100),
+        "length_pct_rank": quantiles.group_percent_rank_sql(
+            "n_chars", "source"
+        ),
         "profile_documents": profile.profile_columns_sql(
             ["doc_id", "text", "lang", "source", "n_chars"]
         ),

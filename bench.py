@@ -160,6 +160,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "sample_exact_n",
         "late_ship_priority",
         "revenue_by_nation",
+        "length_pct_rank",
         "predict_pairs",
         "match_clusters",
         "train_em",

@@ -149,3 +149,106 @@ FROM cum JOIN tot USING (g) CROSS JOIN qs
 WHERE cum.cc >= greatest(ceil(qs.q * tot.n), 1)
 GROUP BY cum.g, qs.q
 """
+
+
+# ---------------------------------------------------------------------------
+# Percent rank within group (window analytics)
+# ---------------------------------------------------------------------------
+
+def group_percent_rank(
+    ds,
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+):
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY group ORDER BY value)``
+    -> Dataset(id, group, value, pct_rank) — the percentile position of
+    every row inside its group, the normalization step behind
+    per-source quality stratification ("keep each source's top X%").
+
+    Contract (mirrored by ``group_percent_rank_sql``): SQL RANK
+    semantics — ties share the MINIMUM rank; ``pct_rank =
+    CAST(rank - 1 AS DOUBLE) / (n - 1)`` (single-row groups get 0.0,
+    the SQL convention) — one exact integer division per row.
+
+    Scale shape: one grouped exchange carrying (id, group, value) —
+    percent-rank needs its complete group by definition; the kernel is
+    a sort + run-length rank over each group.  Rows, not payloads:
+    callers project to the three columns first.
+    """
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, sch[id_col]),
+            pa.field(group_col, sch[group_col]),
+            pa.field(value_col, pa.int64()),
+            pa.field("pct_rank", pa.float64()),
+        ]
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                (group_col, "ascending"),
+                (value_col, "ascending"),
+            ],
+        )
+        s = tbl.take(order)
+        g = s.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = g.dictionary_encode()
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        gc = codes.indices.to_numpy(zero_copy_only=False)
+        v = s.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(gc)
+        idx = np.arange(n, dtype=np.int64)
+        new_g = np.empty(n, dtype=bool)
+        new_g[0] = True
+        new_g[1:] = gc[1:] != gc[:-1]
+        g_start = np.maximum.accumulate(np.where(new_g, idx, 0))
+        # RANK semantics: position of the first row with this value
+        new_v = new_g.copy()
+        new_v[1:] |= v[1:] != v[:-1]
+        v_start = np.maximum.accumulate(np.where(new_v, idx, 0))
+        rank0 = v_start - g_start  # rank - 1
+        # group sizes via end boundaries
+        ends = np.flatnonzero(np.concatenate([new_g[1:], [True]]))
+        sizes = np.diff(np.concatenate([[-1], ends]))
+        gsize = np.repeat(sizes, sizes)
+        denom = np.maximum(gsize - 1, 1)
+        pct = rank0.astype(np.float64) / denom
+        pct[gsize == 1] = 0.0
+        return pa.table(
+            {
+                id_col: s.column(id_col),
+                group_col: s.column(group_col),
+                value_col: s.column(value_col).cast(pa.int64()),
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    pre = ds.select_columns([id_col, group_col, value_col])
+    return grouped_map(pre, group_col, None, out_schema, fn_table=kernel)
+
+
+def group_percent_rank_sql(
+    value_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror: the window function itself."""
+    return f"""
+SELECT {id_col}, {group_col},
+       CAST({value_col} AS BIGINT) AS {value_col},
+       percent_rank() OVER (
+           PARTITION BY {group_col} ORDER BY {value_col}) AS pct_rank
+FROM {table}
+"""
