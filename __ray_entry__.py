@@ -1666,6 +1666,20 @@ def _q_lineitem_pricing(sf_dir: str):
     return lineitem_pricing(ds)
 
 
+def _q_orders_by_month(sf_dir: str):
+    """Calendar-month rollup (stages/olap.orders_by_month): numpy
+    datetime64[M] truncation == date_trunc, exact cents partials, one
+    skinny exchange."""
+    import ray
+
+    from uk_address_matcher_ray.stages.olap import orders_by_month
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return orders_by_month(ds)
+
+
 def _q_revenue_by_nation(sf_dir: str):
     """TPC-H Q5-shape 3-hop join (stages/olap.revenue_by_nation): two
     tagged-union key-grouped exchanges (custkey, orderkey) carrying
@@ -3450,6 +3464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "late_ship_priority": _q_late_ship_priority,
         "revenue_by_nation": _q_revenue_by_nation,
+        "orders_by_month": _q_orders_by_month,
         "latest_events": _q_latest_events,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -3769,6 +3784,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "lineitem_pricing": olap.lineitem_pricing_sql(),
         "late_ship_priority": olap.late_ship_priority_counts_sql(),
         "revenue_by_nation": olap.revenue_by_nation_sql(),
+        "orders_by_month": olap.orders_by_month_sql(),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

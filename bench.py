@@ -161,6 +161,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "late_ship_priority",
         "revenue_by_nation",
         "length_pct_rank",
+        "orders_by_month",
         "predict_pairs",
         "match_clusters",
         "train_em",

@@ -506,3 +506,83 @@ SELECT n_name, CAST(n_li AS BIGINT) AS n_lineitems,
        CAST(rev AS DOUBLE) / 10000.0 AS revenue
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Calendar-month rollup
+# ---------------------------------------------------------------------------
+
+def orders_by_month(orders):
+    """Orders per calendar month -> Dataset(month_us, n_orders,
+    total_price) — calendar-aware time bucketing (events_hourly is
+    fixed-width; months are not), the reporting rollup shape.
+
+    Contract (mirrored by ``orders_by_month_sql``): ``month_us`` is
+    ``epoch_us(date_trunc('month', o_orderdate))`` — numpy
+    ``datetime64[M]`` truncation is bit-identical to DuckDB
+    date_trunc (verified incl. leap-February); ``total_price`` sums
+    exact cents (``rint(o_totalprice·100)``) and divides once.
+
+    Scale shape: per-batch Arrow group_by partials (rows bounded by
+    distinct months per batch), one skinny exchange.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        month_us = (
+            us.astype("datetime64[us]")
+            .astype("datetime64[M]")
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        t = (
+            pa.table(
+                {
+                    "month_us": pa.array(month_us),
+                    "n": pa.array(np.ones(len(us), np.int64)),
+                    "cents": pa.array(cents),
+                }
+            )
+            .group_by("month_us")
+            .aggregate([("n", "sum"), ("cents", "sum")])
+        )
+        return t.rename_columns(["month_us", "n", "cents"])
+
+    agg = (
+        orders.select_columns(["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("month_us")
+        .sum(["n", "cents"])
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cents = batch.column("sum(cents)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "month_us": batch.column("month_us"),
+                "n_orders": batch.column("sum(n)").cast(pa.int64()),
+                "total_price": pa.array(cents / 100.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def orders_by_month_sql() -> str:
+    """DuckDB mirror: date_trunc month, cents sum, one division."""
+    return """
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS DOUBLE) / 100.0 AS total_price
+FROM orders
+GROUP BY month_us
+"""
