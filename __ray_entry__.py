@@ -1666,6 +1666,21 @@ def _q_lineitem_pricing(sf_dir: str):
     return lineitem_pricing(ds)
 
 
+def _q_top_parts(sf_dir: str):
+    """Top-k parts by aggregated revenue (stages/olap.py): integer
+    measure ranking after one partkey exchange, per-batch top-k
+    pruning before the driver merge."""
+    import ray
+
+    from uk_address_matcher_ray.stages.olap import top_parts_by_revenue
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    return top_parts_by_revenue(li, k=10)
+
+
 def _q_orders_by_month(sf_dir: str):
     """Calendar-month rollup (stages/olap.orders_by_month): numpy
     datetime64[M] truncation == date_trunc, exact cents partials, one
@@ -3465,6 +3480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_ship_priority": _q_late_ship_priority,
         "revenue_by_nation": _q_revenue_by_nation,
         "orders_by_month": _q_orders_by_month,
+        "top_parts_by_revenue": _q_top_parts,
         "latest_events": _q_latest_events,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -3785,6 +3801,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         "late_ship_priority": olap.late_ship_priority_counts_sql(),
         "revenue_by_nation": olap.revenue_by_nation_sql(),
         "orders_by_month": olap.orders_by_month_sql(),
+        "top_parts_by_revenue": olap.top_parts_by_revenue_sql(k=10),
         "duplicate_spans": DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": REMOVE_DUPLICATE_SPANS_SQL,
         "adjacent_tokens": oracle_extras.adjacent_tokens_sql(

@@ -162,6 +162,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "revenue_by_nation",
         "length_pct_rank",
         "orders_by_month",
+        "top_parts_by_revenue",
         "predict_pairs",
         "match_clusters",
         "train_em",

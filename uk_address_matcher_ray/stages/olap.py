@@ -586,3 +586,100 @@ SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
 FROM orders
 GROUP BY month_us
 """
+
+
+# ---------------------------------------------------------------------------
+# Top-k by aggregated measure
+# ---------------------------------------------------------------------------
+
+def top_parts_by_revenue(lineitem, k: int = 10):
+    """The ``k`` parts with the highest summed revenue ->
+    Dataset(l_partkey, revenue) — the "top products" rollup: aggregate
+    first, then a deterministic top-k over the aggregated measure.
+
+    Contract (mirrored by ``top_parts_by_revenue_sql``): revenue
+    aggregates as exact ``rev_e4`` integers (the Q1 cents contract);
+    ranking is ``(rev_e4 DESC, l_partkey ASC)`` on the INTEGER measure
+    — float ties cannot reorder what integers decide; the double view
+    divides once at the end.
+
+    Scale shape: per-batch (partkey, rev) partials -> one skinny
+    exchange keyed on partkey; then per-batch top-k pruning (a global
+    winner is a batch winner) with a driver merge of k × blocks rows.
+    """
+    import ray
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        t = (
+            pa.table(
+                {
+                    "k": batch.column("l_partkey").cast(pa.int64()),
+                    "rev": pa.array(price * (100 - disc)),
+                }
+            )
+            .group_by("k")
+            .aggregate([("rev", "sum")])
+        )
+        return t.rename_columns(["k", "rev"])
+
+    agg = (
+        lineitem.select_columns(
+            ["l_partkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("rev")
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                "k": batch.column("k"),
+                "rev": batch.column("sum(rev)").cast(pa.int64()),
+            }
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("rev", "descending"), ("k", "ascending")]
+        )
+        return t.take(order[: min(k, t.num_rows)])
+
+    winners = agg.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    winners.sort(key=lambda r: (-r["rev"], r["k"]))
+    winners = winners[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array(
+                    [r["k"] for r in winners], pa.int64()
+                ),
+                "revenue": pa.array(
+                    [r["rev"] / 10000.0 for r in winners], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def top_parts_by_revenue_sql(k: int = 10) -> str:
+    """DuckDB mirror: integer measure ordering, one final division."""
+    return f"""
+WITH g AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+                AS BIGINT) AS rev
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(rev AS DOUBLE) / 10000.0 AS revenue
+FROM g ORDER BY rev DESC, l_partkey LIMIT {k}
+"""
