@@ -1768,6 +1768,21 @@ def _q_fk_coverage(sf_dir: str):
     return fk_coverage(child, parent, "l_partkey", "p_partkey")
 
 
+def _q_user_timelines(sf_dir: str):
+    """Ordered per-user timeline assembly
+    (stages/sessions.user_timelines): one grouped exchange, in-group
+    sort, (ts, event_id) tie-break; strings built at the group."""
+    import ray
+
+    from uk_address_matcher_ray.stages.sessions import user_timelines
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return user_timelines(ds)
+
+
 def _q_latest_events(sf_dir: str):
     """Grouped argmax — most recent event per user
     (stages/sessions.latest_events): per-batch partial argmax, one
@@ -3482,6 +3497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": _q_orders_by_month,
         "top_parts_by_revenue": _q_top_parts,
         "latest_events": _q_latest_events,
+        "user_timelines": _q_user_timelines,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3796,6 +3812,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
             "lineitem", "part", "l_partkey", "p_partkey"
         ),
         "latest_events": sessions.latest_events_sql(),
+        "user_timelines": sessions.user_timelines_sql(),
         "jl_project": pca.jl_project_sql(k=8, dim=64),
         "lineitem_pricing": olap.lineitem_pricing_sql(),
         "late_ship_priority": olap.late_ship_priority_counts_sql(),

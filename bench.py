@@ -163,6 +163,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "length_pct_rank",
         "orders_by_month",
         "top_parts_by_revenue",
+        "user_timelines",
         "predict_pairs",
         "match_clusters",
         "train_em",

@@ -307,3 +307,102 @@ WITH ev AS (
 )
 SELECT {key_col}, event_id, event_type, us FROM ev WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered timeline assembly (grouped ordered string_agg)
+# ---------------------------------------------------------------------------
+
+def user_timelines(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    sep: str = ">",
+):
+    """Per-key ordered event-type timeline -> Dataset(key, n_events,
+    timeline) — the transcript/trajectory assembly step (user behavior
+    strings for sequence mining, conversation reconstruction from
+    interaction logs).
+
+    Contract (mirrored by ``user_timelines_sql``): events order by
+    ``(epoch_us(ts), event_id)`` (the repo-wide event tie-break);
+    ``timeline`` is the ``sep``-joined event types in that order.
+
+    Scale shape: one grouped exchange carrying (key, type, us, id);
+    the kernel sorts complete keys.  Timeline strings are produced AT
+    the group — nothing longer than a row's own timeline ever rides a
+    shuffle.  Pathologically long keys cost their own sort only.
+    """
+    from uk_address_matcher_ray.stages.grouped import grouped_map
+
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    out_schema = pa.schema(
+        [
+            pa.field(key_col, key_type),
+            pa.field("n_events", pa.int64()),
+            pa.field("timeline", pa.string()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "ty": batch.column(type_col),
+                "us": batch.column(ts_col)
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "eid": batch.column(id_col).cast(pa.int64()),
+            }
+        )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        per: dict = {}
+        for k, ty, us, eid in zip(
+            tbl.column(key_col).to_pylist(),
+            tbl.column("ty").to_pylist(),
+            tbl.column("us").to_pylist(),
+            tbl.column("eid").to_pylist(),
+        ):
+            per.setdefault(k, []).append((us, eid, ty))
+        keys = sorted(per)
+        lines = []
+        counts = []
+        for k in keys:
+            evs = per[k]
+            evs.sort()
+            lines.append(sep.join(t for _, _, t in evs))
+            counts.append(len(evs))
+        return pa.table(
+            {
+                key_col: pa.array(keys, key_type),
+                "n_events": pa.array(counts, pa.int64()),
+                "timeline": pa.array(lines, pa.string()),
+            }
+        )
+
+    pre = ds.select_columns(
+        [key_col, type_col, ts_col, id_col]
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_map(pre, key_col, None, out_schema, fn_table=kernel)
+
+
+def user_timelines_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    sep: str = ">",
+) -> str:
+    """DuckDB mirror: ordered string_agg with the same tie-break."""
+    return f"""
+SELECT {key_col},
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg({type_col}, '{sep}'
+                  ORDER BY epoch_us({ts_col}), {id_col}) AS timeline
+FROM {table}
+GROUP BY {key_col}
+"""
