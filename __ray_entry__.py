@@ -1768,6 +1768,23 @@ def _q_fk_coverage(sf_dir: str):
     return fk_coverage(child, parent, "l_partkey", "p_partkey")
 
 
+_AC_PHRASES = ["data", "join", "sort merge", "a", "scan", "batch batch"]
+
+
+def _q_ac_scan(sf_dir: str):
+    """Aho-Corasick multi-pattern scan (stages/acscan.py): automaton
+    built once per actor, O(text) overlap-counting scan, zero
+    shuffles; the oracle mirrors with a position explode."""
+    import ray
+
+    from uk_address_matcher_ray.stages.acscan import ac_scan
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ac_scan(ds, _AC_PHRASES)
+
+
 def _q_user_timelines(sf_dir: str):
     """Ordered per-user timeline assembly
     (stages/sessions.user_timelines): one grouped exchange, in-group
@@ -3498,6 +3515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_revenue": _q_top_parts,
         "latest_events": _q_latest_events,
         "user_timelines": _q_user_timelines,
+        "ac_scan": _q_ac_scan,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3575,6 +3593,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from uk_address_matcher_ray.stages import index as index_mod
     from uk_address_matcher_ray.stages import (
+        acscan,
         chunking,
         html,
         lm,
@@ -3813,6 +3832,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
         ),
         "latest_events": sessions.latest_events_sql(),
         "user_timelines": sessions.user_timelines_sql(),
+        "ac_scan": acscan.ac_scan_sql(_AC_PHRASES),
         "jl_project": pca.jl_project_sql(k=8, dim=64),
         "lineitem_pricing": olap.lineitem_pricing_sql(),
         "late_ship_priority": olap.late_ship_priority_counts_sql(),

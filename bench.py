@@ -164,6 +164,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "orders_by_month",
         "top_parts_by_revenue",
         "user_timelines",
+        "ac_scan",
         "predict_pairs",
         "match_clusters",
         "train_em",
