@@ -31,6 +31,8 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import pyarrow as pa
+
+from uk_address_matcher_ray import util
 import pyarrow.compute as pc
 
 
@@ -136,7 +138,7 @@ def funnel_sql(
 )""",
         f"""m1 AS (
     SELECT ev.u, min({key}) AS k
-    FROM ev WHERE ev.ty = '{steps[0]}' GROUP BY ev.u
+    FROM ev WHERE ev.ty = {util.sql_str(steps[0])} GROUP BY ev.u
 )""",
     ]
     for i in range(2, len(steps) + 1):
@@ -144,12 +146,12 @@ def funnel_sql(
             f"""m{i} AS (
     SELECT ev.u, min({key}) AS k
     FROM ev JOIN m{i - 1} p ON p.u = ev.u
-    WHERE ev.ty = '{steps[i - 1]}' AND {key} > p.k
+    WHERE ev.ty = {util.sql_str(steps[i - 1])} AND {key} > p.k
     GROUP BY ev.u
 )"""
         )
     selects = "\nUNION ALL\n".join(
-        f"SELECT {i} AS step, '{steps[i - 1]}' AS step_name,"
+        f"SELECT {i} AS step, {util.sql_str(steps[i - 1])} AS step_name,"
         f" (SELECT count(*) FROM m{i}) AS users"
         for i in range(1, len(steps) + 1)
     )

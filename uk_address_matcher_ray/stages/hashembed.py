@@ -36,7 +36,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from uk_address_matcher_ray.stages.dedup import _tokens
+from uk_address_matcher_ray.stages.dedup import flat_tokens
 
 _TOK_SPLIT_SQL = (
     "list_filter(regexp_split_to_array(lower(trim(coalesce({x}, ''))),"
@@ -52,7 +52,8 @@ def _bucket_sign(tok: str, dim: int, seed: int):
 
 
 class _EmbedStage:
-    """Actor-pool stage: md5 memo built lazily per actor, capped."""
+    """Per-worker stage: md5 memo built lazily, capped; vectorized
+    tokenize + distinct-only hashing + bincount scatter-add."""
 
     def __init__(self, dim: int, seed: int, id_col: str, text_col: str,
                  memo_cap: int):
@@ -73,13 +74,24 @@ class _EmbedStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        acc = np.zeros((n, self.dim), dtype=np.int64)
-        for i, text in enumerate(batch.column(self.text_col).to_pylist()):
-            row = acc[i]
-            for tok in _tokens(text):
-                b, s = self._bs(tok)
-                row[b] += s
-        flat = pa.array(acc.reshape(-1), pa.int64())
+        # vectorized path: tokenize with the shared Arrow kernel chain,
+        # md5 only the DISTINCT tokens of the batch (dictionary encode),
+        # then one bincount scatter-add over (row, bucket) — signs are
+        # ±1 and per-cell sums are token counts, so the float64 bincount
+        # accumulator is exact (< 2^53 by construction).
+        parents, toks = flat_tokens(batch.column(self.text_col))
+        acc = np.zeros(n * self.dim, dtype=np.int64)
+        if len(toks):
+            enc = toks.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            bs = np.empty((len(enc.dictionary), 2), dtype=np.int64)
+            for j, t in enumerate(enc.dictionary.to_pylist()):
+                bs[j] = self._bs(t)
+            cells = parents * self.dim + bs[codes, 0]
+            acc += np.bincount(
+                cells, weights=bs[codes, 1], minlength=n * self.dim
+            ).astype(np.int64)
+        flat = pa.array(acc, pa.int64())
         offsets = pa.array(
             np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int32)
         )
@@ -101,19 +113,30 @@ def hash_embed(
     memo_cap: int = 1_000_000,
 ):
     """-> Dataset(id_col, embedding: list<int64> of length ``dim``)."""
-    import ray
 
-    if concurrency is None:
-        # autoscaling pool, never the whole CPU budget: a fixed pool the
-        # size of the cluster starves the upstream read (deadlock at
-        # num_cpus=4 — the multimodal sizing rule)
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
+    def embed(batch: pa.Table) -> pa.Table:
+        return _get_stage(dim, seed, id_col, text_col, memo_cap)(batch)
+
     return ds.select_columns([id_col, text_col]).map_batches(
-        _EmbedStage,
-        fn_constructor_args=(dim, seed, id_col, text_col, memo_cap),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        embed, batch_format="pyarrow", concurrency=concurrency
     )
+
+
+_STAGE_MEMO: dict = {}
+
+
+def _get_stage(dim, seed, id_col, text_col, memo_cap) -> _EmbedStage:
+    """Per-worker-process stage memo: task-based map_batches (no
+    actor-pool spawn latency) while the md5 token memo still persists
+    across batches on the same worker."""
+    key = (dim, seed, id_col, text_col, memo_cap)
+    st = _STAGE_MEMO.get(key)
+    if st is None:
+        st = _EmbedStage(dim, seed, id_col, text_col, memo_cap)
+        if len(_STAGE_MEMO) > 16:
+            _STAGE_MEMO.clear()
+        _STAGE_MEMO[key] = st
+    return st
 
 
 def hash_embed_sql(

@@ -16,6 +16,15 @@ computed in EXACT scaled integers so partial aggregation is order-free:
   ``CAST(x AS DOUBLE) / 10^k`` and ``CAST(s AS DOUBLE) / n`` — one
   correctly-rounded operation on identical operands on both sides.
 
+Exactness bound (stated contract): the widest accumulator is
+``charge_e6`` at ~1.1e11 per row, so int64 partial sums are exact up
+to ~8.4e7 rows PER (returnflag, linestatus) GROUP (~TPC-H SF 150 for
+the biggest group).  Past that the engine's int64 lanes would wrap
+silently while the DuckDB mirror (HUGEINT sum + ``CAST`` to BIGINT)
+errors loudly — the oracle gate therefore cannot green a wrapped
+value.  For bigger groups, split the charge lane (two int64 columns,
+carry at 2^62) before trusting the sums.
+
 Output per (l_returnflag, l_linestatus): n_rows, sum_qty,
 sum_base_price, sum_disc_price, sum_charge, avg_qty, avg_price,
 avg_disc (TPC-H Q1's column set, integer-exact underneath).
@@ -472,6 +481,13 @@ def revenue_by_nation(lineitem, orders, customer, nation):
         nk = batch.column("nk").to_pylist()
         n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
         rev = batch.column("sum(rev)").to_numpy(zero_copy_only=False)
+        # inner-join semantics: a nationkey absent from the nation table
+        # is dropped (matches the oracle's JOIN), not a KeyError.
+        keep = [i for i, k in enumerate(nk) if k in names]
+        if len(keep) != len(nk):
+            nk = [nk[i] for i in keep]
+            n = n[keep]
+            rev = rev[keep]
         return pa.table(
             {
                 "n_name": pa.array([names[k] for k in nk], pa.string()),

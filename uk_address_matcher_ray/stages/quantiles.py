@@ -191,6 +191,8 @@ def group_percent_rank(
     def kernel(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
         order = pc.sort_indices(
             tbl,
             sort_keys=[

@@ -431,13 +431,21 @@ def _topcap_kernel_caps(
         dtype=np.int64,
         count=len(enc.dictionary),
     )
+    if len(code_caps) == 0:
+        # every group value null -> nothing can pass a cap
+        return s.slice(0, 0)
     n = len(codes)
     idx = np.arange(n, dtype=np.int64)
     newg = np.empty(n, dtype=bool)
     newg[0] = True
     newg[1:] = codes[1:] != codes[:-1]
     starts = np.maximum.accumulate(np.where(newg, idx, 0))
-    return s.filter(pa.array(idx - starts < code_caps[codes]))
+    # null group values carry code -1, which would alias the LAST
+    # group's cap under fancy indexing — a null group has no cap
+    # entry, so those rows are dropped explicitly (caps.get(None)==0).
+    keep = idx - starts < code_caps[codes]
+    keep &= codes >= 0
+    return s.filter(pa.array(keep))
 
 
 def temperature_mix(

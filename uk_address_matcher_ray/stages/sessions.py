@@ -398,10 +398,12 @@ def user_timelines_sql(
     sep: str = ">",
 ) -> str:
     """DuckDB mirror: ordered string_agg with the same tie-break."""
+    from uk_address_matcher_ray.util import sql_str
+
     return f"""
 SELECT {key_col},
        CAST(count(*) AS BIGINT) AS n_events,
-       string_agg({type_col}, '{sep}'
+       string_agg({type_col}, {sql_str(sep)}
                   ORDER BY epoch_us({ts_col}), {id_col}) AS timeline
 FROM {table}
 GROUP BY {key_col}

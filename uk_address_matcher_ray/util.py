@@ -8,6 +8,17 @@ import time
 import pyarrow as pa
 
 
+def sql_str(s: str) -> str:
+    """Render ``s`` as a standard SQL string literal (quote doubling).
+
+    DuckDB single-quoted literals treat backslashes literally (verified:
+    ``SELECT 'a\\b'`` -> ``a\\b``), so doubling ``'`` is the complete
+    escape for ANY content — use this everywhere a Python string is
+    interpolated into generated oracle SQL.
+    """
+    return "'" + s.replace("'", "''") + "'"
+
+
 def dataset_from_table(tbl: pa.Table, target_blocks: int | None = None):
     """ray.data.from_arrow with the table pre-split into multiple blocks.
 
