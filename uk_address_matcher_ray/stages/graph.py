@@ -136,6 +136,32 @@ def link_hosts(links: pa.ChunkedArray | pa.Array):
     return pc.list_element(pc.split_pattern(rest, "/"), 0)
 
 
+def _deg_partial_local(block: pa.Table, src_col: str, dst_col: str) -> pa.Table:
+    """(node, od) partial for one block: out-degree sums for sources,
+    zero rows for destinations (so sink nodes join the node set)."""
+    src = block.column(src_col)
+    ones = pa.array(np.ones(len(src), dtype=np.int64))
+    s = (
+        pa.table({"node": src, "od": ones})
+        .group_by("node")
+        .aggregate([("od", "sum")])
+        .rename_columns(["node", "od"])
+    )
+    dst_u = pc.unique(block.column(dst_col).combine_chunks())
+    d = pa.table(
+        {
+            "node": dst_u,
+            "od": pa.array(np.zeros(len(dst_u), dtype=np.int64)),
+        }
+    )
+    return (
+        pa.concat_tables([s, d])
+        .group_by("node")
+        .aggregate([("od", "sum")])
+        .rename_columns(["node", "od"])
+    )
+
+
 def pagerank(
     edges,
     iters: int = 3,
@@ -157,40 +183,50 @@ def pagerank(
     their outputs are bit-identical (tests/test_graph.py parity test)."""
     import ray
 
-    # ---- Phase 1: node set + out-degrees (one skinny exchange). -------
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        src = batch.column(src_col)
-        ones = pa.array(np.ones(len(src), dtype=np.int64))
-        s = (
-            pa.table({"node": src, "od": ones})
-            .group_by("node")
+    # ---- Phase 1: node set + out-degrees (raw task wave + chunked
+    # driver-side Arrow merge: per-block (node, od) partials compressed
+    # every 64 blocks with group_by-sum, so the driver never holds more
+    # than (broadcast gate + 64 blocks' distincts) rows; the gate check
+    # runs per compression, and over-gate inputs fall back to the
+    # Dataset groupby + sharded path before anything big accumulates).
+    edges_m = edges.materialize()
+    edge_refs = edges_m.to_arrow_refs()
+
+    @ray.remote
+    def deg_block(block: pa.Table) -> pa.Table:
+        return _deg_partial_local(block, src_col, dst_col)
+
+    deg_refs = [deg_block.remote(b) for b in edge_refs]
+    acc: pa.Table | None = None
+    over_gate = False
+    for i in range(0, len(deg_refs), 64):
+        chunk = ray.get(deg_refs[i : i + 64])
+        acc = pa.concat_tables(([acc] if acc is not None else []) + chunk)
+        acc = (
+            acc.group_by("node")
             .aggregate([("od", "sum")])
             .rename_columns(["node", "od"])
         )
-        dst_u = pc.unique(batch.column(dst_col).combine_chunks())
-        d = pa.table(
-            {
-                "node": dst_u,
-                "od": pa.array(np.zeros(len(dst_u), dtype=np.int64)),
-            }
+        if acc.num_rows > broadcast_max_nodes:
+            over_gate = True
+            break
+    if over_gate:
+        # rebuild the degree table distributed (never driver-held) and
+        # run the sharded path — bit-identical by parity test
+        deg_ds = (
+            edges_m.map_batches(
+                lambda b: _deg_partial_local(b, src_col, dst_col),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .sum("od")
+            .materialize()
         )
-        return pa.concat_tables([s, d])
-
-    deg_ds = edges.map_batches(deg_partial, batch_format="pyarrow").groupby(
-        "node"
-    ).sum("od").materialize()
-    # gate BEFORE the driver collect: count() is distributed, so an
-    # over-gate node table never lands on the driver at all — beyond the
-    # gate the SHARDED path runs (node table stays a Dataset, two
-    # grouped exchanges per iteration), bit-identical by parity test
-    n_found = deg_ds.count()
-    if n_found > broadcast_max_nodes:
         return _pagerank_sharded(
-            edges, deg_ds, n_found, iters, src_col, dst_col,
+            edges_m, deg_ds, deg_ds.count(), iters, src_col, dst_col,
             scale, damp_num, damp_den,
         )
-    deg_rows = deg_ds.take_all()  # SMALL side: distinct hosts << pages
-    if not deg_rows:
+    if acc is None or acc.num_rows == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -200,58 +236,64 @@ def pagerank(
                 }
             )
         )
-    nodes: List[str] = sorted(r["node"] for r in deg_rows)
-    node_arr = pa.array(nodes, pa.string())
-    od = np.zeros(len(nodes), dtype=np.int64)
-    pos = {n: i for i, n in enumerate(nodes)}
-    for r in deg_rows:
-        od[pos[r["node"]]] = int(r["sum(od)"])
+    acc = acc.sort_by("node")
+    node_arr = acc.column("node").combine_chunks().cast(pa.string())
+    od = acc.column("od").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes: List[str] = node_arr.to_pylist()
     n_nodes = len(nodes)
     base = scale // n_nodes
 
-    # ---- Phase 2: encode edges once to int32 index pairs. -------------
+    # ---- Phase 2: encode edges once to int32 index pairs (task wave).
     nodes_ref = ray.put(node_arr)
 
-    def encode(batch: pa.Table) -> pa.Table:
-        vs = ray.get(nodes_ref)
-        s = pc.index_in(batch.column(src_col), value_set=vs)
-        d = pc.index_in(batch.column(dst_col), value_set=vs)
-        return pa.table({"s": s.cast(pa.int32()), "d": d.cast(pa.int32())})
+    @ray.remote
+    def encode_block(block: pa.Table, vs: pa.Array):
+        s = pc.index_in(block.column(src_col), value_set=vs)
+        d = pc.index_in(block.column(dst_col), value_set=vs)
+        return (
+            s.cast(pa.int32()).combine_chunks(),
+            d.cast(pa.int32()).combine_chunks(),
+        )
 
-    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
+    enc_refs = [encode_block.remote(b, nodes_ref) for b in edge_refs]
 
-    # ---- Phase 3: power iterations. -----------------------------------
+    # ---- Phase 3: power iterations (task wave + 8-way tree reduce of
+    # nonzero-pruned partials per round — a Dataset job per round costs
+    # ~0.3-0.5 s fixed; the waves are ~free and scale with blocks).
     od_ref = ray.put(od)
+
+    @ray.remote
+    def contrib(sd, rv, odv):
+        s = sd[0].to_numpy(zero_copy_only=False)
+        d = sd[1].to_numpy(zero_copy_only=False)
+        c = rv[s] // odv[s]
+        # float64 bincount is exact here: per-batch sums are bounded
+        # by the total rank mass <= scale = 2**40 < 2**53.
+        acc_v = np.bincount(d, weights=c.astype(np.float64))
+        nz = np.nonzero(acc_v)[0].astype(np.int32)
+        return nz, acc_v[nz].astype(np.int64)
+
+    @ray.remote
+    def merge(*parts):
+        acc_v = np.zeros(n_nodes, dtype=np.int64)
+        for nz, vals in parts:
+            acc_v[nz] += vals
+        nz = np.nonzero(acc_v)[0].astype(np.int32)
+        return nz, acc_v[nz]
+
     r = np.full(n_nodes, base, dtype=np.int64)
     for _ in range(iters):
         r_ref = ray.put(r)
-
-        def contrib(batch: pa.Table, _r=r_ref, _od=od_ref) -> pa.Table:
-            rv = ray.get(_r)
-            odv = ray.get(_od)
-            s = batch.column("s").to_numpy(zero_copy_only=False)
-            d = batch.column("d").to_numpy(zero_copy_only=False)
-            c = rv[s] // odv[s]
-            # float64 bincount is exact here: per-batch sums are bounded
-            # by the total rank mass <= scale = 2**40 < 2**53.
-            acc = np.bincount(d, weights=c.astype(np.float64))
-            nz = np.nonzero(acc)[0]
-            return pa.table(
-                {
-                    "d": pa.array(nz.astype(np.int32)),
-                    "c": pa.array(acc[nz].astype(np.int64)),
-                }
-            )
-
-        inc_rows = (
-            enc.map_batches(contrib, batch_format="pyarrow")
-            .groupby("d")
-            .sum("c")
-            .take_all()
-        )
+        refs = [contrib.remote(sd, r_ref, od_ref) for sd in enc_refs]
+        while len(refs) > 1:
+            refs = [
+                merge.remote(*refs[i : i + 8])
+                for i in range(0, len(refs), 8)
+            ]
         inc = np.zeros(n_nodes, dtype=np.int64)
-        for row in inc_rows:
-            inc[int(row["d"])] = int(row["sum(c)"])
+        if refs:
+            nz, vals = ray.get(refs[0])
+            inc[nz] = vals
         r = ((damp_den - damp_num) * base + damp_num * inc) // damp_den
 
     return ray.data.from_arrow(
@@ -551,32 +593,36 @@ def hits(
 
     Scale shape: identical to ``pagerank``'s broadcast path (edges
     int32-encoded once and object-store resident; two vectors of N ints
-    on the driver; per-batch pre-aggregated (idx, contrib) rows ride
-    each half-round's groupby).  Beyond ``broadcast_max_nodes`` the
-    ``_pagerank_sharded`` two-grouped-exchange shape applies verbatim
-    (ranks co-keyed with edges); it is not wired for HITS — the gate
-    raises with that pointer rather than silently collecting an
-    over-gate node table onto the driver."""
+    on the driver; per-round half-sums are RAW TASK WAVES over the
+    materialized edge blocks with an 8-way tree reduce of nonzero-pruned
+    (idx, val) partials — a Dataset job per half-round costs ~0.3-0.5 s
+    of fixed overhead ×6, the task waves are ~free).  Beyond
+    ``broadcast_max_nodes`` the ``_pagerank_sharded`` two-grouped-
+    exchange shape applies verbatim (ranks co-keyed with edges); it is
+    not wired for HITS — the gate raises with that pointer rather than
+    silently collecting an over-gate node table onto the driver."""
     import ray
 
-    def node_partial(batch: pa.Table) -> pa.Table:
-        s = pc.unique(batch.column(src_col).combine_chunks())
-        d = pc.unique(batch.column(dst_col).combine_chunks())
-        return pa.table({"node": pa.concat_arrays([s, d])})
+    edges_m = edges.materialize()
+    edge_refs = edges_m.to_arrow_refs()
 
-    node_ds = (
-        edges.map_batches(node_partial, batch_format="pyarrow")
-        .groupby("node")
-        .count()
-        .materialize()
-    )
-    n_found = node_ds.count()
-    if n_found > broadcast_max_nodes:
-        raise NotImplementedError(
-            "HITS beyond the broadcast gate: apply the _pagerank_sharded "
-            "two-grouped-exchange shape (ranks co-keyed with edges)"
-        )
-    nodes = sorted(r["node"] for r in node_ds.take_all())
+    @ray.remote
+    def distinct_nodes(block: pa.Table):
+        s = pc.unique(block.column(src_col).combine_chunks())
+        d = pc.unique(block.column(dst_col).combine_chunks())
+        return pc.unique(pa.concat_arrays([s, d]))
+
+    parts = ray.get([distinct_nodes.remote(r) for r in edge_refs])
+    node_set: set = set()
+    for p in parts:
+        node_set.update(p.to_pylist())
+        if len(node_set) > broadcast_max_nodes:
+            raise NotImplementedError(
+                "HITS beyond the broadcast gate: apply the "
+                "_pagerank_sharded two-grouped-exchange shape "
+                "(ranks co-keyed with edges)"
+            )
+    nodes = sorted(node_set)
     if not nodes:
         return ray.data.from_arrow(
             pa.table(
@@ -593,41 +639,48 @@ def hits(
     n_nodes = len(nodes)
     nodes_ref = ray.put(node_arr)
 
-    def encode(batch: pa.Table) -> pa.Table:
-        vs = ray.get(nodes_ref)
-        s = pc.index_in(batch.column(src_col), value_set=vs)
-        d = pc.index_in(batch.column(dst_col), value_set=vs)
-        return pa.table({"s": s.cast(pa.int32()), "d": d.cast(pa.int32())})
-
-    enc = edges.map_batches(encode, batch_format="pyarrow").materialize()
-
-    def _half(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
-        """raw[to] = Σ vec[from] over edges — one pre-aggregated groupby."""
-        v_ref = ray.put(vec)
-
-        def contrib(batch: pa.Table, _v=v_ref) -> pa.Table:
-            vv = ray.get(_v)
-            f = batch.column(from_col).to_numpy(zero_copy_only=False)
-            t = batch.column(to_col).to_numpy(zero_copy_only=False)
-            acc = np.zeros(n_nodes, dtype=np.int64)
-            np.add.at(acc, t, vv[f])  # unbuffered: exact int64
-            nz = np.nonzero(acc)[0]
-            return pa.table(
-                {
-                    "i": pa.array(nz.astype(np.int32)),
-                    "c": pa.array(acc[nz]),
-                }
-            )
-
-        rows = (
-            enc.map_batches(contrib, batch_format="pyarrow")
-            .groupby("i")
-            .sum("c")
-            .take_all()
+    @ray.remote
+    def encode_block(block: pa.Table, vs: pa.Array):
+        s = pc.index_in(block.column(src_col), value_set=vs)
+        d = pc.index_in(block.column(dst_col), value_set=vs)
+        return (
+            s.cast(pa.int32()).combine_chunks(),
+            d.cast(pa.int32()).combine_chunks(),
         )
+
+    enc_refs = [encode_block.remote(b, nodes_ref) for b in edge_refs]
+
+    @ray.remote
+    def contrib(sd, vv, swap: bool):
+        f, t = (sd[1], sd[0]) if swap else (sd[0], sd[1])
+        f = f.to_numpy(zero_copy_only=False)
+        t = t.to_numpy(zero_copy_only=False)
+        acc = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(acc, t, vv[f])  # unbuffered: exact int64
+        nz = np.nonzero(acc)[0].astype(np.int32)
+        return nz, acc[nz]
+
+    @ray.remote
+    def merge(*parts):
+        acc = np.zeros(n_nodes, dtype=np.int64)
+        for nz, vals in parts:
+            acc[nz] += vals
+        nz = np.nonzero(acc)[0].astype(np.int32)
+        return nz, acc[nz]
+
+    def _half(vec: np.ndarray, swap: bool) -> np.ndarray:
+        """raw[to] = Σ vec[from] over edges — task wave + tree reduce."""
+        v_ref = ray.put(vec)
+        refs = [contrib.remote(sd, v_ref, swap) for sd in enc_refs]
+        while len(refs) > 1:
+            refs = [
+                merge.remote(*refs[i : i + 8])
+                for i in range(0, len(refs), 8)
+            ]
         raw = np.zeros(n_nodes, dtype=np.int64)
-        for row in rows:
-            raw[int(row["i"])] = int(row["sum(c)"])
+        if refs:
+            nz, vals = ray.get(refs[0])
+            raw[nz] = vals
         mx = max(int(raw.max()) if len(raw) else 0, 1)
         # renormalize via object ints: raw * q can pass 2^63 for nodes
         # with in-degree > 2^23 (the oracle widens to HUGEINT identically)
@@ -636,8 +689,8 @@ def hits(
     h = np.full(n_nodes, q, dtype=np.int64)
     a = np.zeros(n_nodes, dtype=np.int64)
     for _ in range(iters):
-        a = _half(h, "s", "d")
-        h = _half(a, "d", "s")
+        a = _half(h, swap=False)   # a_raw[d] = Σ h[s]
+        h = _half(a, swap=True)    # h_raw[s] = Σ a[d]
 
     return ray.data.from_arrow(
         pa.table(

@@ -85,11 +85,6 @@ def source_kl(
     """-> Dataset(source, n_tokens, kl)."""
     import ray
 
-    if concurrency is None:
-        # autoscaling pool (multimodal sizing rule): a fixed pool equal to
-        # the CPU count starves the upstream read at small num_cpus
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
-
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
     if unigrams is None:
@@ -111,11 +106,15 @@ def source_kl(
     vocab_ref = ray.put(frozenset(cnt_of))
     cnt_ref = ray.put(cnt_of)
 
+    def gt_fn(batch: pa.Table) -> pa.Table:
+        st = util.memo_stage(
+            ("kl_grouptok", vocab_ref.hex(), group_col, text_col),
+            lambda: _GroupTokStage(vocab_ref, group_col, text_col),
+        )
+        return st(batch)
+
     partials = ds.select_columns([group_col, text_col]).map_batches(
-        _GroupTokStage,
-        fn_constructor_args=(vocab_ref, group_col, text_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        gt_fn, batch_format="pyarrow", concurrency=concurrency
     )
 
     def groups_kernel(tbl: pa.Table) -> pa.Table:

@@ -154,18 +154,19 @@ def token_pmi(
     if not vocab or total == 0:
         return ray.data.from_arrow(out_schema.empty_table())
 
-    if concurrency is None:
-        # autoscaling pool (multimodal sizing rule): a fixed pool equal to
-        # the CPU count starves the upstream read at small num_cpus
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
     vocab_ref = ray.put(vocab)
+
+    def pair_fn(batch: pa.Table) -> pa.Table:
+        st = util.memo_stage(
+            ("pmi_pair", vocab_ref.hex(), window, text_col),
+            lambda: _PairStage(vocab_ref, window, text_col),
+        )
+        return st(batch)
+
     pairs = (
         ds.select_columns([text_col])
         .map_batches(
-            _PairStage,
-            fn_constructor_args=(vocab_ref, window, text_col),
-            batch_format="pyarrow",
-            concurrency=concurrency,
+            pair_fn, batch_format="pyarrow", concurrency=concurrency
         )
         .groupby("code")
         .sum("c")

@@ -8,6 +8,27 @@ import time
 import pyarrow as pa
 
 
+_STAGE_MEMO: dict = {}
+
+
+def memo_stage(key, builder):
+    """Per-worker-process stage memo for TASK-based ``map_batches``.
+
+    Task-based map_batches re-runs captured constructors per task;
+    memoizing the built stage on (broadcast-ref hex, params) gives
+    actor-pool-style once-per-worker setup without paying actor-pool
+    spawn latency (~1-3 s/stage on a fresh session — the round-2
+    finding, now the repo-wide convention for stateful stages whose
+    state derives from a broadcast ref)."""
+    st = _STAGE_MEMO.get(key)
+    if st is None:
+        st = builder()
+        if len(_STAGE_MEMO) > 32:
+            _STAGE_MEMO.clear()
+        _STAGE_MEMO[key] = st
+    return st
+
+
 def sql_str(s: str) -> str:
     """Render ``s`` as a standard SQL string literal (quote doubling).
 
