@@ -231,11 +231,23 @@ def improve_raw_pairs_gather(raw, stage, model: MatchModel, payload_refs, *, row
         if tbl.num_rows == 0:
             return stage.schema.empty_table()
         with timed("rescore.gather"):
+            import numpy as np
+
             payload = _gathered_payload(payload_refs).select(gather_cols)
-            li = tbl.column(idx_l).combine_chunks()
-            ri = tbl.column(idx_r).combine_chunks()
-            lrows = payload.take(li)
-            rrows = payload.take(ri)
+            li = tbl.column(idx_l).to_numpy(zero_copy_only=False)
+            ri = tbl.column(idx_r).to_numpy(zero_copy_only=False)
+            # sorted-unique gather + inverse expansion: the r side repeats
+            # per group (grouped by idx_r) and l rows recur across pairs —
+            # fetch each payload row once, row order identical to the
+            # direct take (the score.gather locality/dedup pattern)
+            lu, linv = np.unique(li, return_inverse=True)
+            ru, rinv = np.unique(ri, return_inverse=True)
+            lrows = payload.take(pa.array(lu, pa.int64())).take(
+                pa.array(linv, pa.int64())
+            )
+            rrows = payload.take(pa.array(ru, pa.int64())).take(
+                pa.array(rinv, pa.int64())
+            )
         h = rrows.column("common_end_tokens_hist")
         if isinstance(h, pa.ChunkedArray):
             h = h.combine_chunks() if h.num_chunks else pa.array([], type=h.type)

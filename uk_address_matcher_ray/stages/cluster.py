@@ -214,26 +214,101 @@ def propagate_labels_indexed(
     payload = _gathered_payload((payload_ref,))
     labels = _min_label_rounds(edge_refs, payload.num_rows, max_iters)
 
-    # prefixed node ids for participants only; label = component min id
-    part_arr = pa.array(part, pa.int64())
-    uid = payload.column("unique_id").combine_chunks().take(part_arr)
-    side = payload.column(SIDE_COL).combine_chunks().take(part_arr)
-    prefix = pc.if_else(
-        pc.equal(side, 0),
-        pa.scalar(l_prefix, pa.string()),
-        pa.scalar(r_prefix, pa.string()),
-    )
-    node_ids = pc.binary_join_element_wise(prefix, uid.cast(pa.string()), "")
-    roots = pa.array(labels[part], pa.int64())
-    agg = (
-        pa.table({"r": roots, "u": node_ids})
-        .group_by("r")
-        .aggregate([("u", "min")])
-    )
-    pos = pc.index_in(roots, value_set=agg.column("r").combine_chunks())
-    lab_str = agg.column("u_min").combine_chunks().take(pos)
-    return dataset_from_table(
-        pa.table({"node": node_ids, "label": lab_str}).cast(LABEL_SCHEMA)
+    # ---- distributed finalize: the prefixed node ids, per-component
+    # min and final label attach were ONE driver-serial Arrow pass
+    # (~2.8 s at x256 — the cluster stage's whole Amdahl term); they now
+    # run as a chunked task wave over the participant range, with the
+    # (root -> min node id) map tree-reduced in tasks. Row order equals
+    # the serial pass (chunks partition the sorted participant array in
+    # order); values are bit-identical (same group-min, same joins).
+    n_chunks = min(32, max(1, len(part) // 65536 or 1))
+    n_shards = min(16, n_chunks)
+    chunk_bounds = np.array_split(part, n_chunks)
+    shard_edges = np.linspace(
+        0, payload.num_rows + 1, n_shards + 1
+    ).astype(np.int64)
+    lab_ref = ray.put(labels)
+
+    @ray.remote
+    def finalize_chunk(pl: pa.Table, chunk: np.ndarray, lab: np.ndarray):
+        """node ids for one participant range + (root, node_id) rows
+        split by root-range shard (list: [(node_ids, roots), piece_0..])."""
+        part_arr = pa.array(chunk, pa.int64())
+        uid = pl.column("unique_id").combine_chunks().take(part_arr)
+        side = pl.column(SIDE_COL).combine_chunks().take(part_arr)
+        prefix = pc.if_else(
+            pc.equal(side, 0),
+            pa.scalar(l_prefix, pa.string()),
+            pa.scalar(r_prefix, pa.string()),
+        )
+        node_ids = pc.binary_join_element_wise(
+            prefix, uid.cast(pa.string()), ""
+        )
+        roots_np = lab[chunk]
+        pairs_tbl = pa.table(
+            {"r": pa.array(roots_np, pa.int64()), "m": node_ids}
+        )
+        out = [(node_ids, pa.array(roots_np, pa.int64()))]
+        for s in range(n_shards):
+            lo, hi = shard_edges[s], shard_edges[s + 1]
+            out.append(
+                pairs_tbl.filter(
+                    pa.array((roots_np >= lo) & (roots_np < hi))
+                )
+            )
+        return out
+
+    @ray.remote
+    def shard_min(*pieces):
+        """group-min over ONE root range: the global string group-min's
+        work divided across shards instead of one driver pass."""
+        live = [p for p in pieces if p.num_rows]
+        if not live:
+            return pa.table(
+                {"r": pa.array([], pa.int64()), "m": pa.array([], pa.string())}
+            )
+        return (
+            pa.concat_tables(live)
+            .group_by("r")
+            .aggregate([("m", "min")])
+            .rename_columns(["r", "m"])
+            .sort_by("r")
+        )
+
+    @ray.remote
+    def emit_chunk(pair, map_tbl: pa.Table) -> pa.Table:
+        # r-sorted map -> vectorized binary search; pc.index_in would
+        # rebuild its value-set hash table over the whole component map
+        # PER CHUNK (the repo-known per-call trap). Every root is in the
+        # map by construction, so searchsorted positions are exact.
+        node_ids, roots = pair
+        rvals = map_tbl.column("r").to_numpy()
+        pos = np.searchsorted(rvals, roots.to_numpy())
+        lab_str = map_tbl.column("m").combine_chunks().take(
+            pa.array(pos, pa.int64())
+        )
+        return pa.table({"node": node_ids, "label": lab_str}).cast(LABEL_SCHEMA)
+
+    pair_refs = []
+    piece_refs: list = []
+    for chunk in chunk_bounds:
+        if len(chunk) == 0:
+            continue
+        rets = finalize_chunk.options(num_returns=1 + n_shards).remote(
+            payload_ref, chunk, lab_ref
+        )
+        pair_refs.append(rets[0])
+        piece_refs.append(rets[1:])
+    shard_refs = [
+        shard_min.remote(*[pieces[s] for pieces in piece_refs])
+        for s in range(n_shards)
+    ]
+    # shard ranges are ordered and each shard is r-sorted, so the concat
+    # is globally r-sorted; the map is component-count-bounded
+    map_tbl = pa.concat_tables(ray.get(shard_refs))
+    map_ref = ray.put(map_tbl)
+    return ray.data.from_arrow_refs(
+        [emit_chunk.remote(p, map_ref) for p in pair_refs]
     )
 
 
