@@ -3178,6 +3178,31 @@ def _q_user_sessions(sf_dir: str):
     )
 
 
+def _q_user_sessions_chunked(sf_dir: str):
+    """Hot-key-safe sessionization (stages/sessions.sessionize_chunked):
+    global (key, ts) range sort + per-block local sessions + O(blocks)
+    driver boundary-carry merge — NO complete-group contract, so a
+    single key bigger than a worker's heap still streams. Same oracle
+    as user_sessions (outputs identical by construction; differential +
+    property tested in tests/test_sessions_chunked.py)."""
+    import ray
+
+    from uk_address_matcher_ray.stages.sessions import sessionize_chunked
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return sessionize_chunked(
+        ev,
+        key="user_id",
+        ts="ts",
+        gap=SESSION_GAP_US,
+        value="value",
+        tiebreak="event_id",
+    )
+
+
 _USER_SESSIONS_SQL = f"""
 WITH d AS (
     SELECT user_id, ts, event_id, value,
@@ -3488,6 +3513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range,
         "user_sessions": _q_user_sessions,
+        "user_sessions_chunked": _q_user_sessions_chunked,
         "events_rolling": _q_events_rolling,
         "chunk_docs": _q_chunk_docs,
         "ccnet_buckets": _q_ccnet_buckets,
@@ -3792,6 +3818,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "events_asof_join": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_SQL,
         "user_sessions": _USER_SESSIONS_SQL,
+        "user_sessions_chunked": _USER_SESSIONS_SQL,
         "events_rolling": f"""
 SELECT event_id, user_id, ts,
        count(*) OVER w AS roll_n,

@@ -14,7 +14,12 @@ to the DuckDB oracle — same convention as events_hourly.
 
 Partitioning assumption: one key's rows co-locate (hash exchange); a hot
 key means a hot TASK, not a hot partition, and cannot be salted (session
-boundaries need the whole timeline).
+boundaries need the whole timeline).  When a single key can exceed a
+worker's heap, use ``sessionize_chunked`` — identical output with NO
+complete-group contract: global (key, ts) range sort, per-block local
+sessions, and an O(blocks) driver boundary walk carrying the one open
+session (sessionization is a prefix scan, so that is the entire
+cross-block state).
 """
 
 from __future__ import annotations
@@ -58,49 +63,9 @@ def sessionize(
     out_schema = pa.schema(out_fields)
 
     def kernel(tbl: pa.Table) -> pa.Table:
-        n = tbl.num_rows
-        if n == 0:
-            return out_schema.empty_table()
-        kcol = tbl.column(key)
-        karr = (
-            kcol.to_numpy(zero_copy_only=False)
-            if pa.types.is_integer(kcol.type)
-            else np.asarray(kcol.to_pylist(), dtype=object)
+        return _sessions_local(
+            tbl, key, ts, gap, value, tiebreak, out_schema
         )
-        tarr = tbl.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if tiebreak is not None:
-            tb = tbl.column(tiebreak).cast(pa.int64()).to_numpy(zero_copy_only=False)
-            order = np.lexsort((tb, tarr, karr))
-        else:
-            order = np.lexsort((tarr, karr))
-        k_s, t_s = karr[order], tarr[order]
-        new_key = np.ones(n, dtype=bool)
-        new_key[1:] = k_s[1:] != k_s[:-1]
-        new_sess = new_key.copy()
-        new_sess[1:] |= (t_s[1:] - t_s[:-1]) > gap
-        starts = np.flatnonzero(new_sess)
-        counts = np.diff(np.append(starts, n))
-        # 1-based session id per key: session ordinal minus the ordinal of
-        # the key's first session
-        sess_ord = np.arange(len(starts), dtype=np.int64)
-        key_first = np.maximum.accumulate(
-            np.where(new_key[starts], sess_ord, -1)
-        )
-        sid = sess_ord - key_first + 1
-        ends = starts + counts - 1
-        cols = [
-            kcol.take(pa.array(order[starts], pa.int64())).combine_chunks(),
-            pa.array(sid, pa.int64()),
-            tbl.column(ts).take(pa.array(order[starts], pa.int64())).combine_chunks(),
-            tbl.column(ts).take(pa.array(order[ends], pa.int64())).combine_chunks(),
-            pa.array(counts.astype(np.int64), pa.int64()),
-        ]
-        if value is not None:
-            v = tbl.column(value).cast(pa.float64()).to_numpy(zero_copy_only=False)
-            cents = np.rint(v * 100.0).astype(np.int64)[order]
-            sums = np.add.reduceat(cents, starts)
-            cols.append(pa.array(sums, pa.int64()))
-        return pa.Table.from_arrays(cols, schema=out_schema)
 
     from uk_address_matcher_ray.stages.grouped import grouped_map
 
@@ -108,6 +73,267 @@ def sessionize(
         ds, key, None, out_schema, fn_table=kernel,
         num_partitions=num_partitions,
     )
+
+
+def _sessions_local(
+    tbl: pa.Table,
+    key: str,
+    ts: str,
+    gap: int,
+    value,
+    tiebreak,
+    out_schema: pa.Schema,
+) -> pa.Table:
+    """Sessionize one table (any key mix): lexsort, boundary flags,
+    reduceat aggregates; per-key 1-based ids local to this table."""
+    n = tbl.num_rows
+    if n == 0:
+        return out_schema.empty_table()
+    kcol = tbl.column(key)
+    karr = (
+        kcol.to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(kcol.type)
+        else np.asarray(kcol.to_pylist(), dtype=object)
+    )
+    tarr = tbl.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if tiebreak is not None:
+        tb = tbl.column(tiebreak).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, tarr, karr))
+    else:
+        order = np.lexsort((tarr, karr))
+    k_s, t_s = karr[order], tarr[order]
+    new_key = np.ones(n, dtype=bool)
+    new_key[1:] = k_s[1:] != k_s[:-1]
+    new_sess = new_key.copy()
+    new_sess[1:] |= (t_s[1:] - t_s[:-1]) > gap
+    starts = np.flatnonzero(new_sess)
+    counts = np.diff(np.append(starts, n))
+    # 1-based session id per key: session ordinal minus the ordinal of
+    # the key's first session
+    sess_ord = np.arange(len(starts), dtype=np.int64)
+    key_first = np.maximum.accumulate(
+        np.where(new_key[starts], sess_ord, -1)
+    )
+    sid = sess_ord - key_first + 1
+    ends = starts + counts - 1
+    cols = [
+        kcol.take(pa.array(order[starts], pa.int64())).combine_chunks(),
+        pa.array(sid, pa.int64()),
+        tbl.column(ts).take(pa.array(order[starts], pa.int64())).combine_chunks(),
+        tbl.column(ts).take(pa.array(order[ends], pa.int64())).combine_chunks(),
+        pa.array(counts.astype(np.int64), pa.int64()),
+    ]
+    if value is not None:
+        v = tbl.column(value).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(v * 100.0).astype(np.int64)[order]
+        sums = np.add.reduceat(cents, starts)
+        cols.append(pa.array(sums, pa.int64()))
+    return pa.Table.from_arrays(cols, schema=out_schema)
+
+
+def _session_merge_plan(metas, gap: int, has_value: bool):
+    """Driver-side boundary merge over per-block metadata (O(blocks)).
+
+    ``metas[i]`` (None for empty blocks): dict with first_key, last_key,
+    first_row_ts, last_row_ts, n_sessions, first_sess (dict of the
+    block's FIRST session row: id/start/end/n[/cents]), last_sess
+    (likewise; equal to first_sess when n_sessions == 1).
+
+    Returns (plans, flushed):
+    * ``plans[i]`` = (off, drop_first, drop_last) — add ``off`` to the
+      session ids of rows whose key == first_key; drop the boundary rows
+      the driver re-emits (every block's LAST session is withheld as the
+      open carry; the FIRST is also dropped when it merged into the
+      carry).
+    * ``flushed`` = list of completed session dicts (id/key/start/end/
+      n[/cents]) — at most one per block plus the final carry, so the
+      driver state is block-count-bounded.
+
+    A session is a gap-split prefix scan, so the only cross-block state
+    is the open last session (its aggregates + the last ROW timestamp);
+    blocks merge when the same key continues within ``gap``.
+    """
+    plans = []
+    flushed = []
+    carry = None  # open session dict + "_last_row_ts"
+    for meta in metas:
+        if meta is None:
+            plans.append(None)
+            continue
+        fk, lk = meta["first_key"], meta["last_key"]
+        merged = (
+            carry is not None
+            and carry["key"] == fk
+            and (meta["first_row_ts"] - carry["_last_row_ts"]) <= gap
+        )
+        if merged:
+            off = carry["id"] - 1
+        elif carry is not None and carry["key"] == fk:
+            off = carry["id"]
+        else:
+            off = 0
+        single = meta["n_sessions"] == 1
+        if merged:
+            # combine carry + the block's first session
+            carry["end"] = meta["first_sess"]["end"]
+            carry["n"] += meta["first_sess"]["n"]
+            if has_value:
+                carry["cents"] += meta["first_sess"]["cents"]
+            if single:
+                # the open session continues past this block
+                carry["_last_row_ts"] = meta["last_row_ts"]
+                plans.append((off, True, True))
+                continue
+            flushed.append({k: v for k, v in carry.items() if k != "_last_row_ts"})
+            carry = None
+        elif carry is not None:
+            flushed.append({k: v for k, v in carry.items() if k != "_last_row_ts"})
+            carry = None
+        # withhold the block's last session as the new open carry
+        last = dict(meta["last_sess"])
+        last["key"] = lk
+        if lk == fk:
+            last["id"] += off
+        last["_last_row_ts"] = meta["last_row_ts"]
+        carry = last
+        plans.append((off, merged, True))
+    if carry is not None:
+        flushed.append({k: v for k, v in carry.items() if k != "_last_row_ts"})
+    return plans, flushed
+
+
+def sessionize_chunked(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    gap: int,
+    value: Optional[str] = None,
+    tiebreak: Optional[str] = None,
+):
+    """Hot-key-safe ``sessionize``: identical output, NO complete-group
+    contract — one key's rows may span any number of blocks.
+
+    Shape: global range sort by (key, ts[, tiebreak]) (Ray's sort splits
+    a giant key across bounded blocks), per-block local sessionize (task
+    wave), then an O(blocks) driver boundary walk that carries the ONE
+    open session across block edges (sessionization is a prefix scan —
+    the only cross-block state is the open session's aggregates and the
+    last row timestamp). Memory per task is one block; driver state is
+    block-count-bounded. Use this path when a single key can exceed a
+    worker's heap (the ``sessionize`` docstring's stated limit).
+    """
+    import ray
+
+    schema = ds.schema()
+    fields = dict(zip(schema.names, schema.types))
+    ts_type = fields[ts]
+    out_fields = [
+        pa.field(key, fields[key]),
+        pa.field("session_id", pa.int64()),
+        pa.field("session_start", ts_type),
+        pa.field("session_end", ts_type),
+        pa.field("n_events", pa.int64()),
+    ]
+    if value is not None:
+        out_fields.append(pa.field("sum_value_cents", pa.int64()))
+    out_schema = pa.schema(out_fields)
+    has_value = value is not None
+
+    cols = [key, ts]
+    if tiebreak is not None:
+        cols.append(tiebreak)
+    if value is not None:
+        cols.append(value)
+    sort_keys = [key, ts] + ([tiebreak] if tiebreak is not None else [])
+    sorted_ds = ds.select_columns(cols).sort(sort_keys)
+    refs = sorted_ds.to_arrow_refs()
+
+    def _sess_dict(local: pa.Table, i: int) -> dict:
+        d = {
+            "key": local.column(key)[i].as_py(),
+            "id": local.column("session_id")[i].as_py(),
+            "start": local.column("session_start")[i].as_py(),
+            "end": local.column("session_end")[i].as_py(),
+            "n": local.column("n_events")[i].as_py(),
+        }
+        if has_value:
+            d["cents"] = local.column("sum_value_cents")[i].as_py()
+        return d
+
+    @ray.remote(num_returns=2)
+    def block_sessions(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None, None
+        local = _sessions_local(
+            tbl, key, ts, gap, value, tiebreak, out_schema
+        )
+        meta = {
+            "first_key": local.column(key)[0].as_py(),
+            "last_key": local.column(key)[-1].as_py(),
+            "first_row_ts": tbl.column(ts)
+            .cast(pa.int64())[0]
+            .as_py(),
+            "last_row_ts": tbl.column(ts)
+            .cast(pa.int64())[-1]
+            .as_py(),
+            "n_sessions": local.num_rows,
+            "first_sess": _sess_dict(local, 0),
+            "last_sess": _sess_dict(local, -1),
+        }
+        return local, meta
+
+    local_refs = []
+    meta_refs = []
+    for r in refs:
+        lr, mr = block_sessions.remote(r)
+        local_refs.append(lr)
+        meta_refs.append(mr)
+    metas = ray.get(meta_refs)
+    plans, flushed = _session_merge_plan(metas, gap, has_value)
+
+    @ray.remote
+    def fixup(local: pa.Table, plan) -> pa.Table:
+        off, drop_first, drop_last = plan
+        lo = 1 if drop_first else 0
+        hi = local.num_rows - (1 if drop_last else 0)
+        out = local.slice(lo, max(0, hi - lo))
+        if off and out.num_rows:
+            import pyarrow.compute as pc
+
+            fk_val = local.column(key)[0]
+            mask = pc.equal(out.column(key), fk_val)
+            sid = pc.add(
+                out.column("session_id"),
+                pc.if_else(mask, pa.scalar(off, pa.int64()), pa.scalar(0, pa.int64())),
+            )
+            out = out.set_column(
+                out.schema.get_field_index("session_id"),
+                "session_id",
+                sid.cast(pa.int64()),
+            )
+        return out
+
+    out_refs = [
+        fixup.remote(lr, plan)
+        for lr, plan in zip(local_refs, plans)
+        if plan is not None
+    ]
+    # driver re-emits the withheld boundary sessions (block-count-bounded)
+    fcols = {
+        key: pa.array([f["key"] for f in flushed], fields[key]),
+        "session_id": pa.array([f["id"] for f in flushed], pa.int64()),
+        "session_start": pa.array([f["start"] for f in flushed], ts_type),
+        "session_end": pa.array([f["end"] for f in flushed], ts_type),
+        "n_events": pa.array([f["n"] for f in flushed], pa.int64()),
+    }
+    if has_value:
+        fcols["sum_value_cents"] = pa.array(
+            [f["cents"] for f in flushed], pa.int64()
+        )
+    flush_tbl = pa.table(fcols).cast(out_schema)
+    out_refs.append(ray.put(flush_tbl))
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def rolling_window(
