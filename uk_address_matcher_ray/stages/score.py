@@ -15,7 +15,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import pyarrow as pa
 
 from uk_address_matcher_ray import schema as sch
-from uk_address_matcher_ray.functions.compare import prepare_row, score_pair
 from uk_address_matcher_ray.stages.block import (
     BLOCK_KEY_COL,
     BLOCK_KEYS,
@@ -89,77 +88,6 @@ def pair_schema(
         fields.append(pa.field(f"{col}_l", t))
         fields.append(pa.field(f"{col}_r", t))
     return pa.schema(fields)
-
-
-class BlockScorer:
-    """map_groups callable over one block-key group: scores l×r cross pairs."""
-
-    def __init__(
-        self,
-        model: MatchModel,
-        numeric_tf_ref,
-        threshold: float = DEFAULT_PREDICT_THRESHOLD,
-        retain_columns: Sequence[str] = (),
-        retain_types: Optional[Dict[str, pa.DataType]] = None,
-        max_pairs_per_block: int = 1_000_000,
-    ):
-        import ray
-
-        tf = numeric_tf_ref
-        if tf is not None and not isinstance(tf, dict):
-            tf = ray.get(tf)
-        self.model = model
-        self.numeric_tf = tf or {}
-        self.threshold = threshold
-        self.retain_columns = list(retain_columns)
-        self.schema = pair_schema(model, retain_columns, retain_types)
-
-        self.max_pairs_per_block = max_pairs_per_block
-
-    def score_rows(self, rows: List[dict]) -> List[dict]:
-        """Rows of ONE block-key group -> scored pair row-dicts."""
-        l_rows = [r for r in rows if r[SIDE_COL] == 0]
-        r_rows = [r for r in rows if r[SIDE_COL] == 1]
-        if not l_rows or not r_rows:
-            return []
-        if len(l_rows) * len(r_rows) > self.max_pairs_per_block:
-            raise RuntimeError(
-                f"block {rows[0][BLOCK_KEY_COL]!r} would generate "
-                f"{len(l_rows) * len(r_rows)} pairs; raise salt_threshold"
-            )
-        l_prep = [(r, prepare_row(r)) for r in l_rows]
-        r_prep = [(r, prepare_row(r)) for r in r_rows]
-        gamma_names = [f"gamma_{c.name}" for c in self.model.comparisons]
-        out: List[dict] = []
-        for l_raw, l_s in l_prep:
-            for r_raw, r_s in r_prep:
-                mw, prob, gammas = score_pair(l_s, r_s, self.model, self.numeric_tf)
-                if mw < self.threshold:
-                    continue
-                rec = {
-                    "match_weight": mw,
-                    "match_probability": prob,
-                    "match_key": l_raw[RULE_COL],
-                    "unique_id_l": l_raw["unique_id"],
-                    "unique_id_r": r_raw["unique_id"],
-                    "original_address_concat_l": l_raw.get("original_address_concat"),
-                    "original_address_concat_r": r_raw.get("original_address_concat"),
-                    "postcode_l": l_raw.get("postcode"),
-                    "postcode_r": r_raw.get("postcode"),
-                    "common_end_tokens_hist_r": r_raw.get("common_end_tokens_hist"),
-                }
-                for gn, g in zip(gamma_names, gammas):
-                    rec[gn] = g
-                for col in self.retain_columns:
-                    rec[f"{col}_l"] = l_raw.get(col)
-                    rec[f"{col}_r"] = r_raw.get(col)
-                out.append(rec)
-        return out
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        return pa.Table.from_pylist(
-            self.score_rows(group.to_pylist()), schema=self.schema
-        )
 
 
 def dedup_pairs_in_group(rows: List[dict]) -> List[dict]:
