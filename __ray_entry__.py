@@ -3151,6 +3151,62 @@ def _q_events_asof(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+def _q_events_asof_chunked(sf_dir: str):
+    """Hot-key-safe as-of join (stages/joins.asof_join_chunked): global
+    (key, ts, side) range sort + per-block carry-forward + O(blocks)
+    driver boundary walk carrying ONE right row — no complete-group
+    contract, so a user timeline bigger than a worker's heap streams.
+    Same oracle as events_asof_join (outputs identical by construction;
+    differential-tested in tests/test_asof_chunked.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from uk_address_matcher_ray.stages.joins import asof_join_chunked
+
+    def only(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("event_type"), kind))
+
+        return f
+
+    ev = f"{sf_dir}/events.parquet"
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    left = ray.data.read_parquet(ev, columns=cols).map_batches(
+        only("purchase"), batch_format="pyarrow"
+    )
+    right = ray.data.read_parquet(ev, columns=cols).map_batches(
+        only("signup"), batch_format="pyarrow"
+    )
+    joined = asof_join_chunked(
+        left, right, key="user_id", ts="ts", right_cols=["ts"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        lag = pc.divide(
+            pc.cast(
+                pc.subtract(
+                    batch.column("ts").cast(pa.int64()),
+                    batch.column("ts_r").cast(pa.int64()),
+                ),
+                pa.float64(),
+            ),
+            1_000_000.0,
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "purchase_value": batch.column("value"),
+                "signup_ts": batch.column("ts_r"),
+                "lag_sec": lag,
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 h inactivity closes a session
 
 
@@ -3511,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_tiff": _q_media_decode_tiff,
         "media_decode_gif": _q_media_decode_gif,
         "events_asof_join": _q_events_asof,
+        "events_asof_join_chunked": _q_events_asof_chunked,
         "events_range_join": _q_events_range,
         "user_sessions": _q_user_sessions,
         "user_sessions_chunked": _q_user_sessions_chunked,
@@ -3816,6 +3873,7 @@ FROM sel0 a, sel0 b WHERE a.rn = 1 AND b.rn = 2
         "media_decode_tiff": oracle_extras.media_decode_sql(),
         "media_decode_gif": oracle_extras.media_decode_sql(),
         "events_asof_join": _EVENTS_ASOF_SQL,
+        "events_asof_join_chunked": _EVENTS_ASOF_SQL,
         "events_range_join": _EVENTS_RANGE_SQL,
         "user_sessions": _USER_SESSIONS_SQL,
         "user_sessions_chunked": _USER_SESSIONS_SQL,

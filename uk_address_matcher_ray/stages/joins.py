@@ -49,21 +49,17 @@ def _conform(ds, schema: pa.Schema, side: int):
     return ds.map_batches(conv, batch_format="pyarrow")
 
 
-def asof_join(
+def _asof_union(
     left_ds,
     right_ds,
-    *,
     key: str,
     ts: str,
     right_cols: Sequence[str],
-    suffix: str = "_r",
-    right_tiebreak: Optional[str] = None,
-    num_partitions: Optional[int] = None,
+    suffix: str,
+    right_tiebreak: Optional[str],
 ):
-    """-> Dataset of every left row that has an as-of match, with
-    ``right_cols`` (and the matched right ``ts``) appended as
-    ``<name><suffix>`` columns. Inner semantics (unmatched left rows drop),
-    matching DuckDB's default ASOF JOIN."""
+    """Shared tagged-union construction for both asof paths ->
+    (union, out_schema, priv, carry, left_names)."""
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     l_fields = {n: t for n, t in zip(left_schema.names, left_schema.types)}
@@ -113,7 +109,27 @@ def asof_join(
     out_fields = [pa.field(n, t) for n, t in zip(left_schema.names, left_schema.types)]
     out_fields += [pa.field(f"{c}{suffix}", r_fields[c]) for c in carry]
     out_schema = pa.schema(out_fields)
-    left_names = list(left_schema.names)
+    return union, out_schema, priv, carry, list(left_schema.names)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_r",
+    right_tiebreak: Optional[str] = None,
+    num_partitions: Optional[int] = None,
+):
+    """-> Dataset of every left row that has an as-of match, with
+    ``right_cols`` (and the matched right ``ts``) appended as
+    ``<name><suffix>`` columns. Inner semantics (unmatched left rows drop),
+    matching DuckDB's default ASOF JOIN."""
+    union, out_schema, priv, carry, left_names = _asof_union(
+        left_ds, right_ds, key, ts, right_cols, suffix, right_tiebreak
+    )
 
     def kernel(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
@@ -165,6 +181,164 @@ def asof_join(
         union, key, None, out_schema, fn_table=kernel,
         num_partitions=num_partitions,
     )
+
+
+def asof_join_chunked(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_r",
+    right_tiebreak: Optional[str] = None,
+):
+    """Hot-key-safe ``asof_join``: identical output, NO complete-group
+    contract — one key's timeline may span any number of blocks.
+
+    The as-of carry-forward is a prefix scan whose only cross-block state
+    is the LAST RIGHT ROW seen: global range sort of the tagged union by
+    (key, ts[, tiebreak], side) (right rows sort before equal-position
+    left rows, exactly the monolithic kernel's lexsort), per-block local
+    carry-forward, then an O(blocks) driver walk carrying one right row's
+    values across each boundary; a second task wave joins each block's
+    leading unmatched lefts (the only rows whose match can live in an
+    earlier block — keys are globally sorted, so any OTHER key run
+    starting mid-block genuinely has no earlier right) against the
+    carried row. Tie caveat unchanged: with duplicate (key, ts, tiebreak)
+    right rows the tied pick is unspecified across blocks, as in DuckDB —
+    pass a unique ``right_tiebreak`` for determinism."""
+    import ray
+
+    union, out_schema, priv, carry, left_names = _asof_union(
+        left_ds, right_ds, key, ts, right_cols, suffix, right_tiebreak
+    )
+    tb_col = "__tb_filled"
+
+    def add_tb(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if right_tiebreak:
+            tb = pc.if_else(
+                pc.equal(batch.column(_SIDE), pa.scalar(0, pa.int8())),
+                pc.fill_null(
+                    batch.column(priv[right_tiebreak]).cast(pa.int64()), 0
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+        else:
+            tb = pa.array([0] * batch.num_rows, pa.int64())
+        return batch.append_column(tb_col, tb)
+
+    sorted_ds = union.map_batches(add_tb, batch_format="pyarrow").sort(
+        [key, ts, tb_col, _SIDE]
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote(num_returns=3)
+    def block_asof(tbl: pa.Table):
+        """-> (local joined out, prefix-left union rows, meta)."""
+        n = tbl.num_rows
+        if n == 0:
+            return out_schema.empty_table(), None, None
+        kcol = tbl.column(key)
+        karr = (
+            kcol.to_numpy(zero_copy_only=False)
+            if pa.types.is_integer(kcol.type)
+            else np.asarray(kcol.to_pylist(), dtype=object)
+        )
+        tarr = tbl.column(ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        side = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
+        tb = tbl.column(tb_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, tb, tarr, karr))
+        k_s, side_s = karr[order], side[order]
+        carry_idx = np.maximum.accumulate(
+            np.where(side_s == 0, np.arange(n, dtype=np.int64), -1)
+        )
+        is_left = side_s == 1
+        matched = is_left & (carry_idx >= 0)
+        lv = np.flatnonzero(matched)
+        if len(lv):
+            same_key = k_s[carry_idx[lv]] == k_s[lv]
+            lv = lv[same_key]
+        if len(lv):
+            left_orig = pa.array(order[lv], pa.int64())
+            right_orig = pa.array(order[carry_idx[lv]], pa.int64())
+            cols = [tbl.column(nm).take(left_orig) for nm in left_names]
+            cols += [tbl.column(priv[c]).take(right_orig) for c in carry]
+            local = pa.Table.from_arrays(
+                [c.combine_chunks() for c in cols], schema=out_schema
+            )
+        else:
+            local = out_schema.empty_table()
+        # leading unmatched lefts: lefts of the FIRST key with no earlier
+        # same-key right in this block
+        fk = k_s[0]
+        lead = np.flatnonzero(
+            is_left
+            & (k_s == fk)
+            & ((carry_idx < 0) | (k_s[np.maximum(carry_idx, 0)] != fk))
+        )
+        prefix = (
+            tbl.take(pa.array(order[lead], pa.int64()))
+            if len(lead)
+            else None
+        )
+        # last right row of the LAST key (the carry into the next block)
+        lk = k_s[-1]
+        rmask = np.flatnonzero((~is_left) & (k_s == lk))
+        last_right = None
+        if len(rmask):
+            j = int(order[rmask[-1]])
+            last_right = {c: tbl.column(priv[c])[j].as_py() for c in carry}
+        meta = {
+            "first_key": fk if not isinstance(fk, np.generic) else fk.item(),
+            "last_key": lk if not isinstance(lk, np.generic) else lk.item(),
+            "last_right": last_right,
+        }
+        return local, prefix, meta
+
+    local_refs, prefix_refs, meta_refs = [], [], []
+    for r in refs:
+        a, b, m = block_asof.remote(r)
+        local_refs.append(a)
+        prefix_refs.append(b)
+        meta_refs.append(m)
+    metas = ray.get(meta_refs)
+
+    # O(blocks) boundary walk: one carried right row per boundary
+    plans = []
+    open_key = None
+    open_row = None
+    for meta in metas:
+        if meta is None:
+            plans.append(None)
+            continue
+        if open_key is not None and open_key == meta["first_key"] and open_row:
+            plans.append(dict(open_row))
+        else:
+            plans.append(None)
+        if meta["last_right"] is not None:
+            open_key, open_row = meta["last_key"], meta["last_right"]
+        elif open_key != meta["last_key"]:
+            open_key, open_row = meta["last_key"], None
+
+    @ray.remote
+    def fixup(prefix, carried: dict) -> pa.Table:
+        if prefix is None:
+            return out_schema.empty_table()
+        n = prefix.num_rows
+        cols = [prefix.column(nm).combine_chunks() for nm in left_names]
+        for c in carry:
+            typ = out_schema.field(f"{c}{suffix}").type
+            cols.append(pa.array([carried[c]] * n, typ))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    out_refs = list(local_refs)
+    for pref, plan in zip(prefix_refs, plans):
+        if plan is not None:
+            out_refs.append(fixup.remote(pref, plan))
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def range_join(
