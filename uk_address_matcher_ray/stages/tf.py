@@ -262,21 +262,30 @@ def collect_corpus_stats(
 
         totals_ref, tbl_ref = finalize.remote(refs[0])
         totals, tbl = ray.get(totals_ref), ray.get(tbl_ref)
-    toks = tbl.column("token").to_pylist()
-    kinds = tbl.column("kind").to_pylist()
-    cnts = tbl.column("count").to_pylist()
-    tok_counts: Counter = Counter()
-    num_counts: Counter = Counter()
-    end_counts: Counter = Counter()
-    nt123_counts: Counter = Counter()
-    by_kind = {0: tok_counts, 1: num_counts, 2: end_counts, 3: nt123_counts}
-    for t, k, c in zip(toks, kinds, cnts):
-        by_kind[k][t] += c
-    return (
-        rel_freq_table(tok_counts, totals[0]),
-        rel_freq_table(num_counts, totals[1]),
-        end_token_set(end_counts, end_token_min_count),
+    # vectorized driver tail: per-kind mask + dict(zip) — the Python
+    # Counter row loop over the whole vocabulary was a serial term that
+    # grew with corpus size. numpy int64->float64 conversion and division
+    # are exact/correctly-rounded, so values equal the scalar c / total.
+    import numpy as np
+    import pyarrow.compute as pc
+
+    kind_np = tbl.column("kind").to_numpy(zero_copy_only=False)
+    cnt_np = tbl.column("count").to_numpy(zero_copy_only=False)
+
+    def _freqs(kind: int) -> Dict[str, float]:
+        total = totals[kind]
+        if total == 0:
+            return {}
+        mask = kind_np == kind
+        toks_k = tbl.column("token").filter(pa.array(mask)).to_pylist()
+        vals = (cnt_np[mask].astype(np.float64) / float(total)).tolist()
+        return dict(zip(toks_k, vals))
+
+    end_mask = (kind_np == 2) & (cnt_np >= end_token_min_count)
+    end_set = frozenset(
+        tbl.column("token").filter(pa.array(end_mask)).to_pylist()
     )
+    return _freqs(0), _freqs(1), end_set
 
 
 def load_tf_parquet(path: str, token_col: str = "token", freq_col: str = "rel_freq") -> Dict[str, float]:
