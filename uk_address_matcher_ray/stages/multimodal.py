@@ -315,11 +315,13 @@ def byte_histogram_counts(payload: Optional[bytes], dim: int = FEATURE_DIM):
     folded into ``dim`` buckets, as EXACT integer counts (SQL-mirrorable —
     oracle_extras.media_features_sql). Stands in for a real model embedding
     so the distributed plumbing is fully exercised and oracle-checkable."""
-    counts = [0] * dim
-    if payload:
-        for b in payload:
-            counts[b % dim] += 1
-    return counts
+    import numpy as np
+
+    if not payload:
+        return [0] * dim
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    # exact integer counts (bincount == the per-byte loop), vectorized
+    return np.bincount(buf % dim, minlength=dim).astype(np.int64).tolist()
 
 
 def byte_histogram_features(payload: Optional[bytes], dim: int = FEATURE_DIM):
@@ -389,16 +391,25 @@ def extract_media_features(
     worker heap (driver brief: memory-aware sizing for binary payloads).
     ``use_real_decoder=True`` decodes BMP/PPM/WAV payloads for real (pure
     numpy) and featurizes the decoded media; other codecs raise."""
-    import ray
+    from uk_address_matcher_ray import util
 
-    if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4)) - 2))
+    if isinstance(concurrency, tuple):
+        # actor-pool (min, max) sizing from callers predating the
+        # task-based conversion: tasks take a flat cap
+        concurrency = concurrency[1]
+
+    def feats(batch: pa.Table) -> pa.Table:
+        st = util.memo_stage(
+            ("media_feats", dim, use_real_decoder),
+            lambda: MediaFeatureStage(dim, use_real_decoder),
+        )
+        return st(batch)
+
     return ds.map_batches(
-        MediaFeatureStage,
+        feats,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"dim": dim, "use_real_decoder": use_real_decoder},
     )
 
 
