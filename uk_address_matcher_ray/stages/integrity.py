@@ -75,37 +75,48 @@ def fk_coverage(child, parent, child_key: str, parent_key: str):
     )
 
     def kernel(tbl: pa.Table) -> pa.Table:
-        per: dict = {}
-        for k, r, s in zip(
-            tbl.column("k").to_pylist(),
-            tbl.column("rows_").to_pylist(),
-            tbl.column("side").to_pylist(),
-        ):
-            cr, has_p = per.get(k, (0, False))
-            per[k] = (cr + r, has_p or s == 0)
-        rows = keys = matched = okeys = orows = 0
-        for cr, has_p in per.values():
-            if cr == 0:
-                continue  # parent-only key
-            rows += cr
-            keys += 1
-            if has_p:
-                matched += 1
-            else:
-                okeys += 1
-                orows += cr
+        import numpy as np
+
+        # vectorized: int-code the keys, exact int64 scatter-add of the
+        # per-(key,batch) child counts, parent presence as a bool scatter
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        r = tbl.column("rows_").to_numpy(zero_copy_only=False)
+        s = tbl.column("side").to_numpy(zero_copy_only=False)
+        u, codes = np.unique(k, return_inverse=True)
+        cr = np.zeros(len(u), np.int64)
+        np.add.at(cr, codes, r)
+        hasp = np.zeros(len(u), bool)
+        hasp[codes[s == 0]] = True
+        child = cr > 0  # parent-only keys drop
+        orphan = child & ~hasp
         return pa.table(
             {
-                "rows": pa.array([rows], pa.int64()),
-                "keys": pa.array([keys], pa.int64()),
-                "matched": pa.array([matched], pa.int64()),
-                "orphan_keys": pa.array([okeys], pa.int64()),
-                "orphan_rows": pa.array([orows], pa.int64()),
+                "rows": pa.array([int(cr[child].sum())], pa.int64()),
+                "keys": pa.array([int(child.sum())], pa.int64()),
+                "matched": pa.array([int((child & hasp).sum())], pa.int64()),
+                "orphan_keys": pa.array([int(orphan.sum())], pa.int64()),
+                "orphan_rows": pa.array([int(cr[orphan].sum())], pa.int64()),
             }
         )
 
     parts = grouped_map(tagged, "k", None, part_schema, fn_table=kernel)
-    agg = {c: int(parts.sum(c) or 0) for c in part_schema.names}
+    # ONE collect of the 1-row-per-task partials (five .sum() calls were
+    # five whole Dataset jobs on ~task-count rows)
+    part_tbls = [
+        t
+        for t in ray.get(parts.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    if part_tbls:
+        all_parts = pa.concat_tables(part_tbls)
+        agg = {
+            c: int(
+                pa.compute.sum(all_parts.column(c)).as_py() or 0
+            )
+            for c in part_schema.names
+        }
+    else:
+        agg = {c: 0 for c in part_schema.names}
     return ray.data.from_arrow(
         pa.table(
             {

@@ -236,35 +236,72 @@ def late_ship_priority_counts(orders, lineitem):
         ).map_batches(o_partial, batch_format="pyarrow")
     )
 
-    hit_schema = pa.schema([pa.field("pri", pa.string())])
+    hit_schema = pa.schema(
+        [pa.field("pri", pa.string()), pa.field("n", pa.int64())]
+    )
 
     def kernel(tbl: pa.Table) -> pa.Table:
-        per: dict = {}
-        for k, pri, odate, mx, side in zip(
-            tbl.column("k").to_pylist(),
-            tbl.column("pri").to_pylist(),
-            tbl.column("odate").to_pylist(),
-            tbl.column("mx").to_pylist(),
-            tbl.column("side").to_pylist(),
-        ):
-            cur = per.setdefault(k, [None, None, -1])
-            if side == 0:
-                cur[0] = pri
-                cur[1] = odate
-            else:
-                cur[2] = max(cur[2], mx)
-        out = [
-            pri
-            for pri, odate, mx in per.values()
-            if pri is not None and mx > odate
-        ]
-        return pa.table({"pri": pa.array(out, pa.string())})
+        # vectorized EXISTS: binary-search lineitem max-shipdate partials
+        # against the sorted order rows, scatter-max per order, then one
+        # value_counts over the hit priorities — the kernel emits
+        # (priority, n) partials (bounded by the 5 priority values)
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        odate = tbl.column("odate").to_numpy(zero_copy_only=False)
+        mx = tbl.column("mx").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        om = side == 0
+        ok = k[om]
+        if len(ok) == 0:
+            return hit_schema.empty_table()
+        order = np.argsort(ok, kind="stable")
+        ks = ok[order]
+        odate_s = odate[om][order]
+        lk, lmx = k[~om], mx[~om]
+        pos = np.searchsorted(ks, lk, side="right") - 1
+        valid = (pos >= 0) & (ks[np.maximum(pos, 0)] == lk)
+        mxacc = np.full(len(ks), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mxacc, pos[valid], lmx[valid])
+        hit = mxacc > odate_s
+        pri_sorted = (
+            tbl.column("pri")
+            .filter(pa.array(om))
+            .take(pa.array(order, pa.int64()))
+        )
+        vc = pri_sorted.filter(pa.array(hit)).value_counts()
+        return pa.table(
+            {
+                "pri": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    import ray
 
     hits = grouped_map(tagged, "k", None, hit_schema, fn_table=kernel)
-    counts = hits.groupby("pri").count()
-    return counts.map_batches(
-        lambda b: b.rename_columns(["o_orderpriority", "n_orders"]),
-        batch_format="pyarrow",
+    parts = [
+        t
+        for t in ray.get(hits.materialize().to_arrow_refs())
+        if t.num_rows
+    ]
+    combined = (
+        pa.concat_tables(parts)
+        .group_by("pri")
+        .aggregate([("n", "sum")])
+        .rename_columns(["o_orderpriority", "n_orders"])
+        if parts
+        else pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+    )
+    from uk_address_matcher_ray.util import dataset_from_table
+
+    return dataset_from_table(
+        combined.set_column(
+            1, "n_orders", combined.column("n_orders").cast(pa.int64())
+        )
     )
 
 
@@ -346,29 +383,25 @@ def revenue_by_nation(lineitem, orders, customer, nation):
     )
 
     def hop1_kernel(tbl: pa.Table) -> pa.Table:
-        nk_of: dict = {}
-        orders_of: dict = {}
-        for k, v, side in zip(
-            tbl.column("k").to_pylist(),
-            tbl.column("v").to_pylist(),
-            tbl.column("side").to_pylist(),
-        ):
-            if side == 0:
-                nk_of[k] = v
-            else:
-                orders_of.setdefault(k, []).append(v)
-        ok_out, nk_out = [], []
-        for k, oks in orders_of.items():
-            nk = nk_of.get(k)
-            if nk is None:
-                continue
-            for ok in oks:
-                ok_out.append(ok)
-                nk_out.append(nk)
+        # vectorized small-side join within the complete custkey group:
+        # sort the customer rows once, binary-search each order row
+        # (side='right'-1 mirrors the old dict's duplicate-key last-wins)
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        cm = side == 0
+        ck, cv = k[cm], v[cm]
+        if len(ck) == 0:
+            return hop1_schema.empty_table()
+        order = np.argsort(ck, kind="stable")
+        ck_s, cv_s = ck[order], cv[order]
+        ok_k, ok_v = k[~cm], v[~cm]
+        pos = np.searchsorted(ck_s, ok_k, side="right") - 1
+        valid = (pos >= 0) & (ck_s[np.maximum(pos, 0)] == ok_k)
         return pa.table(
             {
-                "ok": pa.array(ok_out, pa.int64()),
-                "nk": pa.array(nk_out, pa.int64()),
+                "ok": pa.array(ok_v[valid], pa.int64()),
+                "nk": pa.array(cv_s[pos[valid]], pa.int64()),
             }
         )
 
@@ -431,43 +464,62 @@ def revenue_by_nation(lineitem, orders, customer, nation):
     )
 
     def hop2_kernel(tbl: pa.Table) -> pa.Table:
-        nk_of: dict = {}
-        acc: dict = {}
-        for k, n, rev, side in zip(
-            tbl.column("k").to_pylist(),
-            tbl.column("n").to_pylist(),
-            tbl.column("rev").to_pylist(),
-            tbl.column("side").to_pylist(),
-        ):
-            if side == 0:
-                nk_of[k] = n  # 'n' carries nationkey on order rows
-            else:
-                c = acc.setdefault(k, [0, 0])
-                c[0] += n
-                c[1] += rev
-        per_nation: dict = {}
-        for k, (n, rev) in acc.items():
-            nk = nk_of.get(k)
-            if nk is None:
-                continue
-            c = per_nation.setdefault(nk, [0, 0])
-            c[0] += n
-            c[1] += rev
-        keys = sorted(per_nation)
+        # vectorized: binary-search lineitem partials against the sorted
+        # order rows ('n' carries nationkey on side-0 rows), then exact
+        # int64 scatter-add per nationkey (np.add.at is unbuffered)
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        n = tbl.column("n").to_numpy(zero_copy_only=False)
+        rev = tbl.column("rev").to_numpy(zero_copy_only=False)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        om = side == 0
+        ok_k, ok_nk = k[om], n[om]
+        if len(ok_k) == 0:
+            return hop2_schema.empty_table()
+        order = np.argsort(ok_k, kind="stable")
+        ks, nks = ok_k[order], ok_nk[order]
+        lk, ln, lrev = k[~om], n[~om], rev[~om]
+        pos = np.searchsorted(ks, lk, side="right") - 1
+        valid = (pos >= 0) & (ks[np.maximum(pos, 0)] == lk)
+        nk = nks[pos[valid]]
+        if len(nk) == 0:
+            return hop2_schema.empty_table()
+        width = int(nk.max()) + 1
+        n_acc = np.zeros(width, np.int64)
+        r_acc = np.zeros(width, np.int64)
+        np.add.at(n_acc, nk, ln[valid])
+        np.add.at(r_acc, nk, lrev[valid])
+        keys = np.nonzero((n_acc != 0) | (r_acc != 0))[0]
         return pa.table(
             {
-                "nk": pa.array(keys, pa.int64()),
-                "n": pa.array([per_nation[k][0] for k in keys], pa.int64()),
-                "rev": pa.array(
-                    [per_nation[k][1] for k in keys], pa.int64()
-                ),
+                "nk": pa.array(keys.astype(np.int64), pa.int64()),
+                "n": pa.array(n_acc[keys], pa.int64()),
+                "rev": pa.array(r_acc[keys], pa.int64()),
             }
         )
 
-    per_nation = (
-        grouped_map(hop2_in, "k", None, hop2_schema, fn_table=hop2_kernel)
-        .groupby("nk")
-        .sum(["n", "rev"])
+    # hop-2 output is ≤ |nations| rows PER TASK: the final combine is a
+    # driver-side Arrow group-by over a nation-count-bounded table — a
+    # Dataset groupby + finalize map here cost two whole jobs' fixed
+    # overhead (~0.8 s) on ~25 rows
+    per_nation_tbl = (
+        pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    grouped_map(
+                        hop2_in, "k", None, hop2_schema,
+                        fn_table=hop2_kernel,
+                    )
+                    .materialize()
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+            or [hop2_schema.empty_table()]
+        )
+        .group_by("nk")
+        .aggregate([("n", "sum"), ("rev", "sum")])
+        .rename_columns(["nk", "n", "rev"])
     )
 
     names = {
@@ -477,26 +529,26 @@ def revenue_by_nation(lineitem, orders, customer, nation):
         ).take_all()
     }
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        nk = batch.column("nk").to_pylist()
-        n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
-        rev = batch.column("sum(rev)").to_numpy(zero_copy_only=False)
-        # inner-join semantics: a nationkey absent from the nation table
-        # is dropped (matches the oracle's JOIN), not a KeyError.
-        keep = [i for i, k in enumerate(nk) if k in names]
-        if len(keep) != len(nk):
-            nk = [nk[i] for i in keep]
-            n = n[keep]
-            rev = rev[keep]
-        return pa.table(
-            {
-                "n_name": pa.array([names[k] for k in nk], pa.string()),
-                "n_lineitems": pa.array(n, pa.int64()),
-                "revenue": pa.array(rev / 10000.0, pa.float64()),
-            }
-        )
+    nk = per_nation_tbl.column("nk").to_pylist()
+    n = per_nation_tbl.column("n").to_numpy(zero_copy_only=False)
+    rev = per_nation_tbl.column("rev").to_numpy(zero_copy_only=False)
+    # inner-join semantics: a nationkey absent from the nation table
+    # is dropped (matches the oracle's JOIN), not a KeyError.
+    keep = [i for i, k in enumerate(nk) if k in names]
+    if len(keep) != len(nk):
+        nk = [nk[i] for i in keep]
+        n = n[keep]
+        rev = rev[keep]
+    out = pa.table(
+        {
+            "n_name": pa.array([names[k] for k in nk], pa.string()),
+            "n_lineitems": pa.array(n.astype(np.int64), pa.int64()),
+            "revenue": pa.array(rev / 10000.0, pa.float64()),
+        }
+    )
+    from uk_address_matcher_ray.util import dataset_from_table
 
-    return per_nation.map_batches(finalize, batch_format="pyarrow")
+    return dataset_from_table(out)
 
 
 def revenue_by_nation_sql() -> str:
@@ -646,32 +698,50 @@ def top_parts_by_revenue(lineitem, k: int = 10):
         )
         return t.rename_columns(["k", "rev"])
 
-    agg = (
-        lineitem.select_columns(
-            ["l_partkey", "l_extendedprice", "l_discount"]
-        )
-        .map_batches(li_partial, batch_format="pyarrow")
-        .groupby("k")
-        .sum("rev")
-    )
+    # fan-in-8 tree reduce of (partkey, rev) partials — the corpus-stats
+    # pattern: every intermediate stays distinct-partkey-bounded (the
+    # part dimension is the "vocabulary" here; at a scale where it breaks
+    # a task's heap, switch back to .groupby("k").sum — the unbounded
+    # all-to-all shape this replaced for ~1 s of per-job fixed cost)
+    partials = lineitem.select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    refs = list(partials.to_arrow_refs())
 
-    def topk_partial(batch: pa.Table) -> pa.Table:
+    @ray.remote
+    def merge(*tbls):
+        live = [t for t in tbls if t.num_rows]
+        if not live:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+            )
+        return (
+            pa.concat_tables(live)
+            .group_by("k")
+            .aggregate([("rev", "sum")])
+            .rename_columns(["k", "rev"])
+        )
+
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+
+    @ray.remote
+    def topk(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        t = pa.table(
-            {
-                "k": batch.column("k"),
-                "rev": batch.column("sum(rev)").cast(pa.int64()),
-            }
-        )
         order = pc.sort_indices(
             t, sort_keys=[("rev", "descending"), ("k", "ascending")]
         )
         return t.take(order[: min(k, t.num_rows)])
 
-    winners = agg.map_batches(topk_partial, batch_format="pyarrow").take_all()
-    winners.sort(key=lambda r: (-r["rev"], r["k"]))
-    winners = winners[:k]
+    win_tbl = (
+        ray.get(topk.remote(refs[0]))
+        if refs
+        else pa.table(
+            {"k": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+        )
+    )
+    winners = win_tbl.to_pylist()
     return ray.data.from_arrow(
         pa.table(
             {
