@@ -67,20 +67,69 @@ def _grams(toks: List[str]) -> List[str]:
     ]
 
 
+def _gram_buckets_flat(texts, buckets: int):
+    """Vectorized gram->bucket pipeline over a string column.
+
+    -> (row_of_uni int64[], uni_bucket int64[], row_of_bi int64[],
+    bi_bucket int64[]) with intra-row gram ORDER preserved (unigrams in
+    token order; bigrams in position order). Tokens come from the shared
+    ``flat_tokens`` Arrow chain; md5 (``h60``) runs only on DISTINCT
+    tokens / DISTINCT bigram code pairs — identical bucket assignment to
+    hashing every occurrence (same gram strings by construction)."""
+    from uk_address_matcher_ray.stages.dedup import flat_tokens
+
+    parents, flat = flat_tokens(texts)
+    if len(flat) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e, e
+    # stable sort restores per-row contiguity (dirty-row fallbacks append
+    # at the end); intra-row order is preserved by stability
+    order = np.argsort(parents, kind="stable")
+    parents = parents[order]
+    flat = flat.take(pa.array(order, pa.int64()))
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = enc.dictionary.to_pylist()
+    uni_lut = np.fromiter(
+        (h60(t) % buckets for t in toks), np.int64, count=len(toks)
+    )
+    uni_b = uni_lut[codes]
+    # bigrams: adjacent positions within one row
+    adj = np.flatnonzero(parents[1:] == parents[:-1])
+    if len(adj):
+        v = len(toks)
+        pair_codes = codes[adj] * v + codes[adj + 1]
+        uniq, inv = np.unique(pair_codes, return_inverse=True)
+        pair_lut = np.fromiter(
+            (
+                h60(toks[int(pc_ // v)] + " " + toks[int(pc_ % v)]) % buckets
+                for pc_ in uniq
+            ),
+            np.int64,
+            count=len(uniq),
+        )
+        bi_b = pair_lut[inv]
+        bi_rows = parents[adj]
+    else:
+        bi_b = np.empty(0, np.int64)
+        bi_rows = np.empty(0, np.int64)
+    return parents, uni_b, bi_rows, bi_b
+
+
 def _bucket_counts(ds, text_col: str, buckets: int) -> tuple:
-    """(counts:int64[buckets], total:int) via per-batch partials + one
-    bucket-keyed groupby (rows bounded by ``buckets`` per batch)."""
+    """(counts:int64[buckets], total:int) via per-batch vectorized
+    partials + a fan-in-8 raw-task tree reduce (intermediates are
+    bucket-bounded int vectors; the Dataset groupby cost a whole job's
+    fixed overhead per asset side)."""
+    import ray
 
     def partial(batch: pa.Table) -> pa.Table:
-        acc = np.zeros(buckets, dtype=np.int64)
-        memo: Dict[str, int] = {}
-        for text in batch.column(text_col).to_pylist():
-            for g in _grams(_tokens(text)):
-                b = memo.get(g)
-                if b is None:
-                    b = h60(g) % buckets
-                    memo[g] = b
-                acc[b] += 1
+        _ru, uni_b, _rb, bi_b = _gram_buckets_flat(
+            batch.column(text_col), buckets
+        )
+        acc = np.bincount(uni_b, minlength=buckets).astype(np.int64)
+        if len(bi_b):
+            acc += np.bincount(bi_b, minlength=buckets).astype(np.int64)
         nz = np.nonzero(acc)[0]
         return pa.table(
             {
@@ -89,16 +138,36 @@ def _bucket_counts(ds, text_col: str, buckets: int) -> tuple:
             }
         )
 
-    rows = (
+    refs = list(
         ds.select_columns([text_col])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("b")
-        .sum("c")
-        .take_all()
+        .to_arrow_refs()
     )
+
+    @ray.remote
+    def merge(*tbls):
+        acc = np.zeros(buckets, dtype=np.int64)
+        for t in tbls:
+            if t.num_rows:
+                acc[t.column("b").to_numpy(zero_copy_only=False)] += (
+                    t.column("c").to_numpy(zero_copy_only=False)
+                )
+        nz = np.nonzero(acc)[0]
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64)),
+                "c": pa.array(acc[nz]),
+            }
+        )
+
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
     counts = np.zeros(buckets, dtype=np.int64)
-    for r in rows:
-        counts[int(r["b"])] = int(r["sum(c)"])
+    if refs:
+        t = ray.get(refs[0])
+        counts[t.column("b").to_numpy(zero_copy_only=False)] = (
+            t.column("c").to_numpy(zero_copy_only=False)
+        )
     return counts, int(counts.sum())
 
 
@@ -134,24 +203,44 @@ def dsir_weights(
             - math.log((int(raw_c[b]) + 1.0) / (raw_t + buckets))
             for b in range(buckets)
         ]
-        memo: Dict[str, int] = {}
+        term_np = np.asarray(term, dtype=np.float64)
+        n = batch.num_rows
+        # vectorized gram->bucket pipeline; per-doc fsum runs over the
+        # SAME term values in the SAME order as the scalar chain
+        # (unigrams in token order, then bigrams) -> identical floats
+        uni_rows, uni_b, bi_rows, bi_b = _gram_buckets_flat(
+            batch.column(text_col), buckets
+        )
+        uni_terms = term_np[uni_b]
+        bi_terms = term_np[bi_b] if len(bi_b) else np.empty(0, np.float64)
+        uni_off = np.zeros(n + 1, np.int64)
+        np.add.at(uni_off, uni_rows + 1, 1)
+        uni_off = np.cumsum(uni_off)
+        bi_off = np.zeros(n + 1, np.int64)
+        if len(bi_rows):
+            np.add.at(bi_off, bi_rows + 1, 1)
+        bi_off = np.cumsum(bi_off)
         n_out: list = []
         w_out: list = []
-        for text in batch.column(text_col).to_pylist():
-            grams = _grams(_tokens(text))
-            if not grams:
+        for i in range(n):
+            u0, u1 = uni_off[i], uni_off[i + 1]
+            b0, b1 = bi_off[i], bi_off[i + 1]
+            ng = int(u1 - u0) + int(b1 - b0)
+            if ng == 0:
                 n_out.append(0)
                 w_out.append(None)
                 continue
-            terms = []
-            for g in grams:
-                b = memo.get(g)
-                if b is None:
-                    b = h60(g) % buckets
-                    memo[g] = b
-                terms.append(term[b])
-            n_out.append(len(grams))
-            w_out.append(round(math.fsum(terms), 6))
+            n_out.append(ng)
+            w_out.append(
+                round(
+                    math.fsum(
+                        np.concatenate(
+                            [uni_terms[u0:u1], bi_terms[b0:b1]]
+                        )
+                    ),
+                    6,
+                )
+            )
         return pa.table(
             {
                 id_col: batch.column(id_col),
