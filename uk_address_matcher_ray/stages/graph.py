@@ -755,6 +755,80 @@ FROM a{iters} a JOIN h{iters} h USING (node)
 # Triangle counting (degree-oriented, exact)
 # ---------------------------------------------------------------------------
 
+_SMALL_GRAPH_MAX_EDGES = 2_000_000  # one-task local path below; exchanges above
+_GSEP = "\x00"
+
+
+def _tri_local(t: pa.Table) -> pa.Table:
+    """Sequential triangle_stats over one distinct-edge table — the same
+    degree-oriented wedge-closure algorithm; a Counter / per-key dict
+    over the WHOLE table equals the union over complete key groups, so
+    the result is bit-identical to the exchange path (differential test
+    in tests/test_graph_small_gate.py)."""
+    import collections
+
+    eks = t.column("ek").to_pylist()
+    deg: collections.Counter = collections.Counter()
+    pairs = []
+    for ek in eks:
+        u, v = ek.split(_GSEP)
+        deg[u] += 1
+        deg[v] += 1
+        pairs.append((u, v))
+    outs: dict = {}
+    edge_set = set(eks)
+    for u, v in pairs:
+        s_, t_ = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+        outs.setdefault(s_, []).append(t_)
+    tri = 0
+    for lst in outs.values():
+        lst.sort()
+        for i in range(len(lst)):
+            for j in range(i + 1, len(lst)):
+                a, b = lst[i], lst[j]
+                key = a + _GSEP + b if a < b else b + _GSEP + a
+                if key in edge_set:
+                    tri += 1
+    return pa.table(
+        {
+            "n_nodes": pa.array([len(deg)], pa.int64()),
+            "n_edges": pa.array([len(eks)], pa.int64()),
+            "triangles": pa.array([tri], pa.int64()),
+        }
+    )
+
+
+def _kcore_local(t: pa.Table, k: int, rounds: int) -> pa.Table:
+    """Sequential kcore peel over one distinct-edge table — identical
+    round semantics to the exchange path (differential-tested)."""
+    import collections
+
+    eks = t.column("ek").to_pylist()
+    for _ in range(rounds):
+        deg: collections.Counter = collections.Counter()
+        for ek in eks:
+            u, v = ek.split(_GSEP)
+            deg[u] += 1
+            deg[v] += 1
+        eks = [
+            ek
+            for ek in eks
+            if deg[ek.split(_GSEP)[0]] >= k and deg[ek.split(_GSEP)[1]] >= k
+        ]
+    cnt: collections.Counter = collections.Counter()
+    for ek in eks:
+        u, v = ek.split(_GSEP)
+        cnt[u] += 1
+        cnt[v] += 1
+    ks = sorted(cnt)
+    return pa.table(
+        {
+            "node": pa.array(ks, pa.string()),
+            "deg": pa.array([cnt[x] for x in ks], pa.int64()),
+        }
+    )
+
+
 def triangle_stats(edges, src_col: str = "src", dst_col: str = "dst"):
     """Exact triangle count over the UNDIRECTED simplification of the
     link graph -> Dataset(n_nodes, n_edges, triangles) — one row.
@@ -817,6 +891,28 @@ def triangle_stats(edges, src_col: str = "src", dst_col: str = "dst"):
                 "node": pa.array(node, pa.string()),
                 "other": pa.array(other, pa.string()),
             }
+        )
+
+    # small-graph gate: below _SMALL_GRAPH_MAX_EDGES distinct edges the
+    # whole computation runs in ONE raw task (_tri_local — identical
+    # algorithm, differential-tested); the five exchanges cost fixed
+    # task-wave overhead that dwarfs a small graph's compute.
+    if distinct.count() <= _SMALL_GRAPH_MAX_EDGES:
+        @ray.remote
+        def tri_small(*tbls) -> pa.Table:
+            live = [x for x in tbls if x.num_rows]
+            if not live:
+                return pa.table(
+                    {
+                        "n_nodes": pa.array([0], pa.int64()),
+                        "n_edges": pa.array([0], pa.int64()),
+                        "triangles": pa.array([0], pa.int64()),
+                    }
+                )
+            return _tri_local(pa.concat_tables(live))
+
+        return ray.data.from_arrow_refs(
+            [tri_small.remote(*distinct.to_arrow_refs())]
         )
 
     halves_ds = distinct.map_batches(halves, batch_format="pyarrow")
@@ -1032,7 +1128,28 @@ def kcore(edges, k: int = 2, rounds: int = 4,
         .groupby("ek")
         .count()
         .select_columns(["ek"])
+        .materialize()
     )
+
+    # small-graph gate: ONE raw task peels the whole graph
+    # (_kcore_local — identical round semantics, differential-tested);
+    # ~8 exchange jobs of fixed overhead otherwise dominate small inputs
+    if live.count() <= _SMALL_GRAPH_MAX_EDGES:
+        @ray.remote
+        def peel_small(*tbls) -> pa.Table:
+            live_t = [x for x in tbls if x.num_rows]
+            if not live_t:
+                return pa.table(
+                    {
+                        "node": pa.array([], pa.string()),
+                        "deg": pa.array([], pa.int64()),
+                    }
+                )
+            return _kcore_local(pa.concat_tables(live_t), k, rounds)
+
+        return ray.data.from_arrow_refs(
+            [peel_small.remote(*live.to_arrow_refs())]
+        )
 
     half_schema = pa.schema(
         [pa.field("node", pa.string()), pa.field("ek", pa.string())]
