@@ -52,14 +52,32 @@ def profile_columns(ds, columns: Optional[Sequence[str]] = None):
             }
         )
 
-    counts = {
-        r["column_name"]: (int(r["sum(n)"]), int(r["sum(nulls)"]))
-        for r in ds.select_columns(cols)
-        .map_batches(null_partial, batch_format="pyarrow")
-        .groupby("column_name")
-        .sum(["n", "nulls"])
-        .take_all()
-    }
+    # per-batch partials are |cols| rows each — combine on the driver
+    # (a Dataset groupby here cost a whole job's fixed overhead)
+    null_tbls = [
+        t
+        for t in ray.get(
+            ds.select_columns(cols)
+            .map_batches(null_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    counts = {}
+    if null_tbls:
+        agg = (
+            pa.concat_tables(null_tbls)
+            .group_by("column_name")
+            .aggregate([("n", "sum"), ("nulls", "sum")])
+        )
+        counts = {
+            c.as_py(): (int(n.as_py()), int(u.as_py()))
+            for c, n, u in zip(
+                agg.column("column_name"),
+                agg.column("n_sum"),
+                agg.column("nulls_sum"),
+            )
+        }
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
         keys = set()
@@ -81,17 +99,40 @@ def profile_columns(ds, columns: Optional[Sequence[str]] = None):
             }
         )
 
-    distinct = {
-        r["column_name"]: int(r["sum(d)"])
-        for r in ds.select_columns(cols)
-        .map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby("k")
-        .count()
-        .map_batches(col_of, batch_format="pyarrow")
-        .groupby("column_name")
-        .sum("d")
-        .take_all()
-    }
+    def col_counts(batch: pa.Table) -> pa.Table:
+        # per-block (column, distinct-count) partial — |cols| rows
+        t = col_of(batch)
+        return (
+            t.group_by("column_name")
+            .aggregate([("d", "sum")])
+            .rename_columns(["column_name", "d"])
+        )
+
+    d_tbls = [
+        t
+        for t in ray.get(
+            ds.select_columns(cols)
+            .map_batches(distinct_partial, batch_format="pyarrow")
+            .groupby("k")
+            .count()
+            .map_batches(col_counts, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    distinct = {}
+    if d_tbls:
+        agg = (
+            pa.concat_tables(d_tbls)
+            .group_by("column_name")
+            .aggregate([("d", "sum")])
+        )
+        distinct = {
+            c.as_py(): int(v.as_py())
+            for c, v in zip(
+                agg.column("column_name"), agg.column("d_sum")
+            )
+        }
 
     return ray.data.from_arrow(
         pa.table(
