@@ -109,3 +109,67 @@ def test_nb_lang_separation():
     assert all(got[i] == "en" for i in range(10))
     assert all(got[100 + i] == "fr" for i in range(10))
     assert got[500] is None and got[501] is None
+
+
+def test_predict_vectorized_matches_scalar_reference():
+    """The ASCII byte-pair fast path and the non-ASCII fallback must both
+    equal the naive per-gram formula (same log args, same fsum order,
+    same round-6 + first-wins argmax)."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from uk_address_matcher_ray.stages.nblang import (
+        _grams,
+        nb_lang_assets,
+        nb_lang_predict,
+        SMOOTH_A,
+    )
+
+    train = pa.table(
+        {
+            "lang": ["en", "en", "fr", "fr", "de"],
+            "text": [
+                "the cat sat", "a hat that", "le chat", "la tête été",
+                "straße über",
+            ],
+        }
+    )
+    score_rows = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": [
+                "the hat", "le la", "tête à tête", "straße", "", None,
+            ],
+        }
+    )
+    assets = nb_lang_assets(ray.data.from_arrow(train), "lang", "text")
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["score"])
+        for r in nb_lang_predict(
+            ray.data.from_arrow(score_rows), assets, "doc_id", "text"
+        ).take_all()
+    }
+    counts, totals, priors, V, n_docs = assets
+    langs = sorted(priors)
+    av = SMOOTH_A * V
+    for i, text in enumerate(score_rows.column("text").to_pylist()):
+        grams = _grams(text)
+        if not grams:
+            assert got[i] == (None, None)
+            continue
+        best = None
+        for lg in langs:
+            terms = [math.log(priors[lg] / n_docs)]
+            for g in grams:
+                terms.append(
+                    math.log(
+                        (counts.get((lg, g), 0) + SMOOTH_A)
+                        / (totals.get(lg, 0) + av)
+                    )
+                )
+            s = round(math.fsum(terms), 6)
+            if best is None or s > best[1]:
+                best = (lg, s)
+        assert got[i] == best, (i, text, got[i], best)

@@ -144,37 +144,86 @@ def nb_lang_predict(
     )
 
     def kernel(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         counts, totals, priors, V, n_docs = util.get_broadcast(assets)
         langs = sorted(priors)
         av = a * V
         lp_prior = {lg: math.log(priors[lg] / n_docs) for lg in langs}
         memo: Dict[Tuple[str, str], float] = {}
-        preds: list = []
-        scores: list = []
-        for text in batch.column(text_col).to_pylist():
-            grams = _grams(text)
-            if not grams:
-                preds.append(None)
-                scores.append(None)
-                continue
+
+        def lp_of(lg: str, g: str) -> float:
+            key = (lg, g)
+            lp = memo.get(key)
+            if lp is None:
+                lp = math.log(
+                    (counts.get(key, 0) + a) / (totals.get(lg, 0) + av)
+                )
+                memo[key] = lp
+            return lp
+
+        def score_doc(term_arrays):
+            """term_arrays: {lang: array-like of per-gram lp in gram
+            order}; same fsum([prior] + terms) + round-6 + first-wins
+            argmax as the scalar chain."""
             best_lang, best_score = None, None
             for lg in langs:
-                tot = totals.get(lg, 0)
-                terms = [lp_prior[lg]]
-                for g in grams:
-                    key = (lg, g)
-                    lp = memo.get(key)
-                    if lp is None:
-                        lp = math.log(
-                            (counts.get(key, 0) + a) / (tot + av)
+                s = round(
+                    math.fsum(
+                        np.concatenate(
+                            [[lp_prior[lg]], term_arrays[lg]]
                         )
-                        memo[key] = lp
-                    terms.append(lp)
-                s = round(math.fsum(terms), 6)
+                    ),
+                    6,
+                )
                 if best_score is None or s > best_score:
                     best_lang, best_score = lg, s
-            preds.append(best_lang)
-            scores.append(best_score)
+            return best_lang, best_score
+
+        texts = batch.column(text_col).to_pylist()
+        preds: list = [None] * len(texts)
+        scores: list = [None] * len(texts)
+        # vectorized path for pure-ASCII texts: byte-pair codes over the
+        # lowered buffer, math.log only on DISTINCT (lang, gram) pairs —
+        # identical lp values (same args to the same log), identical
+        # per-doc fsum order, so scores are bit-equal to the scalar path
+        lowered = [(t or "").lower() for t in texts]
+        ascii_rows = [
+            i for i, s in enumerate(lowered) if s.isascii() and len(s) >= 2
+        ]
+        if ascii_rows:
+            bufs = [lowered[i].encode() for i in ascii_rows]
+            arrs = [np.frombuffer(b, np.uint8) for b in bufs]
+            code_seqs = [
+                a_.astype(np.int32)[:-1] * 256 + a_.astype(np.int32)[1:]
+                for a_ in arrs
+            ]
+            uniq = np.unique(np.concatenate(code_seqs))
+            grams_u = [chr(c >> 8) + chr(c & 0xFF) for c in uniq.tolist()]
+            luts = {}
+            for lg in langs:
+                luts[lg] = np.array(
+                    [lp_of(lg, g) for g in grams_u], np.float64
+                )
+            for i, seq in zip(ascii_rows, code_seqs):
+                pos = np.searchsorted(uniq, seq)
+                preds[i], scores[i] = score_doc(
+                    {lg: luts[lg][pos] for lg in langs}
+                )
+        for i, s in enumerate(lowered):
+            if s.isascii() and len(s) >= 2:
+                continue  # handled by the vectorized path (or gramless)
+            grams = [s[j : j + 2] for j in range(len(s) - 1)]
+            if not grams:
+                continue
+            preds[i], scores[i] = score_doc(
+                {
+                    lg: np.array(
+                        [lp_of(lg, g) for g in grams], np.float64
+                    )
+                    for lg in langs
+                }
+            )
         return pa.Table.from_arrays(
             [
                 batch.column(id_col).combine_chunks(),
